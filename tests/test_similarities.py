@@ -33,7 +33,8 @@ def test_pixel_to_feature_idx_semantics():
 
 def test_closed_form_equals_pairwise(rng):
     v, hf, wf, f = 5, 20, 24, 8
-    padding, h, w = 3, hf - padding - 1, wf - padding - 1
+    padding = 3
+    h, w = hf - padding - 1, wf - padding - 1
     features = rng.randn(v, hf, wf, f).astype(np.float32)
     # Simple "cameras": project onto xy with identity-ish P
     P = np.zeros((v, 3, 4), dtype=np.float32)
