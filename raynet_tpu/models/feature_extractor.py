@@ -1,0 +1,65 @@
+"""Feature-extraction wrapper: a CNN + parameters with a predict() API.
+
+Replaces the reference's Keras model.predict on zero-padded image stacks
+(forward_pass.py:292-294). Weights round-trip through flax.serialization
+msgpack files (the framework's native checkpoint format; orbax handles the
+training-side checkpoints).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax
+from flax.core import freeze
+
+from .cnn import cnn_factory
+
+
+class FeatureExtractor:
+    """A CNN bound to parameters, callable on image stacks."""
+
+    def __init__(self, cnn_name="simple_cnn", variables=None, seed=0,
+                 channels=3, dtype=jnp.float32):
+        self.cnn_name = cnn_name
+        self.model = cnn_factory(cnn_name)()
+        self.dtype = dtype
+        if variables is None:
+            dummy = jnp.zeros((1, 33, 33, channels), dtype)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+        self._apply = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    def predict(self, images):
+        """images: (V, H, W, C) float array -> (V, Hf, Wf, F) features."""
+        return self._apply(self.variables, jnp.asarray(images, self.dtype))
+
+    # -- persistence ---------------------------------------------------
+    def save_weights(self, path):
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(self.variables))
+
+    def load_weights(self, path):
+        with open(path, "rb") as f:
+            self.variables = flax.serialization.from_bytes(
+                self.variables, f.read()
+            )
+
+    @classmethod
+    def from_weights(cls, cnn_name, path, channels=3):
+        fe = cls(cnn_name, channels=channels)
+        fe.load_weights(path)
+        return fe
+
+
+def zeropad_images(images, padding):
+    """Stack Image objects into one zero-padded (V, H+2p, W+2p, C) array.
+
+    Parity: forward_pass.py:181-198 (_to_list_with_zeropadded_images).
+    """
+    h, w, c = images[0].image.shape
+    p = padding
+    out = np.zeros((len(images), h + 2 * p, w + 2 * p, c), dtype=np.float32)
+    for i, im in enumerate(images):
+        out[i, p : p + h, p : p + w, :] = im.image
+    return out

@@ -6,7 +6,6 @@ import os
 
 import numpy as np
 import pytest
-import imageio.v2 as imageio
 
 from raynet_tpu.common.camera import Camera
 from raynet_tpu.common.dataset import RestrepoDataset
@@ -19,54 +18,7 @@ from raynet_tpu.utils.training_utils import (
     get_adjacent_frames_idxs,
     dirac_distribution,
 )
-
-H, W = 36, 48
-
-
-def _make_camera(angle, radius=20.0):
-    K = np.array([[400.0, 0, W / 2], [0, 400.0, H / 2], [0, 0, 1]], dtype=np.float32)
-    # camera on a ring in the xz plane, looking at the origin
-    c = np.array([radius * np.sin(angle), 0.0, -radius * np.cos(angle)])
-    z = -c / np.linalg.norm(c)  # view direction towards origin
-    x = np.cross(np.array([0.0, 1.0, 0.0]), z)
-    x /= np.linalg.norm(x)
-    y = np.cross(z, x)
-    R = np.stack([x, y, z]).astype(np.float32)
-    t = (-R @ c.reshape(3, 1)).astype(np.float32)
-    return K, R, t
-
-
-@pytest.fixture(scope="module")
-def mock_scene_dir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("restrepo") / "scene_1"
-    (root / "imgs").mkdir(parents=True)
-    (root / "cams_krt").mkdir()
-    rng = np.random.RandomState(7)
-
-    n_frames = 6
-    for i in range(n_frames):
-        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
-        imageio.imwrite(root / "imgs" / ("frame%05d.png" % (i + 1,)), img)
-        K, R, t = _make_camera(angle=(i - n_frames / 2) * 0.05)
-        rows = [" ".join("%.9g" % v for v in row) for row in K] + [
-            " ".join("%.9g" % v for v in row) for row in R
-        ] + [" ".join("%.9g" % v for v in t.ravel())]
-        (root / "cams_krt" / ("frame%05d_cam.txt" % (i + 1,))).write_text(
-            "\n".join(rows) + "\n"
-        )
-
-    (root / "scene_info.xml").write_text(
-        '<?xml version="1.0"?>\n<info>\n'
-        '  <bbox minx="-3" miny="-3" minz="-3" maxx="3" maxy="3" maxz="3"/>\n'
-        '  <resolution val="0.01"/>\n</info>\n'
-    )
-    # GT mesh: a big quad at z=0 facing the cameras
-    (root / "gt_mesh.obj").write_text(
-        "v -5 -5 0\nv 5 -5 0\nv 5 5 0\nv -5 5 0\n"
-        "vn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\n"
-        "f 1//1 2//2 3//3\nf 1//1 3//3 4//4\n"
-    )
-    return root
+from conftest import MOCK_H as H, MOCK_W as W
 
 
 def test_scene_parsing(mock_scene_dir):

@@ -1,0 +1,72 @@
+"""End-to-end inference on the synthesized mock scene: every forward-pass
+factory produces depth maps of the right shape with depths inside the scene's
+plausible range; the raynet factory's BP must not destroy the MVCNN signal.
+"""
+import numpy as np
+import pytest
+
+from raynet_tpu.common.scene import RestrepoScene
+from raynet_tpu.common.generation_parameters import GenerationParameters
+from raynet_tpu.common.sampling_schemes import get_sampling_scheme
+from raynet_tpu.inference import get_forward_pass_factory
+from raynet_tpu.models.feature_extractor import FeatureExtractor
+from conftest import MOCK_H as H, MOCK_W as W
+
+
+@pytest.fixture(scope="module")
+def setup(mock_scene_dir):
+    scene = RestrepoScene(str(mock_scene_dir))
+    gp = GenerationParameters(
+        depth_planes=8,
+        neighbors=4,
+        patch_shape=(11, 11, 3),
+        grid_shape=np.array([16, 16, 16], dtype=np.int32),
+        max_number_of_marched_voxels=32,
+        padding=11,
+        sampling_type="sample_points_in_bbox",
+        gamma_mrf=0.05,
+    )
+    model = FeatureExtractor("simple_cnn", seed=0)
+    scheme = get_sampling_scheme("sample_in_bbox")(gp)
+    return scene, gp, model, scheme
+
+
+def _run(factory_name, setup, rays_batch=W * H):
+    scene, gp, model, scheme = setup
+    fp = get_forward_pass_factory(factory_name)(
+        model, gp, scheme, scene.image_shape, rays_batch
+    )
+    maps = list(fp.forward_pass(scene, (0, 2, 1)))
+    assert len(maps) == 2
+    for dm in maps:
+        assert dm.shape == (H, W)
+        assert np.all(np.isfinite(dm))
+    return maps
+
+
+def test_multi_view_cnn_forward_pass(setup):
+    maps = _run("multi_view_cnn", setup)
+    # depths must lie between camera-to-bbox entry and exit (~14.5 .. ~26)
+    assert maps[0].min() >= 10.0
+    assert maps[0].max() <= 30.0
+
+
+def test_multi_view_cnn_with_odd_batches(setup):
+    # rays_batch that does not divide H*W exercises the padded last batch
+    maps = _run("multi_view_cnn", setup, rays_batch=700)
+    ref = _run("multi_view_cnn", setup)
+    np.testing.assert_allclose(maps[0], ref[0], rtol=1e-5)
+
+
+def test_multi_view_cnn_voxel_space_forward_pass(setup):
+    maps = _run("multi_view_cnn_voxel_space", setup)
+    nz = maps[0][maps[0] > 0]
+    assert nz.size > 0.5 * maps[0].size
+    assert nz.min() >= 10.0 and nz.max() <= 30.0
+
+
+def test_raynet_forward_pass(setup):
+    maps = _run("raynet", setup)
+    nz = maps[0][maps[0] > 0]
+    assert nz.size > 0.5 * maps[0].size
+    assert nz.min() >= 10.0 and nz.max() <= 30.0
