@@ -182,6 +182,11 @@ class MultiViewSimilarityNet(nn.Module):
         def embed(x):
             flat = x.reshape((-1,) + x.shape[3:])
             f = cnn(flat, train)
+            if f.shape[1] * f.shape[2] == 0:
+                raise ValueError(
+                    "patch %r is smaller than the %s receptive field"
+                    % (x.shape[3:5], self.cnn_name)
+                )
             return f.reshape(b, d, n, -1)
 
         f1 = embed(x1)

@@ -1,0 +1,224 @@
+"""Prefetching batch providers.
+
+Parity: raynet/train_network/batch_provider.py (threaded producer filling a
+cyclic sample cache, random-index batch sampling, ready() blocking until the
+first full pass) and raynet_batch_provider.py's RayNet batch assembly — with
+the broken multiprocessing variant replaced by a WORKING multi-threaded
+producer pool (the reference's workers wrote to non-shared memory and never
+produced anything, SURVEY.md §2.4).
+"""
+import threading
+
+import numpy as np
+
+
+class BatchProvider:
+    """Producer thread keeps a cyclic cache of samples; batches are random
+    cache slices. Iterable (infinite) for training loops."""
+
+    def __init__(
+        self, dataset, sample_generator, cache_size=500, batch_size=32,
+        n_workers=1,
+    ):
+        self._dataset = dataset
+        self._sg = sample_generator
+        self._batch_size = batch_size
+
+        shapes = sample_generator.input_shapes
+        out_shapes = sample_generator.output_shapes
+        self._inputs = [
+            np.empty((cache_size,) + tuple(s), dtype=np.float32)
+            for s in shapes
+        ]
+        self._outputs = [
+            np.empty((cache_size,) + tuple(s), dtype=np.float32)
+            for s in out_shapes
+        ]
+        self._cache_size = cache_size
+        self._filled = 0
+        self._write_idx = 0
+        self._lock = threading.RLock()
+        self._stop = threading.Event()
+        self._ready = threading.Event()
+
+        self._producers = [
+            threading.Thread(target=self._produce, daemon=True)
+            for _ in range(n_workers)
+        ]
+        for p in self._producers:
+            p.start()
+
+    def _produce(self):
+        while not self._stop.is_set():
+            sample = self._sg.get_sample(self._dataset)
+            if sample.X is None or sample.y is None:
+                continue
+            xs = sample.X if isinstance(sample.X, list) else [sample.X]
+            ys = sample.y if isinstance(sample.y, list) else [sample.y]
+            with self._lock:
+                i = self._write_idx
+                for buf, x in zip(self._inputs, xs):
+                    buf[i] = x
+                for buf, y in zip(self._outputs, ys):
+                    buf[i] = y
+                self._write_idx = (i + 1) % self._cache_size
+                self._filled = min(self._filled + 1, self._cache_size)
+                if self._filled == self._cache_size:
+                    self._ready.set()
+
+    def ready(self, timeout=None):
+        """Block until the cache has been filled once."""
+        return self._ready.wait(timeout)
+
+    def stop(self):
+        self._stop.set()
+
+    def get_batch(self):
+        self.ready()
+        with self._lock:
+            idxs = np.random.randint(0, self._filled, self._batch_size)
+            X = [buf[idxs].copy() for buf in self._inputs]
+            y = [buf[idxs].copy() for buf in self._outputs]
+        return X, y
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.get_batch()
+
+
+class RayNetBatchProvider:
+    """Assembles whole-batch RayNet training tensors from one scene.
+
+    Batch layout (parity: raynet_batch_provider.py:26-60):
+        X: (views, B, D) + patch_shape
+        points: (B, D, 4)
+        ray_voxel_indices: (B, M, 3) int32
+        ray_voxel_count: (B,) int32
+        y: (B, M) one-hot over visited voxels
+        camera_centers: (B, 4)
+        bbox: (6,) of the batch's single scene
+    """
+
+    def __init__(self, dataset, sample_generator):
+        self._dataset = dataset
+        self._sg = sample_generator
+
+    def get_batch_of_rays(self, batch_size):
+        gp = self._sg.generation_params
+        views = gp.neighbors + 1
+        D = gp.depth_planes
+        M = gp.max_number_of_marched_voxels
+        ps = tuple(gp.patch_shape)
+
+        X = np.empty((views, batch_size, D) + ps, dtype=np.float32)
+        points = np.empty((batch_size, D, 4), dtype=np.float32)
+        indices = np.zeros((batch_size, M, 3), dtype=np.int32)
+        counts = np.zeros((batch_size,), dtype=np.int32)
+        y = np.zeros((batch_size, M), dtype=np.float32)
+        centers = np.empty((batch_size, 4), dtype=np.float32)
+
+        scene_idx = None
+        i = 0
+        while i < batch_size:
+            s = self._sg.get_sample(self._dataset)
+            if s.X is None:
+                continue
+            if scene_idx is None:
+                scene_idx = s.scene_idx
+            assert s.scene_idx == scene_idx, (
+                "a RayNet batch must come from a single scene"
+            )
+            X[:, i] = s.X
+            points[i] = s.points
+            indices[i] = s.ray_voxel_indices
+            counts[i] = s.Nr
+            y[i] = s.y
+            centers[i] = s.camera_center[:, 0]
+            i += 1
+
+        scene = self._dataset.get_scene(scene_idx)
+        return {
+            "X": X,
+            "points": points,
+            "ray_voxel_indices": indices,
+            "ray_voxel_count": counts,
+            "y": y,
+            "camera_centers": centers,
+            "bbox": scene.bbox.reshape(-1).astype(np.float32),
+            "scene_idx": scene_idx,
+        }
+
+
+# Backwards-compatible aliases mirroring the reference's class names.
+SingleThreadRayNetBatchProvider = RayNetBatchProvider
+
+
+class MultiThreadRayNetBatchProvider(RayNetBatchProvider):
+    """Thread-pool batch assembly (the reference's multiprocessing variant
+    was broken by construction; threads share memory so this one works)."""
+
+    def __init__(self, dataset, sample_generator, n_workers=4):
+        super().__init__(dataset, sample_generator)
+        self._n_workers = n_workers
+
+    def get_batch_of_rays(self, batch_size):
+        # The generator object carries mutable scene/image counters, so the
+        # draw itself is serialized; the threads overlap the image IO that
+        # happens lazily inside Scene.get_image during the first draws.
+        lock = threading.Lock()
+        samples = []
+
+        def worker():
+            while True:
+                with lock:
+                    if len(samples) >= batch_size:
+                        return
+                    s = self._sg.get_sample(self._dataset)
+                    if s.X is not None and len(samples) < batch_size:
+                        samples.append(s)
+
+        threads = [
+            threading.Thread(target=worker) for _ in range(self._n_workers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        return self._assemble(samples[:batch_size])
+
+    def _assemble(self, samples):
+        gp = self._sg.generation_params
+        views = gp.neighbors + 1
+        b = len(samples)
+        D = gp.depth_planes
+        M = gp.max_number_of_marched_voxels
+        ps = tuple(gp.patch_shape)
+
+        X = np.empty((views, b, D) + ps, dtype=np.float32)
+        points = np.empty((b, D, 4), dtype=np.float32)
+        indices = np.zeros((b, M, 3), dtype=np.int32)
+        counts = np.zeros((b,), dtype=np.int32)
+        y = np.zeros((b, M), dtype=np.float32)
+        centers = np.empty((b, 4), dtype=np.float32)
+        scene_idx = samples[0].scene_idx
+        for i, s in enumerate(samples):
+            X[:, i] = s.X
+            points[i] = s.points
+            indices[i] = s.ray_voxel_indices
+            counts[i] = s.Nr
+            y[i] = s.y
+            centers[i] = s.camera_center[:, 0]
+        scene = self._dataset.get_scene(scene_idx)
+        return {
+            "X": X,
+            "points": points,
+            "ray_voxel_indices": indices,
+            "ray_voxel_count": counts,
+            "y": y,
+            "camera_centers": centers,
+            "bbox": scene.bbox.reshape(-1).astype(np.float32),
+            "scene_idx": scene_idx,
+        }
