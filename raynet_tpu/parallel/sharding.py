@@ -1,0 +1,123 @@
+"""Multi-chip scale-out: ray sharding over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.4); this module is the genuinely
+new distributed component. The parallel structure of the workload:
+
+- rays are embarrassingly parallel through sampling / plane sweep /
+  traversal / mapping / per-ray BP recurrences -> shard the ray axis;
+- the ONLY cross-ray interaction is the commutative scatter-add into the
+  occupancy grid, once per BP iteration -> one ``psum`` over ICI per
+  iteration (the grid is small: 256x256x128 f32 = 32 MB);
+- the CNN runs per-view and is replicated (5 images per view set).
+
+Two styles are provided: explicit ``shard_map`` wrappers with a hand-placed
+``psum`` (inference scale-out), and sharding-annotated inputs for the jitted
+training step where GSPMD inserts the same collective automatically.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import mrf, fused
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(n_devices=None, devices=None):
+    """1D mesh over the ray axis (the workload's data-parallel axis)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (RAY_AXIS,))
+
+
+def shard_batch(mesh, x, axis=0):
+    """Place an array with its ``axis`` sharded over the ray mesh axis."""
+    spec = [None] * np.ndim(x)
+    spec[axis] = RAY_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def sharded_bp_update(mesh, grid_size):
+    """BP sweep with rays sharded over the mesh; the grid contribution is
+    reduced with one psum over ICI (the atomicAdd -> collective mapping)."""
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS), P()),
+    )
+    def step(S, flat_idx, counts, messages_pon, grid_acc_flat):
+        new_msgs, scatter = mrf.bp_update(
+            S, flat_idx, counts, messages_pon, grid_acc_flat, grid_size
+        )
+        return new_msgs, jax.lax.psum(scatter, RAY_AXIS)
+
+    return step
+
+
+def sharded_raynet_message_step(
+    mesh, height, width, padding, depth_planes, grid_shape, max_voxels
+):
+    """Full fused RayNet message step with rays sharded over the mesh."""
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(RAY_AXIS),  # ray_idxs
+            P(),  # features
+            P(),  # P
+            P(),  # P_pinv
+            P(),  # camera_center
+            P(),  # bbox
+            P(RAY_AXIS),  # messages
+            P(),  # grid_acc
+        ),
+        out_specs=(P(RAY_AXIS), P()),
+    )
+    def step(
+        ray_idxs, features, Pm, P_pinv, center, bbox, messages, grid_acc
+    ):
+        new_msgs, scatter = fused.raynet_message_step(
+            ray_idxs, features, Pm, P_pinv, center, bbox, messages,
+            grid_acc, height, width, padding, depth_planes, grid_shape,
+            max_voxels,
+        )
+        return new_msgs, jax.lax.psum(scatter, RAY_AXIS)
+
+    return step
+
+
+def shard_e2e_batch(mesh, batch):
+    """Shard a RayNet training batch over rays; scene-level tensors are
+    replicated. GSPMD then runs the whole jitted train step SPMD, inserting
+    the grid all-reduce automatically."""
+    sharded = {}
+    for k, v in batch.items():
+        if k == "X":  # (V, B, D, ...) — rays on axis 1
+            sharded[k] = shard_batch(mesh, v, axis=1)
+        elif k in ("bbox", "scene_idx"):
+            sharded[k] = replicate(mesh, v) if k == "bbox" else v
+        else:  # (B, ...) ray-major tensors
+            sharded[k] = shard_batch(mesh, v, axis=0)
+    return sharded
+
+
+def replicate_state(mesh, state):
+    """Replicate a flax TrainState's arrays over the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: replicate(mesh, x) if hasattr(x, "shape") else x, state
+    )

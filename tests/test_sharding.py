@@ -1,0 +1,94 @@
+"""Sharded-vs-single-device equivalence on the 8-device virtual CPU mesh —
+the cluster-free multi-device test the reference lacks (SURVEY.md §4).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raynet_tpu.ops import mrf
+from raynet_tpu.parallel.sharding import (
+    make_ray_mesh,
+    shard_batch,
+    replicate,
+    sharded_bp_update,
+    shard_e2e_batch,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_ray_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_bp_update_matches_single_device(rng):
+    mesh = make_ray_mesh()
+    grid = (6, 5, 4)
+    g = 6 * 5 * 4
+    n, m = 64, 10  # n divisible by 8
+
+    flat_idx = rng.randint(0, g, size=(n, m)).astype(np.int32)
+    counts = rng.randint(2, m + 1, size=(n,)).astype(np.int32)
+    S = rng.uniform(0.01, 1.0, size=(n, m)).astype(np.float32)
+    msgs = rng.randn(n, m).astype(np.float32) * 0.1
+    grid_acc = rng.randn(g).astype(np.float32) * 0.5
+
+    ref_msgs, ref_scatter = mrf.bp_update(
+        jnp.asarray(S), jnp.asarray(flat_idx), jnp.asarray(counts),
+        jnp.asarray(msgs), jnp.asarray(grid_acc), g,
+    )
+
+    step = sharded_bp_update(mesh, g)
+    out_msgs, out_scatter = step(
+        shard_batch(mesh, S),
+        shard_batch(mesh, flat_idx),
+        shard_batch(mesh, counts),
+        shard_batch(mesh, msgs),
+        replicate(mesh, grid_acc),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_msgs), np.asarray(ref_msgs), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scatter), np.asarray(ref_scatter), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_e2e_train_step_runs_sharded(rng):
+    """The full training step executes SPMD over the mesh with rays sharded
+    (GSPMD inserts the grid all-reduce)."""
+    from raynet_tpu.common.generation_parameters import GenerationParameters
+    from raynet_tpu.train.train_e2e import build_end_to_end_training
+
+    mesh = make_ray_mesh()
+    gp = GenerationParameters(
+        depth_planes=4,
+        neighbors=2,
+        patch_shape=(11, 11, 3),
+        grid_shape=np.array([6, 6, 6], dtype=np.int32),
+        max_number_of_marched_voxels=8,
+    )
+    b, v, d, m = 16, 3, 4, 8
+    batch = {
+        "X": rng.rand(v, b, d, 11, 11, 3).astype(np.float32),
+        "points": np.concatenate(
+            [
+                np.cumsum(rng.rand(b, d, 3).astype(np.float32), axis=1),
+                np.ones((b, d, 1), np.float32),
+            ],
+            axis=-1,
+        ),
+        "ray_voxel_indices": rng.randint(0, 6, (b, m, 3)).astype(np.int32),
+        "ray_voxel_count": rng.randint(2, m + 1, (b,)).astype(np.int32),
+        "y": np.eye(m, dtype=np.float32)[rng.randint(0, m, b)],
+        "camera_centers": rng.rand(b, 4).astype(np.float32),
+        "bbox": np.array([0, 0, 0, 6, 6, 6], dtype=np.float32),
+    }
+
+    state, train_fn, eval_fn = build_end_to_end_training(
+        jax.random.PRNGKey(0), gp, gp.grid_shape, lr=1e-3, bp_iterations=2
+    )
+    with mesh:
+        sharded = shard_e2e_batch(mesh, batch)
+        state, metrics = train_fn(state, sharded)
+    assert np.isfinite(float(metrics["loss"]))
