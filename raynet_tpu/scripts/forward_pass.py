@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""raynet_forward: predict per-view depth maps for a scene.
+
+Parity: raynet/scripts/forward_pass.py — same positional arguments, flags
+and `depth_%03d.npy` outputs.
+"""
+import argparse
+import os
+
+import numpy as np
+
+from ..common.generation_parameters import GenerationParameters
+from ..common.sampling_schemes import get_sampling_scheme
+from ..inference import get_forward_pass_factory
+from ..models.feature_extractor import FeatureExtractor
+from .arguments import (
+    add_nn_arguments,
+    add_generation_arguments,
+    add_dataset_related_arguments,
+    add_indexing_related_arguments,
+    add_mrf_related_arguments,
+    add_forward_pass_factory_related_arguments,
+    build_dataset,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=(
+            "Do a forward pass and estimate the per-pixel depth "
+            "distribution for the images of a scene"
+        )
+    )
+    parser.add_argument(
+        "dataset_directory", help="Directory containing the input data"
+    )
+    parser.add_argument(
+        "output_directory", help="Directory to save the output data"
+    )
+    parser.add_argument(
+        "--weight_file", help="Path to the trained CNN weights (msgpack)"
+    )
+    parser.add_argument("--scene_idx", default=1, type=int)
+    parser.add_argument(
+        "--filter_out",
+        action="store_true",
+        help="Filter out rays with zero ground truth",
+    )
+
+    add_generation_arguments(parser)
+    add_dataset_related_arguments(parser)
+    add_indexing_related_arguments(parser)
+    add_nn_arguments(parser)
+    add_forward_pass_factory_related_arguments(parser)
+    add_mrf_related_arguments(parser)
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_directory, exist_ok=True)
+
+    generation_params = GenerationParameters.from_options(args)
+    sampling_scheme = get_sampling_scheme(args.sampling_policy)(
+        generation_params
+    )
+    dataset = build_dataset(
+        args.dataset_type,
+        args.dataset_directory,
+        args.illumination_condition,
+        args.select_neighbors_based_on,
+    )
+    scene = dataset.get_scene(args.scene_idx)
+
+    channels = generation_params.patch_shape[-1]
+    if args.weight_file:
+        model = FeatureExtractor.from_weights(
+            args.cnn_factory, args.weight_file, channels=channels
+        )
+    else:
+        print("WARNING: no --weight_file given; using random CNN weights")
+        model = FeatureExtractor(args.cnn_factory, channels=channels)
+
+    fp = get_forward_pass_factory(args.forward_pass_factory)(
+        model,
+        generation_params,
+        sampling_scheme,
+        scene.image_shape,
+        args.rays_batch,
+        filter_out_rays=args.filter_out,
+    )
+
+    start, end = args.start_end
+    skip = args.skip_every + 1
+    for i, depth_map in zip(
+        range(start, end, skip),
+        fp.forward_pass(scene, (start, end, skip)),
+    ):
+        out = os.path.join(args.output_directory, "depth_%03d.npy" % (i,))
+        np.save(out, depth_map.astype(np.float32))
+        print("saved", out)
+
+
+if __name__ == "__main__":
+    main()

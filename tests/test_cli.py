@@ -1,0 +1,121 @@
+"""CLI smoke tests on the mock scene: raynet_forward produces depth files,
+raynet_to_pcl and raynet_compute_metrics consume them, raynet_pretrain runs a
+tiny epoch.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raynet_tpu.scripts import (
+    forward_pass as fp_cli,
+    compute_metrics as metrics_cli,
+    convert_to_pointcloud as pcl_cli,
+    pretrain_network as pretrain_cli,
+)
+from raynet_tpu.scripts.slicing import frame_idxs_type
+from conftest import MOCK_H as H, MOCK_W as W
+
+
+def _common_flags():
+    return [
+        "--depth_planes", "8",
+        "--grid_shape", "12,12,12",
+        "--maximum_number_of_marched_voxels", "24",
+        "--patch_shape", "11,11,3",
+    ]
+
+
+@pytest.fixture(scope="module")
+def predictions_dir(mock_scene_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("predictions")
+    fp_cli.main(
+        [
+            str(mock_scene_dir.parent),
+            str(out),
+            "--scene_idx", "0",
+            "--forward_pass_factory", "multi_view_cnn",
+            "--rays_batch", str(H * W),
+            "--start_end", "0,3",
+        ]
+        + _common_flags()
+    )
+    return out
+
+
+def test_forward_cli_outputs(predictions_dir):
+    for i in range(3):
+        f = predictions_dir / ("depth_%03d.npy" % (i,))
+        assert f.exists()
+        dm = np.load(f)
+        assert dm.shape == (H, W)
+        assert np.isfinite(dm).all()
+
+
+def test_to_pcl_cli(mock_scene_dir, predictions_dir, tmp_path):
+    pcl_cli.main(
+        [
+            str(mock_scene_dir.parent),
+            str(predictions_dir),
+            str(tmp_path),
+            "--scene_idx", "0",
+            "--frame_idxs", "0:3",
+            "--borders", "2",
+        ]
+    )
+    out = tmp_path / "pointcloud_s_0.ply"
+    assert out.exists()
+    from raynet_tpu.common.parse_input_data import parse_stl_file_to_pointcloud
+
+    pts = parse_stl_file_to_pointcloud(str(out))
+    assert pts.shape[1] == 3 and len(pts) > 0
+
+
+def test_compute_metrics_cli(mock_scene_dir, predictions_dir, tmp_path, capsys):
+    metrics_cli.main(
+        [
+            str(mock_scene_dir.parent),
+            str(predictions_dir),
+            "ppmde",
+            "--scene_idx", "0",
+            "--frame_idxs", "0:3",
+            "--borders", "2",
+            "--output_directory", str(tmp_path),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "ppmde: mean=" in out
+
+
+def test_pretrain_cli_one_epoch(mock_scene_dir, tmp_path):
+    pretrain_cli.main(
+        [
+            str(mock_scene_dir.parent),
+            str(mock_scene_dir.parent),
+            str(tmp_path),
+            "--epochs", "1",
+            "--steps_per_epoch", "2",
+            "--training_cached_samples", "8",
+            "--n_test_samples", "4",
+            "--batch_size", "4",
+            "--neighbors", "4",
+        ]
+        + _common_flags()
+    )
+    exps = os.listdir(tmp_path)
+    assert len(exps) == 1
+    exp = tmp_path / exps[0]
+    assert (exp / "train.txt").exists()
+    assert (exp / "val.txt").exists()
+    assert (exp / "parameters.json").exists()
+    assert any(f.startswith("weights.") for f in os.listdir(exp / "weights"))
+    params = json.loads((exp / "parameters.json").read_text())
+    assert params["epochs"] == 1
+
+
+def test_frame_idxs_type():
+    assert frame_idxs_type(":") == slice(None, None)
+    assert frame_idxs_type("2:5") == slice(2, 5)
+    assert frame_idxs_type("1,4,6") == [1, 4, 6]
+    assert frame_idxs_type("3") == [3]
