@@ -15,11 +15,17 @@ Design deltas vs the reference, deliberate:
   np.memmap scratch files).
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..models.feature_extractor import zeropad_images
 from ..ops import fused
 from ..ops.mrf import log_prior
+
+
+def _use_pallas():
+    """Pallas kernels need a real TPU backend; CPU uses the scan path."""
+    return jax.default_backend() != "cpu"
 
 
 class ForwardPass:
@@ -181,6 +187,7 @@ class MultiViewCNNVoxelSpaceForwardPass(ForwardPass):
                     chunk, features, P, P_pinv, center, bbox,
                     H, W, gp.padding, gp.depth_planes, grid_shape,
                     gp.max_number_of_marched_voxels,
+                    use_pallas=_use_pallas(),
                 )
                 depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                     depth
@@ -238,6 +245,7 @@ class RayNetForwardPass(ForwardPass):
                         chunk, features, P, P_pinv, center, bbox,
                         jnp.asarray(msg_in), grid_acc,
                         H, W, gp.padding, gp.depth_planes, grid_shape, M,
+                        use_pallas=_use_pallas(),
                     )
                     messages[ref_idx][off : off + n_valid] = np.asarray(
                         new_msgs
@@ -258,6 +266,7 @@ class RayNetForwardPass(ForwardPass):
                     chunk, features, P, P_pinv, center, bbox,
                     jnp.asarray(msg_in), grid_acc,
                     H, W, gp.padding, gp.depth_planes, grid_shape, M,
+                    use_pallas=_use_pallas(),
                 )
                 depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                     depth

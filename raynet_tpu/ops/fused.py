@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from .geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
 from .sampling import sample_points_along_segments
 from .similarities import compute_similarities
-from .ray_marching import voxel_traversal, flatten_voxel_indices, voxel_centers
+from .ray_marching import (
+    voxel_traversal_flat,
+    unflatten_voxel_indices,
+    voxel_centers,
+)
 from .planes_voxels import planes_to_voxels_mapping
 from . import mrf
 
@@ -75,6 +79,7 @@ def mvcnn_depth_step(
         "depth_planes",
         "grid_shape",
         "max_voxels",
+        "use_pallas",
     ),
 )
 def mvcnn_voxel_depth_step(
@@ -90,6 +95,7 @@ def mvcnn_voxel_depth_step(
     depth_planes,
     grid_shape,
     max_voxels,
+    use_pallas=False,
 ):
     """Plane sweep -> voxel traversal -> depth->voxel mapping -> argmax.
 
@@ -101,9 +107,10 @@ def mvcnn_voxel_depth_step(
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
     S_planes = compute_similarities(features, P, points, padding, height, width)
 
-    vox, counts = voxel_traversal(
-        bbox, ray_start, ray_end, grid_shape, max_voxels
+    flat_idx, counts = voxel_traversal_flat(
+        bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
     )
+    vox = unflatten_voxel_indices(flat_idx, grid_shape)
     S_vox = planes_to_voxels_mapping(
         S_planes, vox, counts, ray_start, ray_end, bbox, grid_shape,
         depth_planes,
@@ -128,6 +135,7 @@ def mvcnn_voxel_depth_step(
         "depth_planes",
         "grid_shape",
         "max_voxels",
+        "use_pallas",
     ),
 )
 def raynet_message_step(
@@ -145,6 +153,7 @@ def raynet_message_step(
     depth_planes,
     grid_shape,
     max_voxels,
+    use_pallas=False,
 ):
     """Front half of RayNet + one BP message update for this ray batch.
 
@@ -157,16 +166,16 @@ def raynet_message_step(
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
     S_planes = compute_similarities(features, P, points, padding, height, width)
 
-    vox, counts = voxel_traversal(
-        bbox, ray_start, ray_end, grid_shape, max_voxels
+    flat_idx, counts = voxel_traversal_flat(
+        bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
     )
+    vox = unflatten_voxel_indices(flat_idx, grid_shape)
     S_vox = planes_to_voxels_mapping(
         S_planes, vox, counts, ray_start, ray_end, bbox, grid_shape,
         depth_planes,
     )
 
     grid_size = int(grid_shape[0]) * int(grid_shape[1]) * int(grid_shape[2])
-    flat_idx = flatten_voxel_indices(vox, grid_shape)
     new_msgs, scatter = mrf.bp_update(
         S_vox, flat_idx, counts, messages_pon, grid_acc_flat, grid_size
     )
@@ -182,6 +191,7 @@ def raynet_message_step(
         "depth_planes",
         "grid_shape",
         "max_voxels",
+        "use_pallas",
     ),
 )
 def raynet_depth_step(
@@ -199,6 +209,7 @@ def raynet_depth_step(
     depth_planes,
     grid_shape,
     max_voxels,
+    use_pallas=False,
 ):
     """Final RayNet sweep: occlusion-aware posterior depth per ray.
 
@@ -210,16 +221,16 @@ def raynet_depth_step(
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
     S_planes = compute_similarities(features, P, points, padding, height, width)
 
-    vox, counts = voxel_traversal(
-        bbox, ray_start, ray_end, grid_shape, max_voxels
+    flat_idx, counts = voxel_traversal_flat(
+        bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
     )
+    vox = unflatten_voxel_indices(flat_idx, grid_shape)
     S_vox = planes_to_voxels_mapping(
         S_planes, vox, counts, ray_start, ray_end, bbox, grid_shape,
         depth_planes,
     )
 
     grid_size = int(grid_shape[0]) * int(grid_shape[1]) * int(grid_shape[2])
-    flat_idx = flatten_voxel_indices(vox, grid_shape)
     S_new = mrf.depth_estimate(
         S_vox, flat_idx, counts, messages_pon, grid_acc_flat, grid_size
     )

@@ -123,6 +123,36 @@ def flatten_voxel_indices(voxel_indices, grid_shape):
     )
 
 
+def unflatten_voxel_indices(flat_idx, grid_shape):
+    """(..., ) flat row-major offsets -> (..., 3) voxel indices."""
+    d1, d2, d3 = grid_shape
+    return jnp.stack(
+        [flat_idx // (d2 * d3), (flat_idx // d3) % d2, flat_idx % d3],
+        axis=-1,
+    )
+
+
+def voxel_traversal_flat(
+    bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas=False
+):
+    """Traversal returning (N, M) FLAT indices + counts.
+
+    ``use_pallas`` selects the VMEM-resident Pallas kernel (TPU; ~100x the
+    lax.scan formulation at production shapes) — the scan path remains for
+    CPU execution and as the cross-checked reference.
+    """
+    if use_pallas:
+        from .pallas.traversal import voxel_traversal_flat_pallas
+
+        return voxel_traversal_flat_pallas(
+            bbox, ray_start, ray_end, grid_shape, max_voxels
+        )
+    vox, counts = voxel_traversal(
+        bbox, ray_start, ray_end, grid_shape, max_voxels
+    )
+    return flatten_voxel_indices(vox, grid_shape), counts
+
+
 def voxel_centers(voxel_indices, bbox, grid_shape):
     """World-space centers of (..., 3) voxel indices.
 
