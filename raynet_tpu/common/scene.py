@@ -171,16 +171,37 @@ class RestrepoScene(Scene):
             return None
         return distance(target_point[:-1], im.camera.center[:-1])
 
+    def get_depth_map(self, i):
+        """Full GT depth map; uses the native batched first-hit raycaster
+        when available (the per-pixel python loop of the base class is
+        reserved for environments without the compiled library)."""
+        f = self.get_depthmap_file(i)
+        if f is not None:
+            return np.load(f)
+
+        from .. import native
+
+        if not native.is_available():
+            return super().get_depth_map(i)
+
+        im = self.get_image(i)
+        center, rays = im.rays()  # rays: (N, 4) column-major pixel order
+        directions = rays[:, :3] - center[:3, 0][None]
+        directions = directions / np.linalg.norm(
+            directions, axis=1, keepdims=True
+        )
+        triangles = self._get_oct_tree().triangles
+        depths, _ = native.ray_mesh_first_hit(
+            center[:3, 0], directions.astype(np.float32), triangles
+        )
+        depths = np.where(depths < 0, 0.0, depths).astype(np.float32)
+        h, w = self.image_shape
+        return depths.reshape(w, h).T
+
     def get_depthmap_file(self, i):
         if not self._has_gt_depth(i):
             return None
         return os.path.join(self._basepath, "gt", "gt_depth_%d.npy" % (i,))
-
-    def get_depth_map(self, i):
-        f = self.get_depthmap_file(i)
-        if f is None:
-            return super().get_depth_map(i)
-        return np.load(f)
 
     def _read_camera_poses(self, i):
         """cams_krt text layout: K (3 rows), R (3 rows), t (1 row)."""

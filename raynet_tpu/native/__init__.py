@@ -1,0 +1,116 @@
+"""ctypes bindings for the native host library (libraynet_host.so).
+
+Built lazily with make on first use; every entry point has a numpy fallback
+so the framework works without a compiler. The native paths accelerate the
+host-side data pipeline: batched DDA for sample generation, GT-depth
+raycasts, and patch gathers.
+"""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libraynet_host.so")
+_lib = None
+_tried = False
+
+
+def _build():
+    subprocess.run(
+        ["make", "-C", _HERE, "-s"],
+        check=True,
+        capture_output=True,
+    )
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.isfile(_LIB_PATH):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+        lib.voxel_traversal_batch.argtypes = [
+            f32p, i32p, f32p, f32p,
+            ctypes.c_int, ctypes.c_int, i32p, i32p,
+        ]
+        lib.voxel_traversal_batch.restype = None
+
+        lib.ray_mesh_first_hit.argtypes = [
+            f32p, f32p, ctypes.c_int, f32p, ctypes.c_int, f32p, f32p,
+        ]
+        lib.ray_mesh_first_hit.restype = None
+
+        lib.extract_patches.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+        ]
+        lib.extract_patches.restype = ctypes.c_int
+
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def is_available():
+    return get_lib() is not None
+
+
+def voxel_traversal_batch(bbox, grid_shape, starts, ends, max_voxels):
+    """Batched host DDA. Returns ((n, M, 3) int32 indices, (n,) counts)."""
+    lib = get_lib()
+    starts = np.ascontiguousarray(starts, dtype=np.float32)
+    ends = np.ascontiguousarray(ends, dtype=np.float32)
+    n = len(starts)
+    out_idx = np.zeros((n, max_voxels, 3), dtype=np.int32)
+    out_cnt = np.zeros((n,), dtype=np.int32)
+    lib.voxel_traversal_batch(
+        np.ascontiguousarray(bbox, dtype=np.float32).reshape(6),
+        np.ascontiguousarray(grid_shape, dtype=np.int32).reshape(3),
+        starts, ends, n, max_voxels, out_idx, out_cnt,
+    )
+    return out_idx, out_cnt
+
+
+def ray_mesh_first_hit(origin, directions, triangles):
+    """First-hit depths of N unit-direction rays against (T, 3, 3) triangles.
+
+    Returns (depths (N,) — -1 for misses, points (N, 3)).
+    """
+    lib = get_lib()
+    directions = np.ascontiguousarray(directions, dtype=np.float32)
+    n = len(directions)
+    tris = np.ascontiguousarray(triangles, dtype=np.float32).reshape(-1, 9)
+    out_depth = np.zeros((n,), dtype=np.float32)
+    out_points = np.zeros((n, 3), dtype=np.float32)
+    lib.ray_mesh_first_hit(
+        np.ascontiguousarray(origin, dtype=np.float32).reshape(3),
+        directions, n, tris, len(tris), out_depth, out_points,
+    )
+    return out_depth, out_points
+
+
+def extract_patches(image, centers, patch_size):
+    """Zero-padded patch gather around integer (x, y) centers.
+
+    Returns (patches (n, ph, pw, c), n_fully_inside).
+    """
+    lib = get_lib()
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    h, w, c = image.shape
+    centers = np.ascontiguousarray(centers, dtype=np.int32)
+    n = len(centers)
+    ph, pw = patch_size
+    out = np.zeros((n, ph, pw, c), dtype=np.float32)
+    inside = lib.extract_patches(image, h, w, c, centers, n, ph, pw, out)
+    return out, inside

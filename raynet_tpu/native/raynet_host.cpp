@@ -1,0 +1,176 @@
+// Native host-side kernels for the data pipeline.
+//
+// The reference used Cython for these roles (raynet/ray_marching/
+// ray_tracing.pyx, raynet/utils/fast_utils.pyx); here they are plain C++
+// with OpenMP, exposed through a C ABI for ctypes. The TPU compute path
+// never calls this library — it accelerates sample generation and GT-depth
+// raycasts that would otherwise bottleneck the input pipeline.
+//
+// Build: make -C raynet_tpu/native   (produces libraynet_host.so)
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Amanatides-Woo DDA over a regular voxel grid, batched over rays.
+// Semantics identical to the JAX op (ops/ray_marching.py): eps=1e-2 endpoint
+// nudging, X-beats-Y-beats-Z nested tie-breaking, boundary exit without
+// emission, inclusive last-voxel emission.
+// ---------------------------------------------------------------------------
+static const float kEps = 1e-2f;
+
+static inline int dda_single(
+    const float* bbox, const int* grid, const float* s_in, const float* e_in,
+    int max_voxels, int32_t* out_idx /* (max_voxels, 3) */) {
+  float start[3], end[3], bin[3], ray[3];
+  int step[3], cur[3], last[3];
+  for (int a = 0; a < 3; ++a) {
+    bin[a] = (bbox[3 + a] - bbox[a]) / grid[a];
+    start[a] = s_in[a] - bbox[a];
+    end[a] = e_in[a] - bbox[a];
+    ray[a] = end[a] - start[a];
+    step[a] = ray[a] >= 0 ? 1 : -1;
+    start[a] += step[a] * bin[a] * kEps;
+    end[a] -= step[a] * bin[a] * kEps;
+    // recompute ray AFTER nudging? No: reference computes ray before nudge.
+  }
+  for (int a = 0; a < 3; ++a) {
+    cur[a] = (int)std::floor(start[a] / bin[a]);
+    last[a] = (int)std::floor(end[a] / bin[a]);
+    if (cur[a] < 0 || cur[a] >= grid[a]) return 0;
+  }
+
+  float t_max[3], t_delta[3];
+  for (int a = 0; a < 3; ++a) {
+    if (ray[a] != 0) {
+      float cc = cur[a] * bin[a];
+      float boundary = (step[a] < 0 && cc < start[a])
+                           ? cc
+                           : cc + step[a] * bin[a];
+      t_max[a] = (boundary - start[a]) / ray[a];
+      t_delta[a] = step[a] * bin[a] / ray[a];
+    } else {
+      t_max[a] = FLT_MAX;
+      t_delta[a] = FLT_MAX;
+    }
+  }
+
+  int ii = 0;
+  out_idx[0] = cur[0];
+  out_idx[1] = cur[1];
+  out_idx[2] = cur[2];
+  ii = 1;
+  while (!(cur[0] == last[0] && cur[1] == last[1] && cur[2] == last[2]) &&
+         ii < max_voxels) {
+    int axis;
+    if (t_max[0] < t_max[1])
+      axis = (t_max[0] < t_max[2]) ? 0 : 2;
+    else
+      axis = (t_max[1] < t_max[2]) ? 1 : 2;
+    cur[axis] += step[axis];
+    if (cur[axis] < 0 || cur[axis] >= grid[axis]) return ii;
+    t_max[axis] += t_delta[axis];
+    out_idx[3 * ii] = cur[0];
+    out_idx[3 * ii + 1] = cur[1];
+    out_idx[3 * ii + 2] = cur[2];
+    ++ii;
+  }
+  return ii;
+}
+
+void voxel_traversal_batch(
+    const float* bbox /* (6,) */, const int* grid /* (3,) */,
+    const float* starts /* (n, 3) */, const float* ends /* (n, 3) */,
+    int n, int max_voxels,
+    int32_t* out_idx /* (n, max_voxels, 3) zeroed by caller */,
+    int32_t* out_cnt /* (n,) */) {
+#pragma omp parallel for schedule(static)
+  for (int r = 0; r < n; ++r) {
+    out_cnt[r] = dda_single(bbox, grid, starts + 3 * r, ends + 3 * r,
+                            max_voxels, out_idx + (int64_t)r * max_voxels * 3);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Moeller-Trumbore first-hit: for each ray, the closest intersection depth
+// (distance from the origin) over all triangles, or -1 when there is none.
+// The open-interval barycentric test (u>0, v>0, u+v<1) matches the
+// reference's fast_utils.pyx kernel.
+// ---------------------------------------------------------------------------
+void ray_mesh_first_hit(
+    const float* origin /* (3,) */, const float* dirs /* (n, 3) unit */,
+    int n, const float* tris /* (t, 9) p0 p1 p2 */, int t,
+    float* out_depth /* (n,) */, float* out_points /* (n, 3) */) {
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int r = 0; r < n; ++r) {
+    const float* d = dirs + 3 * r;
+    float best = FLT_MAX;
+    for (int k = 0; k < t; ++k) {
+      const float* p0 = tris + 9 * k;
+      const float* p1 = p0 + 3;
+      const float* p2 = p0 + 6;
+      float e1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+      float e2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+      float pv[3] = {d[1] * e2[2] - d[2] * e2[1],
+                     d[2] * e2[0] - d[0] * e2[2],
+                     d[0] * e2[1] - d[1] * e2[0]};
+      float det = e1[0] * pv[0] + e1[1] * pv[1] + e1[2] * pv[2];
+      if (det == 0.0f) continue;
+      float inv = 1.0f / det;
+      float tv[3] = {origin[0] - p0[0], origin[1] - p0[1], origin[2] - p0[2]};
+      float u = (tv[0] * pv[0] + tv[1] * pv[1] + tv[2] * pv[2]) * inv;
+      if (u <= 0.0f) continue;
+      float qv[3] = {tv[1] * e1[2] - tv[2] * e1[1],
+                     tv[2] * e1[0] - tv[0] * e1[2],
+                     tv[0] * e1[1] - tv[1] * e1[0]};
+      float v = (d[0] * qv[0] + d[1] * qv[1] + d[2] * qv[2]) * inv;
+      if (v <= 0.0f || u + v >= 1.0f) continue;
+      float tt = (e2[0] * qv[0] + e2[1] * qv[1] + e2[2] * qv[2]) * inv;
+      if (tt > 0.0f && tt < best) best = tt;
+    }
+    if (best < FLT_MAX) {
+      out_depth[r] = best;
+      for (int a = 0; a < 3; ++a)
+        out_points[3 * r + a] = origin[a] + best * d[a];
+    } else {
+      out_depth[r] = -1.0f;
+      out_points[3 * r] = out_points[3 * r + 1] = out_points[3 * r + 2] = 0.0f;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Batched patch extraction: gather (ph, pw, c) windows around integer
+// centers, zero-filled outside the image (Image.patch expand semantics).
+// Returns the number of patches fully inside the image.
+// ---------------------------------------------------------------------------
+int extract_patches(
+    const float* image /* (h, w, c) */, int h, int w, int c,
+    const int32_t* centers /* (n, 2) x,y */, int n, int ph, int pw,
+    float* out /* (n, ph, pw, c) zeroed by caller */) {
+  int inside = 0;
+#pragma omp parallel for schedule(static) reduction(+ : inside)
+  for (int i = 0; i < n; ++i) {
+    int cx = centers[2 * i], cy = centers[2 * i + 1];
+    int min_x = cx - pw / 2, min_y = cy - ph / 2;
+    int max_x = min_x + pw, max_y = min_y + ph;
+    bool full = min_x >= 0 && min_y >= 0 && max_x <= w && max_y <= h;
+    if (full) ++inside;
+    float* dst = out + (int64_t)i * ph * pw * c;
+    for (int y = std::max(0, min_y); y < std::min(h, max_y); ++y) {
+      int sy = y - min_y;
+      int x0 = std::max(0, min_x), x1 = std::min(w, max_x);
+      if (x0 >= x1) continue;
+      const float* src_row = image + ((int64_t)y * w + x0) * c;
+      float* dst_row = dst + ((int64_t)sy * pw + (x0 - min_x)) * c;
+      std::copy(src_row, src_row + (int64_t)(x1 - x0) * c, dst_row);
+    }
+  }
+  return inside;
+}
+
+}  // extern "C"

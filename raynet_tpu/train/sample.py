@@ -312,13 +312,25 @@ class RayNetSampleGenerator(SampleGenerator):
         gp = self._generation_params
         bbox = scene.bbox
         grid_shape = tuple(int(g) for g in gp.grid_shape)
-        vox, cnt = voxel_traversal(
-            jnp.asarray(bbox.ravel(), dtype=jnp.float32),
-            jnp.asarray(bs.points[0, :-1][None], dtype=jnp.float32),
-            jnp.asarray(bs.points[-1, :-1][None], dtype=jnp.float32),
-            grid_shape,
-            gp.max_number_of_marched_voxels,
-        )
+
+        from .. import native
+
+        if native.is_available():
+            vox, cnt = native.voxel_traversal_batch(
+                bbox.ravel(),
+                grid_shape,
+                bs.points[0, :-1][None],
+                bs.points[-1, :-1][None],
+                gp.max_number_of_marched_voxels,
+            )
+        else:
+            vox, cnt = voxel_traversal(
+                jnp.asarray(bbox.ravel(), dtype=jnp.float32),
+                jnp.asarray(bs.points[0, :-1][None], dtype=jnp.float32),
+                jnp.asarray(bs.points[-1, :-1][None], dtype=jnp.float32),
+                grid_shape,
+                gp.max_number_of_marched_voxels,
+            )
         Nr = int(cnt[0])
         if Nr == 0:
             return reject()

@@ -1,0 +1,81 @@
+"""Native host library (C++/ctypes) vs the numpy/JAX oracles."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raynet_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native library unavailable"
+)
+
+
+def test_native_traversal_matches_oracle(rng):
+    from oracles import voxel_traversal_oracle
+
+    bbox = np.array([-1.0, -2.0, 0.0, 3.0, 2.0, 1.5], dtype=np.float32)
+    grid_shape = (13, 9, 5)
+    M, n = 48, 96
+    starts = np.stack(
+        [rng.uniform(-1, 3, n), rng.uniform(-2, 2, n), np.zeros(n)], 1
+    ).astype(np.float32)
+    ends = np.stack(
+        [rng.uniform(-1, 3, n), rng.uniform(-2, 2, n), np.full(n, 1.5)], 1
+    ).astype(np.float32)
+
+    vox, cnt = native.voxel_traversal_batch(bbox, grid_shape, starts, ends, M)
+    for i in range(n):
+        ref, ref_cnt = voxel_traversal_oracle(
+            bbox, grid_shape, starts[i], ends[i], M
+        )
+        assert cnt[i] == ref_cnt
+        np.testing.assert_array_equal(vox[i, : cnt[i]], ref[:ref_cnt])
+
+
+def test_native_first_hit_matches_numpy(rng):
+    from raynet_tpu.utils.geometry import ray_triangles_intersection_mt
+
+    tris = rng.rand(40, 3, 3).astype(np.float32) * 4 - 2
+    origin = np.array([0.0, 0.0, -10.0], dtype=np.float32)
+    dirs = rng.randn(32, 3).astype(np.float32)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 1.0
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    depths, points = native.ray_mesh_first_hit(origin, dirs, tris)
+    for i in range(len(dirs)):
+        hits = ray_triangles_intersection_mt(
+            origin, origin + dirs[i], tris[:, 0], tris[:, 1], tris[:, 2]
+        )
+        if len(hits) == 0:
+            assert depths[i] == -1.0
+        else:
+            d = np.linalg.norm(hits - origin[None], axis=1).min()
+            np.testing.assert_allclose(depths[i], d, rtol=2e-4, atol=1e-4)
+
+
+def test_native_patches_match_image_patch(rng, mock_scene_dir):
+    from raynet_tpu.common.scene import RestrepoScene
+
+    scene = RestrepoScene(str(mock_scene_dir))
+    im = scene.get_image(0)
+    centers = np.stack(
+        [rng.randint(-3, im.width + 3, 20), rng.randint(-3, im.height + 3, 20)],
+        axis=1,
+    ).astype(np.int32)
+    patches, inside = native.extract_patches(im.image, centers, (5, 5))
+    for k, (x, y) in enumerate(centers):
+        ref = im.patch(np.array([[x], [y], [1]]), (5, 5))
+        np.testing.assert_allclose(patches[k], ref, rtol=1e-6)
+
+
+def test_native_scene_depth_map(mock_scene_dir):
+    from raynet_tpu.common.scene import RestrepoScene
+    from conftest import MOCK_H as H, MOCK_W as W
+
+    scene = RestrepoScene(str(mock_scene_dir))
+    dm = scene.get_depth_map(0)
+    assert dm.shape == (H, W)
+    # the quad at z=0 covers the whole FOV; camera ~20 away
+    nz = dm[dm > 0]
+    assert nz.size > 0.9 * dm.size
+    assert abs(np.median(nz) - 20.0) < 1.0
