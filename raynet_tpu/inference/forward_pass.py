@@ -18,9 +18,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.feature_extractor import zeropad_images
+from ..models.feature_extractor import zeropad_images, upsample_features
 from ..ops import fused
 from ..ops.mrf import log_prior
+from ..utils.profiling import PhaseTimer
 
 
 def _use_pallas():
@@ -46,6 +47,7 @@ class ForwardPass:
         self.rays_batch = rays_batch
         self._filter_out_rays = filter_out_rays
         self._feature_cache = {}
+        self.timer = PhaseTimer(verbose=False)
 
     # -- depth-map converters (parity: forward_pass.py:51-139) ----------
     @staticmethod
@@ -110,7 +112,13 @@ class ForwardPass:
                 ref_idx, self._generation_params.neighbors
             )
             padded = zeropad_images(images, self._generation_params.padding)
-            features = self._model.predict(padded)
+            with self.timer.phase("Features computation"):
+                features = self._model.predict(padded)
+                cnn_name = getattr(self._model, "cnn_name", None)
+                if cnn_name == "hartmann_cnn":
+                    features = jnp.asarray(
+                        upsample_features(features, cnn_name)
+                    )
             P = jnp.asarray(
                 np.stack([im.camera.P for im in images]), dtype=jnp.float32
             )
@@ -153,14 +161,15 @@ class MultiViewCNNForwardPass(ForwardPass):
                 scene, ref_idx
             )
             depth_map = np.zeros(H * W, dtype=np.float32)
-            for off, n_valid, chunk in self._ray_batches(ray_idxs):
-                _, depth = fused.mvcnn_depth_step(
-                    chunk, features, P, P_pinv, center, bbox,
-                    H, W, gp.padding, gp.depth_planes,
-                )
-                depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
-                    depth
-                )[:n_valid]
+            with self.timer.phase("Per-pixel depth estimation"):
+                for off, n_valid, chunk in self._ray_batches(ray_idxs):
+                    _, depth = fused.mvcnn_depth_step(
+                        chunk, features, P, P_pinv, center, bbox,
+                        H, W, gp.padding, gp.depth_planes,
+                    )
+                    depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
+                        depth
+                    )[:n_valid]
             yield depth_map.reshape(W, H).T
 
 
@@ -182,16 +191,17 @@ class MultiViewCNNVoxelSpaceForwardPass(ForwardPass):
                 scene, ref_idx
             )
             depth_map = np.zeros(H * W, dtype=np.float32)
-            for off, n_valid, chunk in self._ray_batches(ray_idxs):
-                _, _, _, depth = fused.mvcnn_voxel_depth_step(
-                    chunk, features, P, P_pinv, center, bbox,
-                    H, W, gp.padding, gp.depth_planes, grid_shape,
-                    gp.max_number_of_marched_voxels,
-                    use_pallas=_use_pallas(),
-                )
-                depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
-                    depth
-                )[:n_valid]
+            with self.timer.phase("Per-pixel depth estimation"):
+                for off, n_valid, chunk in self._ray_batches(ray_idxs):
+                    _, _, _, depth = fused.mvcnn_voxel_depth_step(
+                        chunk, features, P, P_pinv, center, bbox,
+                        H, W, gp.padding, gp.depth_planes, grid_shape,
+                        gp.max_number_of_marched_voxels,
+                        use_pallas=_use_pallas(),
+                    )
+                    depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
+                        depth
+                    )[:n_valid]
             yield depth_map.reshape(W, H).T
 
 
@@ -236,21 +246,24 @@ class RayNetForwardPass(ForwardPass):
                 features, P, P_pinv, center = self._features_and_cameras(
                     scene, ref_idx
                 )
-                for off, n_valid, chunk in self._ray_batches(ray_idxs):
-                    msg_in = np.zeros(
-                        (self.rays_batch, M), dtype=np.float32
-                    )
-                    msg_in[:n_valid] = messages[ref_idx][off : off + n_valid]
-                    new_msgs, scatter = fused.raynet_message_step(
-                        chunk, features, P, P_pinv, center, bbox,
-                        jnp.asarray(msg_in), grid_acc,
-                        H, W, gp.padding, gp.depth_planes, grid_shape, M,
-                        use_pallas=_use_pallas(),
-                    )
-                    messages[ref_idx][off : off + n_valid] = np.asarray(
-                        new_msgs
-                    )[:n_valid]
-                    scatter_total = scatter_total + scatter
+                with self.timer.phase("Message passing"):
+                    for off, n_valid, chunk in self._ray_batches(ray_idxs):
+                        msg_in = np.zeros(
+                            (self.rays_batch, M), dtype=np.float32
+                        )
+                        msg_in[:n_valid] = messages[ref_idx][
+                            off : off + n_valid
+                        ]
+                        new_msgs, scatter = fused.raynet_message_step(
+                            chunk, features, P, P_pinv, center, bbox,
+                            jnp.asarray(msg_in), grid_acc,
+                            H, W, gp.padding, gp.depth_planes, grid_shape, M,
+                            use_pallas=_use_pallas(),
+                        )
+                        messages[ref_idx][off : off + n_valid] = np.asarray(
+                            new_msgs
+                        )[:n_valid]
+                        scatter_total = scatter_total + scatter
             grid_acc = scatter_total  # swap accumulators
 
         for ref_idx in ref_indices:

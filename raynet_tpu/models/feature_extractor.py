@@ -52,6 +52,21 @@ class FeatureExtractor:
         return fe
 
 
+def upsample_features(features, cnn_name):
+    """Kron-upsample feature maps of strided CNNs back to pixel stride.
+
+    Parity: forward_pass.py:141-166 — only architectures with pooling
+    (hartmann_cnn: two 2x2 max-pools) need it; pure conv stacks return
+    features unchanged.
+    """
+    total_stride = {"hartmann_cnn": 4}.get(cnn_name, 1)
+    if total_stride <= 1:
+        return features
+    return np.kron(
+        np.asarray(features), np.ones((1, total_stride, total_stride, 1))
+    )
+
+
 def zeropad_images(images, padding):
     """Stack Image objects into one zero-padded (V, H+2p, W+2p, C) array.
 
