@@ -56,6 +56,57 @@ def create_pretrain_state(
     return model, state, loss_fn, weight_decay
 
 
+def create_hartmann_pretrain_state(
+    rng,
+    patch_shape,
+    n_views=5,
+    optimizer="SGD",
+    lr=1e-3,
+    momentum=0.9,
+    clipnorm=0.0,
+):
+    """Hartmann et al. baseline pretraining: 5-patch quintuples -> 2-way
+    match/no-match softmax with categorical crossentropy (parity:
+    models.py:406-470 + HartmannSampleGenerator targets)."""
+    from ..models.cnn import HartmannSimilarityNet
+    from ..models.losses import categorical_crossentropy
+
+    model = HartmannSimilarityNet()
+    ph, pw, c = patch_shape
+    dummy = jnp.zeros((1, n_views, ph, pw, c), jnp.float32)
+    variables = model.init(rng, dummy)
+    state = PretrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=optimizer_factory(optimizer, lr, momentum, clipnorm),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+    @jax.jit
+    def train_step(state, patches, y):
+        """patches: (B, 5, ph, pw, c); y: (B, 1, 1, 2)."""
+
+        def compute_loss(params):
+            out = model.apply({"params": params}, patches, train=True)
+            return categorical_crossentropy(
+                y.reshape(y.shape[0], -1), out.reshape(out.shape[0], -1)
+            ).mean(), out
+
+        (loss, out), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        acc = (
+            (jnp.argmax(y.reshape(y.shape[0], -1), -1)
+             == jnp.argmax(out.reshape(out.shape[0], -1), -1))
+            .astype(jnp.float32)
+            .mean()
+        )
+        return state, {"loss": loss, "acc": acc}
+
+    return model, state, train_step
+
+
 def make_pretrain_step(model, loss_fn, weight_decay=0.0):
     @jax.jit
     def train_step(state, x1, x2, y):
