@@ -214,6 +214,28 @@ class RayNetForwardPass(ForwardPass):
     """
 
     bp_iterations = 3
+    # Spill per-image message arrays to disk-backed memmaps beyond this many
+    # float32 entries (the reference always memmap'ed;
+    # forward_pass.py:600-615). In-memory is faster for everything that fits.
+    messages_memmap_threshold = 2 ** 28  # 1 GiB of f32
+
+    def _alloc_messages(self, n_rays, M, ref_idx):
+        if n_rays * M > self.messages_memmap_threshold:
+            from tempfile import mkdtemp
+
+            if not hasattr(self, "_msgs_dir"):
+                self._msgs_dir = mkdtemp(prefix="raynet_tpu_msgs_")
+            import os
+
+            return np.memmap(
+                os.path.join(
+                    self._msgs_dir, "messages_pon_%d.dat" % (ref_idx,)
+                ),
+                dtype="float32",
+                mode="w+",
+                shape=(n_rays, M),
+            )
+        return np.zeros((n_rays, M), dtype=np.float32)
 
     def forward_pass(self, scene, images_range):
         assert isinstance(images_range, tuple)
@@ -231,9 +253,8 @@ class RayNetForwardPass(ForwardPass):
         ray_idxs_per_image = {
             i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
         }
-        # Per-image BP messages (the reference kept these in memmap files).
         messages = {
-            i: np.zeros((len(ray_idxs_per_image[i]), M), dtype=np.float32)
+            i: self._alloc_messages(len(ray_idxs_per_image[i]), M, i)
             for i in ref_indices
         }
 
