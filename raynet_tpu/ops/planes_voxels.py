@@ -56,23 +56,25 @@ def depth_planes_to_voxels(S_planes, t, counts, depth_planes):
     -------
         S_vox: (N, M) per-voxel probabilities, masked to each ray's count and
         renormalized to sum to 1 over the valid entries.
+
+    With UNIFORM plane spacing h = 1/(D-1), the two-nearest
+    inverse-distance interpolation is EXACTLY the hat-function sum
+
+        s_new(t) = sum_d s_d * max(0, 1 - |t - t_d| / h)
+
+    (for bracketed t the two coefficients are 1 - d1/h and 1 - d2/h and all
+    other hats vanish). Evaluating the sum directly replaces two
+    take_along_axis row gathers over 42M elements — slow on TPU — with one
+    fused elementwise pass over (N, M) x D.
     """
     D = depth_planes
     n, m = t.shape
-    h = 1.0 / (D - 1)
+    scale = jnp.float32(D - 1)  # = 1/h
 
-    j = jnp.clip(jnp.floor(t * (D - 1)).astype(jnp.int32), 0, D - 2)  # (N, M)
-    tj = j.astype(jnp.float32) * h
-    d1 = jnp.abs(t - tj)
-    d2 = jnp.abs(tj + h - t)
-    denom = d1 + d2
-    # coeff = 1 - d/(d1+d2) for the two bracketing planes
-    c1 = 1.0 - d1 / denom
-    c2 = 1.0 - d2 / denom
-
-    s_j = jnp.take_along_axis(S_planes, j, axis=1)
-    s_j1 = jnp.take_along_axis(S_planes, jnp.minimum(j + 1, D - 1), axis=1)
-    s_new = s_j * c1 + s_j1 * c2
+    s_new = jnp.zeros_like(t)
+    for d in range(D):  # unrolled: D is small and static
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(t - d / scale) * scale)
+        s_new = s_new + S_planes[:, d][:, None] * w
 
     mask = jnp.arange(m)[None, :] < counts[:, None]
     s_new = jnp.where(mask, s_new, 0.0)
