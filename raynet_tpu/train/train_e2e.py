@@ -29,7 +29,6 @@ _GAMMA_CLIP = (1e-5, 1.0 - 1e-5)
 
 class E2EState(train_state.TrainState):
     batch_stats: Any = None
-    gamma: Any = None  # scalar occupancy prior (trainable when requested)
 
 
 def raynet_forward(
@@ -141,24 +140,15 @@ def build_end_to_end_training(
     grid_shape = tuple(int(g) for g in grid_shape)
     loss_fn = loss_factory(loss)
 
+    trainable = {"cnn": params}
     if train_with_gamma:
-        tx = optimizer_factory(optimizer, lr, momentum, clipnorm)
-        state = E2EState.create(
-            apply_fn=model.apply,
-            params={"cnn": params, "gamma": jnp.asarray(gamma, jnp.float32)},
-            tx=tx,
-            batch_stats=batch_stats,
-            gamma=None,
-        )
-    else:
-        tx = optimizer_factory(optimizer, lr, momentum, clipnorm)
-        state = E2EState.create(
-            apply_fn=model.apply,
-            params={"cnn": params},
-            tx=tx,
-            batch_stats=batch_stats,
-            gamma=jnp.asarray(gamma, jnp.float32),
-        )
+        trainable["gamma"] = jnp.asarray(gamma, jnp.float32)
+    state = E2EState.create(
+        apply_fn=model.apply,
+        params=trainable,
+        tx=optimizer_factory(optimizer, lr, momentum, clipnorm),
+        batch_stats=batch_stats,
+    )
 
     def _forward(params, batch_stats, batch, train):
         cnn_params = params["cnn"]
