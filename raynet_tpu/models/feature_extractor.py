@@ -9,7 +9,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import flax
-from flax.core import freeze
 
 from .cnn import cnn_factory
 

@@ -10,7 +10,6 @@ raynet/cuda_implementations/sampling_schemes.cu):
 - Near/far of the bbox slab test are swapped by |t| so the segment always
   runs away from the camera (sampling_schemes.cu:80-89).
 """
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -5,12 +5,10 @@ build_simple_nn_for_training (models.py:344-403) with EMD loss and
 accuracy / mae / mde metrics — re-expressed as a jitted optax step with
 explicit BatchNorm statistics.
 """
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax.training import train_state
 
 from ..models.cnn import MultiViewSimilarityNet

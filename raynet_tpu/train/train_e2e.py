@@ -8,13 +8,11 @@ ops: the per-ray BP recurrences are the masked scans of ops/mrf.py and the
 sequential sparse_add fold over rays becomes one scatter-add — the single
 largest structural speedup over the reference's training graph.
 """
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax.training import train_state
 
 from ..models.cnn import cnn_factory

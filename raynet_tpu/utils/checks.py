@@ -2,7 +2,6 @@
 
 Parity: raynet/utils/checks.py in the reference.
 """
-import numpy as np
 
 
 def assert_col_vectors(a, b):
