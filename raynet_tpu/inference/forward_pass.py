@@ -322,11 +322,27 @@ class HartmannForwardPass(ForwardPass):
             rays_batch, filter_out_rays,
         )
 
+    def _gather_patches(self, image, pixels, patch_size):
+        """(K, ph, pw, C) patches around integer pixel centers, zero-padded
+        outside the image; native gather when the library is built."""
+        from .. import native
+
+        if native.is_available():
+            out, _ = native.extract_patches(image.image, pixels, patch_size)
+            return out
+        return np.stack(
+            [
+                image.patch(np.array([[x], [y], [1]]), patch_size)
+                for x, y in pixels
+            ]
+        )
+
     def forward_pass(self, scene, images_range):
         assert isinstance(images_range, tuple)
         start, end, skip = images_range
         H, W = scene.image_shape
         gp = self._generation_params
+        from ..utils.geometry import project
 
         for ref_idx in range(start, end, skip):
             images = scene.get_image_with_neighbors(ref_idx, gp.neighbors)
@@ -336,20 +352,37 @@ class HartmannForwardPass(ForwardPass):
             points = np.asarray(points)[:3]
             _, n, d = points.shape
             center = images[0].camera.center[:3, 0]
+            ps = tuple(gp.patch_shape[:2])
+            v = len(images)
 
-            scores = np.zeros((n, d), dtype=np.float32)
-            ps = gp.patch_shape[:2]
-            for r in range(n):
-                for k in range(d):
-                    p = np.vstack(
-                        [points[:, r, k].reshape(3, 1), [[1.0]]]
+            # Project all (ray, depth) points into every view once.
+            flat_pts = np.vstack(
+                [points.reshape(3, -1), np.ones((1, n * d))]
+            )
+            pixels = np.stack(
+                [
+                    np.round(project(im.camera.P, flat_pts)[:, :2]).astype(
+                        np.int32
                     )
-                    patches = np.stack(
-                        [im.patch_from_3d(p, ps) for im in images]
-                    )
-                    scores[r, k] = self._model.predict(patches[None])[
-                        0, ..., 0
-                    ].mean()
+                    for im in images
+                ]
+            )  # (V, N*D, 2)
+
+            scores = np.zeros((n * d,), dtype=np.float32)
+            chunk = max(1, self.rays_batch)
+            for off in range(0, n * d, chunk):
+                sl = slice(off, min(off + chunk, n * d))
+                quint = np.stack(
+                    [
+                        self._gather_patches(images[i], pixels[i, sl], ps)
+                        for i in range(v)
+                    ],
+                    axis=1,
+                )  # (K, V, ph, pw, C)
+                pred = np.asarray(self._model.predict(quint))
+                scores[sl] = pred[..., 0].reshape(len(pred), -1).mean(axis=1)
+
+            scores = scores.reshape(n, d)
             best = scores.argmax(axis=1)
             pts = points[:, np.arange(n), best].T
             depth = np.linalg.norm(pts - center[None], axis=-1)

@@ -59,6 +59,42 @@ class FeatureExtractor:
         return fe
 
 
+class HartmannModel:
+    """HartmannSimilarityNet bound to parameters with a predict() API
+    (patch quintuples -> 2-way match softmax maps)."""
+
+    def __init__(self, variables=None, seed=0, patch_shape=(32, 32, 3),
+                 n_views=5):
+        from .cnn import HartmannSimilarityNet
+
+        self.cnn_name = "hartmann_cnn"
+        self.model = HartmannSimilarityNet()
+        if variables is None:
+            ph, pw, c = patch_shape
+            dummy = jnp.zeros((1, n_views, ph, pw, c), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+        self._apply = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    def predict(self, patches):
+        """patches: (B, V, ph, pw, C) -> (B, h', w', 2) match scores."""
+        return self._apply(
+            self.variables, jnp.asarray(patches, jnp.float32)
+        )
+
+    def save_weights(self, path):
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(self.variables))
+
+    def load_weights(self, path):
+        with open(path, "rb") as f:
+            self.variables = flax.serialization.from_bytes(
+                self.variables, f.read()
+            )
+
+
 def upsample_features(features, cnn_name):
     """Kron-upsample feature maps of strided CNNs back to pixel stride.
 
