@@ -147,9 +147,10 @@ def depth_estimate(S, flat_idx, counts, messages_pon, grid_acc_flat, grid_size):
     return jnp.where(mask, s_new / jnp.maximum(total, 1e-30), 0.0)
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "bp_iterations"))
+@partial(jax.jit, static_argnames=("grid_shape", "bp_iterations", "remat"))
 def belief_propagation(
-    S, voxel_indices, counts, grid_shape, gamma=0.05, bp_iterations=3
+    S, voxel_indices, counts, grid_shape, gamma=0.05, bp_iterations=3,
+    remat=True,
 ):
     """Full multi-iteration BP over one batch of rays.
 
@@ -169,7 +170,10 @@ def belief_propagation(
 
     This is the whole-batch analogue of mrf_np.belief_propagation:243-330
     (where every ray is visited once per iteration before the accumulator
-    swap). Differentiable end-to-end; used unrolled in training.
+    swap). Differentiable end-to-end; used unrolled in training. With
+    ``remat`` (default) each iteration's intermediates are rematerialized in
+    the backward pass instead of stored — differentiating the unrolled BP
+    would otherwise keep every sweep's (N, M) cumprod/cumsum chain live.
     """
     from .ray_marching import flatten_voxel_indices
 
@@ -188,6 +192,8 @@ def belief_propagation(
         new_grid = scatter + prior
         return (new_msgs, new_grid), None
 
+    if remat:
+        body = jax.checkpoint(body)
     (msgs, grid_acc), _ = jax.lax.scan(
         body, (msgs0, grid0), None, length=bp_iterations
     )

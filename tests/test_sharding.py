@@ -54,6 +54,70 @@ def test_sharded_bp_update_matches_single_device(rng):
     )
 
 
+def test_sharded_raynet_message_step(rng):
+    """The fused message step under shard_map matches the single-device op
+    (incl. the psum'd grid contribution)."""
+    from raynet_tpu.ops import fused
+    from raynet_tpu.parallel.sharding import sharded_raynet_message_step
+
+    mesh = make_ray_mesh()
+    h, w = 24, 32
+    v, d, padding, f = 3, 4, 5, 8
+    grid_shape = (8, 8, 8)
+    m, n = 12, 64
+    g = 512
+
+    K = np.array([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]])
+    Ps, centers = [], []
+    for i in range(v):
+        ang = (i - v / 2) * 0.05
+        c = np.array([15 * np.sin(ang), 0, -15 * np.cos(ang)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        t = -R @ c.reshape(3, 1)
+        Ps.append(K @ np.hstack([R, t]))
+        centers.append(c)
+    P = jnp.asarray(np.stack(Ps), jnp.float32)
+    P_pinv = jnp.asarray(np.linalg.pinv(Ps[0]), jnp.float32)
+    center = jnp.asarray(centers[0], jnp.float32)
+    bbox = jnp.asarray([-2, -2, -2, 2, 2, 2], jnp.float32)
+    feats = jnp.asarray(
+        rng.randn(v, h + padding + 1, w + padding + 1, f), jnp.float32
+    )
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    msgs = jnp.asarray(rng.randn(n, m) * 0.1, jnp.float32)
+    grid_acc = jnp.asarray(rng.randn(g) * 0.3, jnp.float32)
+
+    ref_msgs, ref_scatter = fused.raynet_message_step(
+        idxs, feats, P, P_pinv, center, bbox, msgs, grid_acc,
+        h, w, padding, d, grid_shape, m,
+    )
+
+    step = sharded_raynet_message_step(
+        mesh, h, w, padding, d, grid_shape, m
+    )
+    out_msgs, out_scatter = step(
+        shard_batch(mesh, idxs),
+        replicate(mesh, feats),
+        replicate(mesh, P),
+        replicate(mesh, P_pinv),
+        replicate(mesh, center),
+        replicate(mesh, bbox),
+        shard_batch(mesh, msgs),
+        replicate(mesh, grid_acc),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_msgs), np.asarray(ref_msgs), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scatter), np.asarray(ref_scatter), rtol=1e-4,
+        atol=1e-5,
+    )
+
+
 def test_e2e_train_step_runs_sharded(rng):
     """The full training step executes SPMD over the mesh with rays sharded
     (GSPMD inserts the grid all-reduce)."""
