@@ -1,0 +1,118 @@
+"""North-star tracker: synthetic full-scene RayNet reconstruction wall-clock.
+
+BASELINE.md's target: one full DTU scene (MVCNN + 3 BP iterations, paper
+resolution) in < 60 s on a single v5e chip. This script reconstructs a
+synthetic scene of configurable size through the real orchestration path
+(RayNetForwardPass: cached CNN features, pallas traversal, fused message
+steps, global accumulator) and reports seconds/scene plus the extrapolated
+full-DTU estimate. Not driver-run (bench.py is the one-line benchmark);
+meant for tracking progress across rounds:
+
+    /opt/venv/bin/python bench_scene.py [--images 4] [--height 180] ...
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", type=int, default=4)
+    p.add_argument("--height", type=int, default=180)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--depth_planes", type=int, default=32)
+    p.add_argument("--grid", type=lambda s: tuple(map(int, s.split(","))),
+                   default="128,128,64")
+    p.add_argument("--max_voxels", type=int, default=384)
+    p.add_argument("--rays_batch", type=int, default=65536)
+    args = p.parse_args()
+
+    import imageio.v2 as imageio
+    import tempfile, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from conftest import _make_ring_camera
+
+    from raynet_tpu.common.scene import RestrepoScene
+    from raynet_tpu.common.generation_parameters import GenerationParameters
+    from raynet_tpu.common.sampling_schemes import get_sampling_scheme
+    from raynet_tpu.inference import get_forward_pass_factory
+    from raynet_tpu.models.feature_extractor import FeatureExtractor
+    import jax.numpy as jnp
+
+    h, w = args.height, args.width
+    root = tempfile.mkdtemp(prefix="bench_scene_")
+    os.makedirs(root + "/imgs")
+    os.makedirs(root + "/cams_krt")
+    rng = np.random.RandomState(0)
+    for i in range(args.images + 4):
+        imageio.imwrite(
+            root + "/imgs/frame%05d.png" % (i + 1,),
+            (rng.rand(h, w, 3) * 255).astype(np.uint8),
+        )
+        K, R, t = _make_ring_camera((i - args.images / 2) * 0.04, h, w)
+        rows = (
+            [" ".join("%.9g" % v for v in row) for row in K]
+            + [" ".join("%.9g" % v for v in row) for row in R]
+            + [" ".join("%.9g" % v for v in t.ravel())]
+        )
+        open(root + "/cams_krt/frame%05d_cam.txt" % (i + 1,), "w").write(
+            "\n".join(rows) + "\n"
+        )
+    open(root + "/scene_info.xml", "w").write(
+        '<?xml version="1.0"?>\n<info>\n'
+        '  <bbox minx="-3" miny="-3" minz="-3" maxx="3" maxy="3" maxz="3"/>\n'
+        "</info>\n"
+    )
+
+    scene = RestrepoScene(root)
+    gp = GenerationParameters(
+        depth_planes=args.depth_planes,
+        neighbors=4,
+        patch_shape=(11, 11, 3),
+        grid_shape=np.array(args.grid, dtype=np.int32),
+        max_number_of_marched_voxels=args.max_voxels,
+        padding=11,
+        gamma_mrf=0.05,
+    )
+    model = FeatureExtractor("simple_cnn", output_dtype=jnp.bfloat16)
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, get_sampling_scheme("sample_in_bbox")(gp),
+        scene.image_shape, args.rays_batch,
+    )
+
+    # warmup (compiles)
+    _ = list(fp.forward_pass(scene, (0, 1, 1)))
+
+    t0 = time.perf_counter()
+    maps = list(fp.forward_pass(scene, (0, args.images, 1)))
+    elapsed = time.perf_counter() - t0
+
+    rays = args.images * h * w
+    sweeps = 4  # 3 BP iterations + depth sweep
+    dtu_rays = 49 * 1600 * 1200
+    est_dtu = elapsed / rays * dtu_rays
+
+    print("phase totals:", fp.timer.summary(), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "raynet_scene_seconds",
+                "images": args.images,
+                "rays": rays,
+                "value": round(elapsed, 2),
+                "rays_per_second_full_pipeline": round(
+                    rays * sweeps / elapsed, 1
+                ),
+                "extrapolated_full_dtu_seconds": round(est_dtu, 1),
+            }
+        )
+    )
+    assert all(np.isfinite(m).all() for m in maps)
+
+
+if __name__ == "__main__":
+    main()
