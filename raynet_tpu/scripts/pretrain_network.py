@@ -70,6 +70,56 @@ def lr_schedule(lr, factor, reductions, steps_per_epoch):
     return inner
 
 
+def _hartmann_loop(
+    args, generation_params, train_ds, train_sg, test_X, test_y,
+    experiment_dir, weights_dir,
+):
+    """Hartmann-baseline pretraining: quintuple patches, 2-way CE."""
+    import jax
+    import numpy as np
+    from ..train.pretrain import create_hartmann_pretrain_state
+    from ..train.batch_provider import BatchProvider
+
+    model, state, train_step = create_hartmann_pretrain_state(
+        jax.random.PRNGKey(args.seed),
+        tuple(generation_params.patch_shape),
+        n_views=generation_params.neighbors + 1,
+        optimizer=args.optimizer,
+        lr=args.lr,
+        momentum=args.momentum,
+    )
+    history = MetricsHistory(
+        os.path.join(experiment_dir, "train.txt"),
+        os.path.join(experiment_dir, "val.txt"),
+    )
+    provider = BatchProvider(
+        train_ds, train_sg,
+        cache_size=args.training_cached_samples,
+        batch_size=args.batch_size,
+    )
+    try:
+        provider.ready()
+        for epoch in range(args.epochs):
+            for _ in range(args.steps_per_epoch):
+                X, y = provider.get_batch()
+                patches = np.stack(X, axis=1)  # (B, V, ph, pw, C)
+                state, metrics = train_step(state, patches, y[0])
+                history.on_batch_end(
+                    {k: float(v) for k, v in metrics.items()}
+                )
+            history.on_epoch_end(
+                epoch, {"val_loss": float(metrics["loss"])}
+            )
+            save_weights(
+                state,
+                os.path.join(weights_dir, "weights.%02d.msgpack" % (epoch,)),
+            )
+    finally:
+        provider.stop()
+        history.close()
+    save_experiment_locally(experiment_dir, vars(args), [])
+
+
 def save_weights(state, path):
     import flax
 
@@ -159,6 +209,12 @@ def main(argv=None):
     test_X, test_y = collect_test_set(
         test_ds, test_sg, args.n_test_samples, args.batch_size
     )
+
+    if args.input_output_dimensionality == "hartmann":
+        return _hartmann_loop(
+            args, generation_params, train_ds, train_sg, test_X, test_y,
+            experiment_dir, weights_dir,
+        )
 
     model, state, loss_fn, wd = create_pretrain_state(
         jax.random.PRNGKey(args.seed),

@@ -119,3 +119,30 @@ def test_frame_idxs_type():
     assert frame_idxs_type("2:5") == slice(2, 5)
     assert frame_idxs_type("1,4,6") == [1, 4, 6]
     assert frame_idxs_type("3") == [3]
+
+
+def test_pretrain_cli_hartmann(mock_scene_dir, tmp_path):
+    pretrain_cli.main(
+        [
+            str(mock_scene_dir.parent),
+            str(mock_scene_dir.parent),
+            str(tmp_path),
+            "--input_output_dimensionality", "hartmann",
+            "--epochs", "1",
+            "--steps_per_epoch", "1",
+            "--training_cached_samples", "4",
+            "--n_test_samples", "2",
+            "--batch_size", "2",
+            "--neighbors", "4",
+            "--depth_planes", "4",
+            "--patch_shape", "24,24,3",
+            "--step_depth", "1",
+            "--optimizer", "SGD",
+        ]
+    )
+    exps = os.listdir(tmp_path)
+    exp = tmp_path / exps[0]
+    assert (exp / "train.txt").exists()
+    assert any(
+        f.startswith("weights.") for f in os.listdir(exp / "weights")
+    )
