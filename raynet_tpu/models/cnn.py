@@ -211,6 +211,11 @@ class HartmannSimilarityNet(nn.Module):
         cnn = HartmannCNN()
         f = cnn(patches.reshape((-1,) + patches.shape[2:]), train)
         f = f.reshape((b, v) + f.shape[1:]).mean(axis=1)
+        if f.shape[1] < 5 or f.shape[2] < 5:
+            raise ValueError(
+                "hartmann patches must be at least 32x32 (similarity head "
+                "got %r feature maps)" % (f.shape[1:3],)
+            )
         x = nn.Conv(2048, (5, 5), padding="VALID")(f)
         x = nn.relu(x)
         x = nn.Conv(2048, (1, 1))(x)

@@ -40,6 +40,7 @@ class BatchProvider:
         self._lock = threading.RLock()
         self._stop = threading.Event()
         self._ready = threading.Event()
+        self._error = None
 
         self._producers = [
             threading.Thread(target=self._produce, daemon=True)
@@ -48,33 +49,54 @@ class BatchProvider:
         for p in self._producers:
             p.start()
 
+    def _split_parts(self, value, n_parts):
+        """A sample's X/y may be a list of per-input arrays or one stacked
+        ndarray whose first axis enumerates the inputs (the Hartmann
+        generator returns the latter)."""
+        if isinstance(value, (list, tuple)):
+            return value
+        if n_parts == 1:
+            return [value]
+        return list(value)
+
     def _produce(self):
-        while not self._stop.is_set():
-            sample = self._sg.get_sample(self._dataset)
-            if sample.X is None or sample.y is None:
-                continue
-            xs = sample.X if isinstance(sample.X, list) else [sample.X]
-            ys = sample.y if isinstance(sample.y, list) else [sample.y]
-            with self._lock:
-                i = self._write_idx
-                for buf, x in zip(self._inputs, xs):
-                    buf[i] = x
-                for buf, y in zip(self._outputs, ys):
-                    buf[i] = y
-                self._write_idx = (i + 1) % self._cache_size
-                self._filled = min(self._filled + 1, self._cache_size)
-                if self._filled == self._cache_size:
-                    self._ready.set()
+        try:
+            while not self._stop.is_set():
+                sample = self._sg.get_sample(self._dataset)
+                if sample.X is None or sample.y is None:
+                    continue
+                xs = self._split_parts(sample.X, len(self._inputs))
+                ys = self._split_parts(sample.y, len(self._outputs))
+                with self._lock:
+                    i = self._write_idx
+                    for buf, x in zip(self._inputs, xs):
+                        buf[i] = x
+                    for buf, y in zip(self._outputs, ys):
+                        buf[i] = y
+                    self._write_idx = (i + 1) % self._cache_size
+                    self._filled = min(self._filled + 1, self._cache_size)
+                    if self._filled == self._cache_size:
+                        self._ready.set()
+        except BaseException as e:  # propagate instead of hanging consumers
+            self._error = e
+            self._ready.set()
+
+    def _check_error(self):
+        if self._error is not None:
+            raise RuntimeError("batch producer failed") from self._error
 
     def ready(self, timeout=None):
         """Block until the cache has been filled once."""
-        return self._ready.wait(timeout)
+        ok = self._ready.wait(timeout)
+        self._check_error()
+        return ok
 
     def stop(self):
         self._stop.set()
 
     def get_batch(self):
         self.ready()
+        self._check_error()
         with self._lock:
             idxs = np.random.randint(0, self._filled, self._batch_size)
             X = [buf[idxs].copy() for buf in self._inputs]

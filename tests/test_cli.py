@@ -135,7 +135,7 @@ def test_pretrain_cli_hartmann(mock_scene_dir, tmp_path):
             "--batch_size", "2",
             "--neighbors", "4",
             "--depth_planes", "4",
-            "--patch_shape", "24,24,3",
+            "--patch_shape", "32,32,3",
             "--step_depth", "1",
             "--optimizer", "SGD",
         ]
