@@ -70,3 +70,20 @@ def test_raynet_forward_pass(setup):
     nz = maps[0][maps[0] > 0]
     assert nz.size > 0.5 * maps[0].size
     assert nz.min() >= 10.0 and nz.max() <= 30.0
+
+
+def test_filter_out_rays(setup, mock_scene_dir):
+    """filter_out_rays restricts prediction to nonzero-GT pixels."""
+    scene, gp, model, scheme = setup
+    from raynet_tpu.inference import get_forward_pass_factory
+    import numpy as np
+
+    fp = get_forward_pass_factory("multi_view_cnn")(
+        model, gp, scheme, scene.image_shape, W * H, filter_out_rays=True
+    )
+    dm = next(iter(fp.forward_pass(scene, (0, 1, 1))))
+    gt = scene.get_depth_map(0)
+    assert dm.shape == (H, W)
+    # pixels without GT stay zero; pixels with GT get predictions
+    assert np.all(dm[gt == 0] == 0)
+    assert np.all(dm[gt != 0] > 0)
