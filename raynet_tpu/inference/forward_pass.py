@@ -260,7 +260,7 @@ class RayNetForwardPass(ForwardPass):
 
         grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
 
-        for _ in range(self.bp_iterations):
+        for iteration in range(self.bp_iterations):
             scatter_total = jnp.full((grid_size,), prior, dtype=jnp.float32)
             for ref_idx in ref_indices:
                 ray_idxs = ray_idxs_per_image[ref_idx]
@@ -280,6 +280,7 @@ class RayNetForwardPass(ForwardPass):
                             jnp.asarray(msg_in), grid_acc,
                             H, W, gp.padding, gp.depth_planes, grid_shape, M,
                             use_pallas=_use_pallas(),
+                            first_iteration=(iteration == 0),
                         )
                         messages[ref_idx][off : off + n_valid] = np.asarray(
                             new_msgs

@@ -136,6 +136,7 @@ def mvcnn_voxel_depth_step(
         "grid_shape",
         "max_voxels",
         "use_pallas",
+        "first_iteration",
     ),
 )
 def raynet_message_step(
@@ -154,11 +155,16 @@ def raynet_message_step(
     grid_shape,
     max_voxels,
     use_pallas=False,
+    first_iteration=False,
 ):
     """Front half of RayNet + one BP message update for this ray batch.
 
     Returns (new_messages (N, M), scatter (G,)) where scatter is this batch's
     additive contribution to the NEXT iteration's accumulator grid.
+
+    ``first_iteration``: the accumulator is still uniformly the prior and
+    the incoming messages are zero, so the specialized first sweep skips the
+    42M-element grid gather entirely (ops/mrf.bp_update_first).
     """
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
@@ -176,9 +182,14 @@ def raynet_message_step(
     )
 
     grid_size = int(grid_shape[0]) * int(grid_shape[1]) * int(grid_shape[2])
-    new_msgs, scatter = mrf.bp_update(
-        S_vox, flat_idx, counts, messages_pon, grid_acc_flat, grid_size
-    )
+    if first_iteration:
+        new_msgs, scatter = mrf.bp_update_first(
+            S_vox, flat_idx, counts, grid_acc_flat[0], grid_size
+        )
+    else:
+        new_msgs, scatter = mrf.bp_update(
+            S_vox, flat_idx, counts, messages_pon, grid_acc_flat, grid_size
+        )
     return new_msgs, scatter
 
 

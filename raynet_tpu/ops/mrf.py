@@ -64,6 +64,10 @@ def _ray_messages(grid_acc_flat, flat_idx, messages_pon, S, mask):
     with c_j = mu_j * exclprod_j * s_j and exclprod_i = prod_{j<i}(1 - mu_j).
     """
     mu = occupancy_to_ray(grid_acc_flat, flat_idx, messages_pon, mask)
+    return _ray_messages_from_mu(mu, S, mask)
+
+
+def _ray_messages_from_mu(mu, S, mask):
     one_minus = jnp.where(mask, 1.0 - mu, 1.0)
     exclprod = jnp.concatenate(
         [
@@ -87,6 +91,34 @@ def _ray_messages(grid_acc_flat, flat_idx, messages_pon, S, mask):
     p = jnp.clip(p, 1e-37, 1.0 - 1e-7)
     new_pon = jnp.log(p) - jnp.log1p(-p)
     return jnp.where(mask, new_pon, 0.0)
+
+
+@partial(jax.jit, static_argnames=("grid_size",))
+def bp_update_first(S, flat_idx, counts, pon_const, grid_size):
+    """First BP sweep, specialized: before any accumulation the grid
+    uniformly holds the prior and the messages are zero, so the
+    occupancy-to-ray message is the CONSTANT sigmoid(prior) = gamma — the
+    42M-element grid gather (the most expensive op of a sweep) vanishes
+    exactly. ``pon_const`` is the uniform accumulator value
+    (log(gamma/(1-gamma))), e.g. ``grid_acc_flat[0]``.
+    """
+    m = S.shape[-1]
+    mask = (jnp.arange(m)[None, :] < counts[:, None]) & (counts[:, None] > 1)
+    Sr = clip_and_renorm(S, mask)
+    mx = jnp.maximum(0.0, pon_const)
+    mu_const = jnp.clip(
+        jnp.exp(pon_const - mx) / (jnp.exp(0.0 - mx) + jnp.exp(pon_const - mx)),
+        _CLIP_MU,
+        1.0 - _CLIP_MU,
+    )
+    mu = jnp.where(mask, mu_const, 0.0)
+    new_pon = _ray_messages_from_mu(mu, Sr, mask)
+
+    safe_idx = jnp.where(mask, flat_idx, 0)
+    scatter = jnp.zeros((grid_size,), dtype=S.dtype).at[
+        safe_idx.reshape(-1)
+    ].add(jnp.where(mask, new_pon, 0.0).reshape(-1))
+    return new_pon, scatter
 
 
 @partial(jax.jit, static_argnames=("grid_size",))
@@ -181,8 +213,10 @@ def belief_propagation(
     flat_idx = flatten_voxel_indices(voxel_indices, grid_shape)
     prior = log_prior(jnp.asarray(gamma, dtype=S.dtype))
 
-    msgs0 = jnp.zeros_like(S)
-    grid0 = jnp.full((grid_size,), prior, dtype=S.dtype)
+    # First sweep specialized: uniform prior + zero messages need no grid
+    # gather (bp_update_first).
+    msgs, scatter = bp_update_first(S, flat_idx, counts, prior, grid_size)
+    grid_acc = scatter + prior
 
     def body(carry, _):
         msgs, grid_acc = carry
@@ -194,7 +228,8 @@ def belief_propagation(
 
     if remat:
         body = jax.checkpoint(body)
-    (msgs, grid_acc), _ = jax.lax.scan(
-        body, (msgs0, grid0), None, length=bp_iterations
-    )
+    if bp_iterations > 1:
+        (msgs, grid_acc), _ = jax.lax.scan(
+            body, (msgs, grid_acc), None, length=bp_iterations - 1
+        )
     return grid_acc.reshape(grid_shape), msgs
