@@ -184,3 +184,35 @@ def test_bp_is_differentiable(rng):
     g = np.asarray(g)
     assert np.all(np.isfinite(g))
     assert np.abs(g).max() > 0
+
+
+def test_bp_update_first_matches_general(rng):
+    """The specialized first sweep equals the general update on a uniform
+    prior grid with zero messages."""
+    from raynet_tpu.ops.mrf import bp_update, bp_update_first, log_prior
+
+    g = 5 * 4 * 3
+    n, m = 7, 6
+    flat_idx = rng.randint(0, g, size=(n, m)).astype(np.int32)
+    counts = rng.randint(2, m + 1, size=(n,)).astype(np.int32)
+    S = rng.uniform(0.01, 1.0, size=(n, m)).astype(np.float32)
+    gamma = 0.05
+    prior = float(log_prior(gamma))
+
+    msgs0 = jnp.zeros((n, m), jnp.float32)
+    grid0 = jnp.full((g,), prior, jnp.float32)
+    ref_msgs, ref_scatter = bp_update(
+        jnp.asarray(S), jnp.asarray(flat_idx), jnp.asarray(counts),
+        msgs0, grid0, g,
+    )
+    fast_msgs, fast_scatter = bp_update_first(
+        jnp.asarray(S), jnp.asarray(flat_idx), jnp.asarray(counts),
+        jnp.float32(prior), g,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_msgs), np.asarray(ref_msgs), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_scatter), np.asarray(ref_scatter), rtol=1e-6,
+        atol=1e-6,
+    )
