@@ -146,3 +146,25 @@ def test_pretrain_cli_hartmann(mock_scene_dir, tmp_path):
     assert any(
         f.startswith("weights.") for f in os.listdir(exp / "weights")
     )
+
+
+def test_compute_metrics_accuracy_completeness(
+    mock_scene_dir, predictions_dir, tmp_path, capsys
+):
+    metrics_cli.main(
+        [
+            str(mock_scene_dir.parent),
+            str(predictions_dir),
+            "accuracy", "completeness",
+            "--scene_idx", "0",
+            "--frame_idxs", "0:3",
+            "--borders", "2",
+            "--truncate", "5",
+            "--output_directory", str(tmp_path),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "accuracy: mean=" in out
+    assert "completeness: mean=" in out
+    assert (tmp_path / "predicted_pc_s_0.ply").exists()
+    assert (tmp_path / "accuracy_colored_pc_s_0.ply").exists()
