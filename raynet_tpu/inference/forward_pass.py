@@ -46,7 +46,15 @@ class ForwardPass:
         self._sampling_scheme = sampling_scheme
         self.rays_batch = rays_batch
         self._filter_out_rays = filter_out_rays
-        self._feature_cache = {}
+        # LRU-bounded device cache of per-view-set features. At DTU scale a
+        # view set is ~0.6 GB of bf16 feature maps x 49 reference views --
+        # far beyond one chip's HBM -- so beyond the bound we RECOMPUTE on
+        # miss (conv forward is milliseconds on the MXU; a host round-trip
+        # through the transfer tunnel would be slower than the convs).
+        from collections import OrderedDict
+
+        self._feature_cache = OrderedDict()
+        self.max_cached_view_sets = 12
         self.timer = PhaseTimer(verbose=False)
 
     # -- depth-map converters (parity: forward_pass.py:51-139) ----------
@@ -107,7 +115,9 @@ class ForwardPass:
 
     def _features_and_cameras(self, scene, ref_idx):
         """CNN features + camera tensors for a reference view set, cached."""
-        if ref_idx not in self._feature_cache:
+        if ref_idx in self._feature_cache:
+            self._feature_cache.move_to_end(ref_idx)
+        else:
             images = scene.get_image_with_neighbors(
                 ref_idx, self._generation_params.neighbors
             )
@@ -129,6 +139,8 @@ class ForwardPass:
                 images[0].camera.center[:3, 0], dtype=jnp.float32
             )
             self._feature_cache[ref_idx] = (features, P, P_pinv, center)
+            while len(self._feature_cache) > self.max_cached_view_sets:
+                self._feature_cache.popitem(last=False)
         return self._feature_cache[ref_idx]
 
     def _ray_batches(self, ray_idxs):
@@ -237,6 +249,15 @@ class RayNetForwardPass(ForwardPass):
             )
         return np.zeros((n_rays, M), dtype=np.float32)
 
+    def _cleanup_messages(self, messages):
+        """Release memmap spill files (ADVICE r1: the mkdtemp leaked)."""
+        del messages
+        if hasattr(self, "_msgs_dir"):
+            import shutil
+
+            shutil.rmtree(self._msgs_dir, ignore_errors=True)
+            del self._msgs_dir
+
     def forward_pass(self, scene, images_range):
         assert isinstance(images_range, tuple)
         start, end, skip = images_range
@@ -257,56 +278,68 @@ class RayNetForwardPass(ForwardPass):
             i: self._alloc_messages(len(ray_idxs_per_image[i]), M, i)
             for i in ref_indices
         }
+        try:
+            grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
 
-        grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
+            for iteration in range(self.bp_iterations):
+                scatter_total = jnp.full(
+                    (grid_size,), prior, dtype=jnp.float32
+                )
+                for ref_idx in ref_indices:
+                    ray_idxs = ray_idxs_per_image[ref_idx]
+                    features, P, P_pinv, center = self._features_and_cameras(
+                        scene, ref_idx
+                    )
+                    with self.timer.phase("Message passing"):
+                        for off, n_valid, chunk in self._ray_batches(
+                            ray_idxs
+                        ):
+                            msg_in = np.zeros(
+                                (self.rays_batch, M), dtype=np.float32
+                            )
+                            msg_in[:n_valid] = messages[ref_idx][
+                                off : off + n_valid
+                            ]
+                            new_msgs, scatter = fused.raynet_message_step(
+                                chunk, features, P, P_pinv, center, bbox,
+                                jnp.asarray(msg_in), grid_acc,
+                                jnp.int32(n_valid),
+                                H, W, gp.padding, gp.depth_planes,
+                                grid_shape, M,
+                                use_pallas=_use_pallas(),
+                                first_iteration=(iteration == 0),
+                            )
+                            messages[ref_idx][
+                                off : off + n_valid
+                            ] = np.asarray(new_msgs)[:n_valid]
+                            scatter_total = scatter_total + scatter
+                grid_acc = scatter_total  # swap accumulators
 
-        for iteration in range(self.bp_iterations):
-            scatter_total = jnp.full((grid_size,), prior, dtype=jnp.float32)
             for ref_idx in ref_indices:
                 ray_idxs = ray_idxs_per_image[ref_idx]
                 features, P, P_pinv, center = self._features_and_cameras(
                     scene, ref_idx
                 )
-                with self.timer.phase("Message passing"):
-                    for off, n_valid, chunk in self._ray_batches(ray_idxs):
-                        msg_in = np.zeros(
-                            (self.rays_batch, M), dtype=np.float32
-                        )
-                        msg_in[:n_valid] = messages[ref_idx][
-                            off : off + n_valid
-                        ]
-                        new_msgs, scatter = fused.raynet_message_step(
-                            chunk, features, P, P_pinv, center, bbox,
-                            jnp.asarray(msg_in), grid_acc,
-                            H, W, gp.padding, gp.depth_planes, grid_shape, M,
-                            use_pallas=_use_pallas(),
-                            first_iteration=(iteration == 0),
-                        )
-                        messages[ref_idx][off : off + n_valid] = np.asarray(
-                            new_msgs
-                        )[:n_valid]
-                        scatter_total = scatter_total + scatter
-            grid_acc = scatter_total  # swap accumulators
-
-        for ref_idx in ref_indices:
-            ray_idxs = ray_idxs_per_image[ref_idx]
-            features, P, P_pinv, center = self._features_and_cameras(
-                scene, ref_idx
-            )
-            depth_map = np.zeros(H * W, dtype=np.float32)
-            for off, n_valid, chunk in self._ray_batches(ray_idxs):
-                msg_in = np.zeros((self.rays_batch, M), dtype=np.float32)
-                msg_in[:n_valid] = messages[ref_idx][off : off + n_valid]
-                _, depth = fused.raynet_depth_step(
-                    chunk, features, P, P_pinv, center, bbox,
-                    jnp.asarray(msg_in), grid_acc,
-                    H, W, gp.padding, gp.depth_planes, grid_shape, M,
-                    use_pallas=_use_pallas(),
-                )
-                depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
-                    depth
-                )[:n_valid]
-            yield depth_map.reshape(W, H).T
+                depth_map = np.zeros(H * W, dtype=np.float32)
+                for off, n_valid, chunk in self._ray_batches(ray_idxs):
+                    msg_in = np.zeros(
+                        (self.rays_batch, M), dtype=np.float32
+                    )
+                    msg_in[:n_valid] = messages[ref_idx][
+                        off : off + n_valid
+                    ]
+                    _, depth = fused.raynet_depth_step(
+                        chunk, features, P, P_pinv, center, bbox,
+                        jnp.asarray(msg_in), grid_acc,
+                        H, W, gp.padding, gp.depth_planes, grid_shape, M,
+                        use_pallas=_use_pallas(),
+                    )
+                    depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
+                        depth
+                    )[:n_valid]
+                yield depth_map.reshape(W, H).T
+        finally:
+            self._cleanup_messages(messages)
 
 
 class HartmannForwardPass(ForwardPass):

@@ -148,6 +148,7 @@ def raynet_message_step(
     bbox,
     messages_pon,
     grid_acc_flat,
+    n_valid,
     height,
     width,
     padding,
@@ -162,6 +163,12 @@ def raynet_message_step(
     Returns (new_messages (N, M), scatter (G,)) where scatter is this batch's
     additive contribution to the NEXT iteration's accumulator grid.
 
+    ``n_valid`` (dynamic scalar): rows >= n_valid are padding (the batch
+    iterator repeats ray 0 to keep shapes static); their counts are zeroed so
+    they contribute NOTHING to the scatter — otherwise the duplicated ray's
+    messages would be accumulated once per padded row, silently saturating
+    the occupancy along its voxel path.
+
     ``first_iteration``: the accumulator is still uniformly the prior and
     the incoming messages are zero, so the specialized first sweep skips the
     42M-element grid gather entirely (ops/mrf.bp_update_first).
@@ -174,6 +181,9 @@ def raynet_message_step(
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
+    )
+    counts = jnp.where(
+        jnp.arange(counts.shape[0]) < n_valid, counts, 0
     )
     vox = unflatten_voxel_indices(flat_idx, grid_shape)
     S_vox = planes_to_voxels_mapping(

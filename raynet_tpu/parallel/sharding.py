@@ -18,6 +18,7 @@ from functools import partial
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -84,16 +85,23 @@ def sharded_raynet_message_step(
             P(),  # bbox
             P(RAY_AXIS),  # messages
             P(),  # grid_acc
+            P(),  # n_valid (global; padding sits at the batch tail)
         ),
         out_specs=(P(RAY_AXIS), P()),
     )
     def step(
-        ray_idxs, features, Pm, P_pinv, center, bbox, messages, grid_acc
+        ray_idxs, features, Pm, P_pinv, center, bbox, messages, grid_acc,
+        n_valid,
     ):
+        # Per-shard valid count: the padded rows occupy the END of the
+        # global batch, so shard k of local size L owns rows [kL, (k+1)L).
+        local_n = ray_idxs.shape[0]
+        shard = jax.lax.axis_index(RAY_AXIS)
+        local_valid = jnp.clip(n_valid - shard * local_n, 0, local_n)
         new_msgs, scatter = fused.raynet_message_step(
             ray_idxs, features, Pm, P_pinv, center, bbox, messages,
-            grid_acc, height, width, padding, depth_planes, grid_shape,
-            max_voxels,
+            grid_acc, local_valid, height, width, padding, depth_planes,
+            grid_shape, max_voxels,
         )
         return new_msgs, jax.lax.psum(scatter, RAY_AXIS)
 

@@ -72,6 +72,17 @@ def test_raynet_forward_pass(setup):
     assert nz.min() >= 10.0 and nz.max() <= 30.0
 
 
+def test_raynet_with_odd_batches(setup):
+    """ADVICE r1 (high): a rays_batch that does not divide H*W pads the last
+    chunk with duplicates of ray 0; those rows must NOT be scattered into the
+    global occupancy accumulator (they inflated the grid 8.2 -> 226.5
+    log-odds before the n_valid mask)."""
+    maps = _run("raynet", setup, rays_batch=700)
+    ref = _run("raynet", setup)
+    np.testing.assert_allclose(maps[0], ref[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(maps[1], ref[1], rtol=1e-4, atol=1e-5)
+
+
 def test_filter_out_rays(setup, mock_scene_dir):
     """filter_out_rays restricts prediction to nonzero-GT pixels."""
     scene, gp, model, scheme = setup

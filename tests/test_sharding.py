@@ -93,7 +93,7 @@ def test_sharded_raynet_message_step(rng):
 
     ref_msgs, ref_scatter = fused.raynet_message_step(
         idxs, feats, P, P_pinv, center, bbox, msgs, grid_acc,
-        h, w, padding, d, grid_shape, m,
+        jnp.int32(n), h, w, padding, d, grid_shape, m,
     )
 
     step = sharded_raynet_message_step(
@@ -108,6 +108,7 @@ def test_sharded_raynet_message_step(rng):
         replicate(mesh, bbox),
         shard_batch(mesh, msgs),
         replicate(mesh, grid_acc),
+        replicate(mesh, jnp.int32(n)),
     )
     np.testing.assert_allclose(
         np.asarray(out_msgs), np.asarray(ref_msgs), rtol=1e-5, atol=1e-6
