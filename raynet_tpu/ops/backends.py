@@ -44,11 +44,18 @@ def get_voxel_traversal_backend(name="xla"):
 
 def depth_to_voxels(
     S, ray_voxel_indices, ray_voxel_count, ray_starts, ray_ends, bbox,
-    grid_shape, depth_planes,
+    grid_shape, depth_planes, interpolation="li", gamma=10.0,
 ):
-    """Numpy-API wrapper of the fused depth->voxel mapping."""
+    """Numpy-API wrapper of the fused depth->voxel mapping.
+
+    ``interpolation`` selects the variant ("li"/"li_2"/"quadratic"/"kde" —
+    the reference's single_ray_depth_to_voxels factory names,
+    planes_voxels_mapping.py:284-289); ``gamma`` is the kde bandwidth.
+    """
+    from .planes_voxels import planes_to_voxels_mapping_by_name
+
     return np.asarray(
-        planes_to_voxels_mapping(
+        planes_to_voxels_mapping_by_name(
             jnp.asarray(S),
             jnp.asarray(ray_voxel_indices),
             jnp.asarray(ray_voxel_count),
@@ -57,6 +64,8 @@ def depth_to_voxels(
             jnp.asarray(np.asarray(bbox).reshape(-1), dtype=jnp.float32),
             tuple(int(g) for g in grid_shape),
             int(depth_planes),
+            interpolation=interpolation,
+            gamma=gamma,
         )
     )
 
