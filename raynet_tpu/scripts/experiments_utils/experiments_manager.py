@@ -68,16 +68,19 @@ class MetricsHistory:
     """Stream per-batch / per-epoch metric rows to txt files (same format as
     the reference's Keras callback)."""
 
-    def __init__(self, filepath_train, filepath_val):
-        self.fd_t = open(filepath_train, "w")
-        self.fd_v = open(filepath_val, "w")
+    def __init__(self, filepath_train, filepath_val, mode="w"):
+        self.fd_t = open(filepath_train, mode)
+        self.fd_v = open(filepath_val, mode)
         self.keys_t = []
         self.keys_v = []
+        # When appending to a resumed run the header row already exists.
+        self._skip_header = mode == "a"
 
     def _on_end(self, fd, keys, logs):
         if not keys:
             keys.extend(sorted(logs.keys()))
-            print(" ".join(keys), file=fd)
+            if not self._skip_header:
+                print(" ".join(keys), file=fd)
         print(" ".join(str(logs[k]) for k in keys), file=fd)
         fd.flush()
 

@@ -154,6 +154,12 @@ def main(argv=None):
         default="default",
     )
     parser.add_argument("--seed", type=int, default=27)
+    parser.add_argument(
+        "--resume", default=None, metavar="EXPERIMENT_DIR",
+        help="Resume an interrupted run from its experiment directory's "
+             "latest orbax checkpoint (full state: params + optimizer "
+             "moments + batch stats; logs are appended)",
+    )
     add_nn_arguments(parser)
     add_training_arguments(parser)
     add_generation_arguments(parser)
@@ -164,9 +170,17 @@ def main(argv=None):
 
     np.random.seed(args.seed)
 
-    experiment_dir, weights_dir, _ = set_output_directory(
-        args.output_directory
-    )
+    if args.resume:
+        experiment_dir = args.resume
+        weights_dir = os.path.join(experiment_dir, "weights")
+        if not os.path.isdir(weights_dir):
+            raise SystemExit(
+                "--resume %r is not an experiment directory" % (args.resume,)
+            )
+    else:
+        experiment_dir, weights_dir, _ = set_output_directory(
+            args.output_directory
+        )
     print("experiment directory:", experiment_dir)
 
     generation_params = GenerationParameters.from_options(args)
@@ -242,9 +256,20 @@ def main(argv=None):
 
     train_step, eval_step = make_pretrain_step(model, loss_fn, wd)
 
+    from ..train.checkpointing import CheckpointManager
+
+    ckpt = CheckpointManager(
+        os.path.join(experiment_dir, "checkpoints"), save_interval_steps=1
+    )
+    state, resumed_epoch = ckpt.restore(state)
+    start_epoch = 0 if resumed_epoch is None else int(resumed_epoch)
+    if resumed_epoch is not None:
+        print("resumed from checkpoint after epoch %d" % (start_epoch - 1,))
+
     history = MetricsHistory(
         os.path.join(experiment_dir, "train.txt"),
         os.path.join(experiment_dir, "val.txt"),
+        mode="a" if args.resume else "w",
     )
 
     provider = BatchProvider(
@@ -256,7 +281,7 @@ def main(argv=None):
     results = []
     try:
         provider.ready()
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             for step in range(args.steps_per_epoch):
                 X, y = provider.get_batch()
                 state, metrics = train_step(state, X[0], X[1], y[0])
@@ -272,10 +297,13 @@ def main(argv=None):
                 state,
                 os.path.join(weights_dir, "weights.%02d.msgpack" % (epoch,)),
             )
+            ckpt.save(epoch + 1, state, force=True)
     except KeyboardInterrupt:
         print("interrupted; saving results so far")
     finally:
         provider.stop()
+        ckpt.wait()
+        ckpt.close()
         history.close()
 
     save_experiment_locally(

@@ -72,6 +72,16 @@ def main(argv=None):
     parser.add_argument("--window", type=int, default=4)
     parser.add_argument("--train_with_gamma", action="store_true")
     parser.add_argument("--seed", type=int, default=27)
+    parser.add_argument(
+        "--checkpoint_every", type=int, default=500,
+        help="Save the FULL training state (params + optimizer moments + "
+             "batch stats + step) with orbax every N iterations",
+    )
+    parser.add_argument(
+        "--resume", default=None, metavar="EXPERIMENT_DIR",
+        help="Resume an interrupted run from its experiment directory's "
+             "latest orbax checkpoint (logs are appended)",
+    )
     add_nn_arguments(parser)
     add_training_arguments(parser)
     add_generation_arguments(parser)
@@ -80,9 +90,17 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     np.random.seed(args.seed)
-    experiment_dir, weights_dir, _ = set_output_directory(
-        args.output_directory
-    )
+    if args.resume:
+        experiment_dir = args.resume
+        weights_dir = os.path.join(experiment_dir, "weights")
+        if not os.path.isdir(weights_dir):
+            raise SystemExit(
+                "--resume %r is not an experiment directory" % (args.resume,)
+            )
+    else:
+        experiment_dir, weights_dir, _ = set_output_directory(
+            args.output_directory
+        )
     print("experiment directory:", experiment_dir)
 
     gp = GenerationParameters.from_options(args)
@@ -138,12 +156,28 @@ def main(argv=None):
             "reference requires a pretrained model here"
         )
 
-    stats = open(os.path.join(experiment_dir, "train_statistics.txt"), "w")
-    val_log = open(os.path.join(experiment_dir, "val_loss.txt"), "w")
-    print("scene_idx loss gamma", file=stats)
+    from ..train.checkpointing import CheckpointManager
+
+    ckpt = CheckpointManager(
+        os.path.join(experiment_dir, "checkpoints"),
+        save_interval_steps=max(1, args.checkpoint_every),
+    )
+    state, resumed_step = ckpt.restore(state)
+    start_it = 0
+    if resumed_step is not None:
+        start_it = int(resumed_step)
+        print("resumed from checkpoint at iteration %d" % (start_it,))
+
+    mode = "a" if args.resume else "w"
+    stats = open(
+        os.path.join(experiment_dir, "train_statistics.txt"), mode
+    )
+    val_log = open(os.path.join(experiment_dir, "val_loss.txt"), mode)
+    if start_it == 0:
+        print("scene_idx loss gamma", file=stats)
 
     try:
-        for it in range(args.iterations):
+        for it in range(start_it, args.iterations):
             batch = train_bp.get_batch_of_rays(args.rays_batch_size)
             scene_idx = batch["scene_idx"]
             state, metrics = train_fn(state, _to_device_batch(batch))
@@ -167,10 +201,15 @@ def main(argv=None):
                     state,
                     os.path.join(weights_dir, "weights.%d.msgpack" % (it,)),
                 )
+            # The manager applies save_interval_steps itself; this is a
+            # no-op except every checkpoint_every iterations.
+            ckpt.save(it + 1, state)
     except KeyboardInterrupt:
         print("interrupted; saving final weights")
     finally:
         save_weights(state, os.path.join(weights_dir, "weights.final.msgpack"))
+        ckpt.wait()
+        ckpt.close()
         stats.close()
         val_log.close()
 

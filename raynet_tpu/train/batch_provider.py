@@ -178,36 +178,79 @@ SingleThreadRayNetBatchProvider = RayNetBatchProvider
 
 
 class MultiThreadRayNetBatchProvider(RayNetBatchProvider):
-    """Thread-pool batch assembly (the reference's multiprocessing variant
-    was broken by construction; threads share memory so this one works)."""
+    """Thread-pool batch assembly with GENUINELY concurrent draws.
 
-    def __init__(self, dataset, sample_generator, n_workers=4):
+    The reference's multiprocessing variant was broken by construction (its
+    workers wrote to non-shared memory, raynet_batch_provider.py:147-245);
+    round 1's thread version held one lock around the whole draw and was
+    serial in practice. Here the batch's (scene, image window) is pinned
+    from the shared generator's schedule up front — preserving the
+    single-scene batch invariant — and each worker draws rays with its OWN
+    generator clone (independent RNG, no shared mutable state), so the
+    expensive per-sample work (patch gathers, voxel traversal) runs outside
+    any lock. The shared schedule is advanced afterward by the number of
+    accepted draws, exactly as the serial provider would have.
+    """
+
+    def __init__(self, dataset, sample_generator, n_workers=4, seed=1234):
         super().__init__(dataset, sample_generator)
         self._n_workers = n_workers
+        self._worker_sgs = [
+            self._clone_generator(seed + i) for i in range(n_workers)
+        ]
+
+    def _clone_generator(self, seed):
+        import copy
+
+        sg = copy.copy(self._sg)
+        sg._rng = np.random.RandomState(seed)
+        return sg
 
     def get_batch_of_rays(self, batch_size):
-        # The generator object carries mutable scene/image counters, so the
-        # draw itself is serialized; the threads overlap the image IO that
-        # happens lazily inside Scene.get_image during the first draws.
+        sg = self._sg
+        scene_idx = sg._scenes_range[sg._scene_idx]
+        scene = self._dataset.get_scene(scene_idx)
+
         lock = threading.Lock()
         samples = []
+        errors = []
 
-        def worker():
-            while True:
+        def worker(wsg):
+            # Sync the clone's positional state with the shared schedule so
+            # _draw_img_idx sees the current image window.
+            wsg._scene_idx = sg._scene_idx
+            wsg._img_idx = sg._img_idx
+            try:
+                while True:
+                    with lock:
+                        if len(samples) >= batch_size or errors:
+                            return
+                    img_idx = wsg._draw_img_idx(scene, wsg._rng)
+                    s = wsg._get_sample(scene, scene_idx, img_idx)
+                    if s.X is None or s.y is None:
+                        continue
+                    with lock:
+                        if len(samples) < batch_size:
+                            samples.append(s)
+            except BaseException as e:
                 with lock:
-                    if len(samples) >= batch_size:
-                        return
-                    s = self._sg.get_sample(self._dataset)
-                    if s.X is not None and len(samples) < batch_size:
-                        samples.append(s)
+                    errors.append(e)
 
         threads = [
-            threading.Thread(target=worker) for _ in range(self._n_workers)
+            threading.Thread(target=worker, args=(wsg,))
+            for wsg in self._worker_sgs
         ]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            raise RuntimeError("batch worker failed") from errors[0]
+
+        # Advance the shared generator's schedule by the accepted draws.
+        for _ in range(len(samples)):
+            sg._rays_cnt += 1
+            sg._advance(scene)
 
         return self._assemble(samples[:batch_size])
 

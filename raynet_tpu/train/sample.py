@@ -360,13 +360,14 @@ class RayNetSampleGenerator(SampleGenerator):
             camera_center=camera_center,
         )
 
-    def get_sample(self, dataset):
-        scene_idx = self._scenes_range[self._scene_idx]
-        scene = dataset.get_scene(scene_idx)
+    def _draw_img_idx(self, scene, rng):
+        """Next reference-image index (separable so that parallel providers
+        can draw with per-worker RNGs)."""
+        return self._img_idx + int(rng.rand() * self._window)
 
-        img_idx = self._img_idx + int(self._rng.rand() * self._window)
-        sample = self._get_sample(scene, scene_idx, img_idx)
-
+    def _advance(self, scene):
+        """Move the (scene, image-window) schedule forward once enough rays
+        were accepted from the current position."""
         if self._rays_cnt >= self._n_rays:
             self._rays_cnt = 0
             self._img_idx += 2
@@ -375,22 +376,26 @@ class RayNetSampleGenerator(SampleGenerator):
                 self._scene_idx += 1
             if self._scene_idx >= len(self._scenes_range):
                 self._scene_idx = 0
+
+    def get_sample(self, dataset):
+        scene_idx = self._scenes_range[self._scene_idx]
+        scene = dataset.get_scene(scene_idx)
+        sample = self._get_sample(
+            scene, scene_idx, self._draw_img_idx(scene, self._rng)
+        )
+        self._advance(scene)
         return sample
 
 
 class RayNetRandomSampleGenerator(RayNetSampleGenerator):
     """RayNet samples with random image/scene advancement."""
 
-    def get_sample(self, dataset):
-        scene_idx = self._scenes_range[self._scene_idx]
-        scene = dataset.get_scene(scene_idx)
-        img_idx = self._rng.choice(
-            np.arange(2, scene.n_images - self._window)
-        )
-        sample = self._get_sample(scene, scene_idx, img_idx)
+    def _draw_img_idx(self, scene, rng):
+        return rng.choice(np.arange(2, scene.n_images - self._window))
+
+    def _advance(self, scene):
         if self._rays_cnt >= self._n_rays:
             self._rays_cnt = 0
             self._scene_idx = self._rng.choice(
                 np.arange(len(self._scenes_range))
             )
-        return sample

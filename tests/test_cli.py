@@ -114,6 +114,34 @@ def test_pretrain_cli_one_epoch(mock_scene_dir, tmp_path):
     assert params["epochs"] == 1
 
 
+def test_pretrain_cli_resume(mock_scene_dir, tmp_path, capsys):
+    """raynet_pretrain --resume continues at the checkpointed epoch with
+    logs appended (no duplicate header)."""
+    common = [
+        str(mock_scene_dir.parent),
+        str(mock_scene_dir.parent),
+        str(tmp_path),
+        "--steps_per_epoch", "2",
+        "--training_cached_samples", "8",
+        "--n_test_samples", "4",
+        "--batch_size", "4",
+        "--neighbors", "4",
+    ] + _common_flags()
+    pretrain_cli.main(common + ["--epochs", "1"])
+    exp = tmp_path / os.listdir(tmp_path)[0]
+    assert "1" in os.listdir(exp / "checkpoints")
+    capsys.readouterr()
+
+    pretrain_cli.main(common + ["--epochs", "2", "--resume", str(exp)])
+    out = capsys.readouterr().out
+    assert "resumed from checkpoint after epoch 0" in out
+    assert len(os.listdir(tmp_path)) == 1
+    val = (exp / "val.txt").read_text().strip().splitlines()
+    assert val[0].startswith("epoch")
+    assert len(val) == 3  # header + epoch 0 + epoch 1
+    assert "2" in os.listdir(exp / "checkpoints")
+
+
 def test_frame_idxs_type():
     assert frame_idxs_type(":") == slice(None, None)
     assert frame_idxs_type("2:5") == slice(2, 5)

@@ -102,6 +102,64 @@ def test_raynet_sample_and_batch(mock_scene_dir, gp):
     np.testing.assert_allclose(batch["y"].sum(-1), 1.0)
 
 
+def test_multithread_provider_matches_layout_and_scene(mock_scene_dir, gp):
+    from raynet_tpu.train.batch_provider import MultiThreadRayNetBatchProvider
+
+    dataset = RestrepoDataset(str(mock_scene_dir.parent))
+    scheme = get_sampling_scheme("sample_in_bbox")(gp)
+    in_shapes, out_shapes = _input_shapes(gp)
+    sg = RayNetRandomSampleGenerator(
+        scheme, gp, [0], in_shapes, out_shapes, window=2,
+        rng=np.random.RandomState(6),
+    )
+    provider = MultiThreadRayNetBatchProvider(dataset, sg, n_workers=3)
+    batch = provider.get_batch_of_rays(6)
+    assert batch["X"].shape == (5, 6, gp.depth_planes) + tuple(gp.patch_shape)
+    assert np.all(batch["ray_voxel_count"] >= 1)
+    np.testing.assert_allclose(batch["y"].sum(-1), 1.0)
+    assert batch["scene_idx"] == 0
+
+
+def test_multithread_provider_draws_concurrently(mock_scene_dir, gp):
+    """The expensive per-sample draw must overlap across workers (round 1
+    held a lock around the whole draw and was serial in practice)."""
+    import threading
+    import time
+
+    from raynet_tpu.train.batch_provider import MultiThreadRayNetBatchProvider
+    from raynet_tpu.train.sample import RayNetRandomSampleGenerator
+
+    dataset = RestrepoDataset(str(mock_scene_dir.parent))
+    scheme = get_sampling_scheme("sample_in_bbox")(gp)
+    in_shapes, out_shapes = _input_shapes(gp)
+
+    gauge = {"cur": 0, "max": 0}
+    glock = threading.Lock()
+
+    class SlowGenerator(RayNetRandomSampleGenerator):
+        def _get_sample(self, scene, scene_idx, img_idx):
+            with glock:
+                gauge["cur"] += 1
+                gauge["max"] = max(gauge["max"], gauge["cur"])
+            time.sleep(0.05)  # a synthetic slow draw (e.g. image IO)
+            try:
+                return super()._get_sample(scene, scene_idx, img_idx)
+            finally:
+                with glock:
+                    gauge["cur"] -= 1
+
+    sg = SlowGenerator(
+        scheme, gp, [0], in_shapes, out_shapes, window=2,
+        rng=np.random.RandomState(7),
+    )
+    provider = MultiThreadRayNetBatchProvider(dataset, sg, n_workers=4)
+    provider.get_batch_of_rays(8)
+    assert gauge["max"] >= 2, (
+        "draws never overlapped: the provider is serial (max concurrency %d)"
+        % gauge["max"]
+    )
+
+
 def test_pretrain_step_reduces_loss(rng):
     b, d, n, h, w, c = 4, 4, 3, 11, 11, 1
     model, state, loss_fn, wd = create_pretrain_state(
