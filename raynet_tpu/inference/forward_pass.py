@@ -230,6 +230,39 @@ class RayNetForwardPass(ForwardPass):
     # float32 entries (the reference always memmap'ed;
     # forward_pass.py:600-615). In-memory is faster for everything that fits.
     messages_memmap_threshold = 2 ** 28  # 1 GiB of f32
+    # "auto": shard the ray axis over all visible devices (the scale-out
+    # capability the single-GPU reference lacks); "off": single device.
+    multichip = "auto"
+
+    def _sharded_steps(self, H, W, gp, grid_shape, M):
+        """Build shard_map'ed message/depth steps when >1 device is visible
+        and the batch splits evenly; None -> single-device path."""
+        if self.multichip == "off":
+            return None
+        n_dev = len(jax.devices())
+        if n_dev < 2 or self.rays_batch % n_dev != 0:
+            return None
+        from ..parallel.sharding import (
+            make_ray_mesh,
+            sharded_raynet_message_step,
+            sharded_raynet_depth_step,
+        )
+
+        mesh = make_ray_mesh()
+        common = (H, W, gp.padding, gp.depth_planes, grid_shape, M)
+        return {
+            "first": sharded_raynet_message_step(
+                mesh, *common, use_pallas=_use_pallas(),
+                first_iteration=True,
+            ),
+            "rest": sharded_raynet_message_step(
+                mesh, *common, use_pallas=_use_pallas(),
+                first_iteration=False,
+            ),
+            "depth": sharded_raynet_depth_step(
+                mesh, *common, use_pallas=_use_pallas()
+            ),
+        }
 
     def _alloc_messages(self, n_rays, M, ref_idx):
         if n_rays * M > self.messages_memmap_threshold:
@@ -278,6 +311,7 @@ class RayNetForwardPass(ForwardPass):
             i: self._alloc_messages(len(ray_idxs_per_image[i]), M, i)
             for i in ref_indices
         }
+        sharded = self._sharded_steps(H, W, gp, grid_shape, M)
         try:
             grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
 
@@ -300,15 +334,25 @@ class RayNetForwardPass(ForwardPass):
                             msg_in[:n_valid] = messages[ref_idx][
                                 off : off + n_valid
                             ]
-                            new_msgs, scatter = fused.raynet_message_step(
-                                chunk, features, P, P_pinv, center, bbox,
-                                jnp.asarray(msg_in), grid_acc,
-                                jnp.int32(n_valid),
-                                H, W, gp.padding, gp.depth_planes,
-                                grid_shape, M,
-                                use_pallas=_use_pallas(),
-                                first_iteration=(iteration == 0),
-                            )
+                            if sharded is not None:
+                                step = sharded[
+                                    "first" if iteration == 0 else "rest"
+                                ]
+                                new_msgs, scatter = step(
+                                    chunk, features, P, P_pinv, center,
+                                    bbox, jnp.asarray(msg_in), grid_acc,
+                                    jnp.int32(n_valid),
+                                )
+                            else:
+                                new_msgs, scatter = fused.raynet_message_step(
+                                    chunk, features, P, P_pinv, center, bbox,
+                                    jnp.asarray(msg_in), grid_acc,
+                                    jnp.int32(n_valid),
+                                    H, W, gp.padding, gp.depth_planes,
+                                    grid_shape, M,
+                                    use_pallas=_use_pallas(),
+                                    first_iteration=(iteration == 0),
+                                )
                             messages[ref_idx][
                                 off : off + n_valid
                             ] = np.asarray(new_msgs)[:n_valid]
@@ -328,12 +372,18 @@ class RayNetForwardPass(ForwardPass):
                     msg_in[:n_valid] = messages[ref_idx][
                         off : off + n_valid
                     ]
-                    _, depth = fused.raynet_depth_step(
-                        chunk, features, P, P_pinv, center, bbox,
-                        jnp.asarray(msg_in), grid_acc,
-                        H, W, gp.padding, gp.depth_planes, grid_shape, M,
-                        use_pallas=_use_pallas(),
-                    )
+                    if sharded is not None:
+                        _, depth = sharded["depth"](
+                            chunk, features, P, P_pinv, center, bbox,
+                            jnp.asarray(msg_in), grid_acc,
+                        )
+                    else:
+                        _, depth = fused.raynet_depth_step(
+                            chunk, features, P, P_pinv, center, bbox,
+                            jnp.asarray(msg_in), grid_acc,
+                            H, W, gp.padding, gp.depth_planes, grid_shape, M,
+                            use_pallas=_use_pallas(),
+                        )
                     depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                         depth
                     )[:n_valid]

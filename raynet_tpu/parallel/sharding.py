@@ -68,7 +68,8 @@ def sharded_bp_update(mesh, grid_size):
 
 
 def sharded_raynet_message_step(
-    mesh, height, width, padding, depth_planes, grid_shape, max_voxels
+    mesh, height, width, padding, depth_planes, grid_shape, max_voxels,
+    use_pallas=False, first_iteration=False,
 ):
     """Full fused RayNet message step with rays sharded over the mesh."""
 
@@ -101,9 +102,38 @@ def sharded_raynet_message_step(
         new_msgs, scatter = fused.raynet_message_step(
             ray_idxs, features, Pm, P_pinv, center, bbox, messages,
             grid_acc, local_valid, height, width, padding, depth_planes,
-            grid_shape, max_voxels,
+            grid_shape, max_voxels, use_pallas=use_pallas,
+            first_iteration=first_iteration,
         )
         return new_msgs, jax.lax.psum(scatter, RAY_AXIS)
+
+    return step
+
+
+def sharded_raynet_depth_step(
+    mesh, height, width, padding, depth_planes, grid_shape, max_voxels,
+    use_pallas=False,
+):
+    """Final posterior-depth sweep with rays sharded over the mesh (no
+    cross-ray interaction: the grid is read-only here, so no collective)."""
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(RAY_AXIS), P(), P(), P(), P(), P(), P(RAY_AXIS), P(),
+        ),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+    )
+    def step(
+        ray_idxs, features, Pm, P_pinv, center, bbox, messages, grid_acc
+    ):
+        return fused.raynet_depth_step(
+            ray_idxs, features, Pm, P_pinv, center, bbox, messages,
+            grid_acc, height, width, padding, depth_planes, grid_shape,
+            max_voxels, use_pallas=use_pallas,
+        )
 
     return step
 

