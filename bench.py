@@ -1,18 +1,26 @@
-"""Benchmark: plane-sweep depth-estimation throughput (rays/second).
+"""Benchmark suite: one JSON line per metric (driver captures stdout).
 
-Reproduces the reference's headline number — the multi_view_cnn CUDA path
-scored a sub-megapixel Aerial frame in ~0.065 s, i.e. ~1e6 rays/s of
-plane-sweep scoring on a 2016 TITAN X (docs/getting-started.md:119-157,
-BASELINE.md). Same pipeline shape here: D=32 depth hypotheses, 5 views,
-F=32 features, bbox sampling, argmax depth.
+Metrics
+-------
+1. plane_sweep_rays_per_second — the reference's headline number: the
+   multi_view_cnn CUDA path scored a sub-megapixel Aerial frame in ~0.065 s
+   = ~1e6 rays/s on a 2016 TITAN X (docs/getting-started.md:119-157,
+   BASELINE.md). Served here by the banded Pallas plane-sweep kernel.
+2. raynet_message_step_ms — one fused RayNet BP message sweep over 65,536
+   rays at production shapes (D=32, V=5, M=650, grid 256x256x128);
+   vs_baseline is round 1's 1109 ms.
+3. dtu_scene_extrapolated_s — (3 message + 1 depth sweeps) x 49 views x
+   1.92M rays extrapolated from the measured per-batch times; vs_baseline
+   is the <60 s reference scene target (BASELINE.md).
+4. mvcnn_depth_agreement / voxel_depth_agreement — ON-DEVICE value checks:
+   the compiled Mosaic kernels (banded plane sweep; DDA traversal) must
+   reproduce the XLA paths' depths. Guards against interpreter-vs-Mosaic
+   divergence every round; vs_baseline is the 0.999 agreement bar.
 
 Measurement notes: on the tunneled TPU platform, `block_until_ready` does
 not actually synchronize, and closed-over arrays become HLO constants — so
 every timed function takes its inputs as arguments and the loop materializes
 a device-side scalar reduction per iteration.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; per-stage
-details go to stderr.
 """
 import json
 import sys
@@ -22,6 +30,9 @@ import numpy as np
 
 
 BASELINE_RAYS_PER_S = 1.0e6  # reference GPU throughput (BASELINE.md)
+ROUND1_MESSAGE_STEP_MS = 1109.0
+DTU_SCENE_TARGET_S = 60.0
+AGREEMENT_BAR = 0.999
 
 
 def _cameras(h, w, n_views):
@@ -43,11 +54,28 @@ def _cameras(h, w, n_views):
     return np.stack(Ps), np.linalg.pinv(Ps[0]), centers[0]
 
 
+def emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 4),
+                "unit": unit,
+                "vs_baseline": round(float(vs_baseline), 3),
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from raynet_tpu.ops import fused
+    from raynet_tpu.ops.pallas.planesweep import plan_band_specs
+
+    on_tpu = jax.default_backend() != "cpu"
 
     h, w = 360, 640
     n_views, depth_planes, padding, feat_dim = 5, 32, 11, 32
@@ -66,24 +94,49 @@ def main():
         dtype=jnp.bfloat16,
     )
 
+    bands = (
+        plan_band_specs(
+            P, P_pinv, center, bbox, h, w, padding, depth_planes
+        )
+        if on_tpu
+        else None
+    )
+    print("band specs:", bands, file=sys.stderr)
+
+    # ---------------------------------------------- 1. plane sweep headline
     @jax.jit
     def sweep(idxs, features, P, P_pinv, center, bbox):
         _, depth = fused.mvcnn_depth_step(
             idxs, features, P, P_pinv, center, bbox,
-            h, w, padding, depth_planes,
+            h, w, padding, depth_planes, band_specs=bands,
+            tile_ordered=True,
         )
         return depth.sum()
 
+    # Chunk the TILE-ORDERED ray list so every 128-ray kernel block is one
+    # complete pixel tile (mixed-tile blocks blow up the band boxes and
+    # trip the exactness fallback).
+    xs = np.arange(n_rays) // h
+    ys = np.arange(n_rays) % h
+    tile_ids = (xs // 16) * ((h + 7) // 8) + ys // 8
+    order = np.argsort(tile_ids, kind="stable").astype(np.int32)
     batches = [
-        jnp.arange(off, off + rays_batch, dtype=jnp.int32) % n_rays
+        jnp.asarray(
+            order[np.arange(off, off + rays_batch) % n_rays]
+        )
         for off in range(0, n_rays, rays_batch)
     ]
 
     def sweep_image():
-        acc = 0.0
-        for idxs in batches:
-            acc += float(sweep(idxs, features, P, P_pinv, center, bbox))
-        return acc
+        # Queue all batches asynchronously; ONE device sync at the end
+        # (a per-batch float() costs a full tunnel round trip on axon).
+        sums = [
+            sweep(idxs, features, P, P_pinv, center, bbox)
+            for idxs in batches
+        ]
+        import jax.numpy as jnp
+
+        return float(jnp.stack(sums).sum())
 
     sweep_image()  # warmup/compile
     iters = 3
@@ -99,17 +152,91 @@ def main():
         % (elapsed * 1e3, n_processed),
         file=sys.stderr,
     )
-
-    print(
-        json.dumps(
-            {
-                "metric": "plane_sweep_rays_per_second",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
-            }
-        )
+    emit(
+        "plane_sweep_rays_per_second", round(rays_per_s, 1), "rays/s",
+        rays_per_s / BASELINE_RAYS_PER_S,
     )
+
+    # ------------------------------- 2./3. full RayNet message sweep + DTU
+    grid_shape = (256, 256, 128)
+    max_voxels = 650
+    grid_size = int(np.prod(grid_shape))
+    msgs = jnp.zeros((rays_batch, max_voxels), dtype=jnp.float32)
+    grid_acc = jnp.full((grid_size,), -3.0, dtype=jnp.float32)
+
+    @jax.jit
+    def message_step(idxs, features, P, P_pinv, center, bbox, msgs, acc):
+        new_msgs, scatter = fused.raynet_message_step(
+            idxs, features, P, P_pinv, center, bbox, msgs, acc,
+            jnp.int32(rays_batch), h, w, padding, depth_planes,
+            grid_shape, max_voxels,
+            use_pallas=on_tpu, band_specs=bands, tile_ordered=True,
+        )
+        return new_msgs.sum() + scatter.sum()
+
+    args = (batches[0], features, P, P_pinv, center, bbox, msgs, grid_acc)
+    float(message_step(*args))  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(message_step(*args))
+    msg_ms = (time.perf_counter() - t0) / iters * 1e3
+    print("raynet message step: %.1f ms / 65k rays" % msg_ms, file=sys.stderr)
+    emit(
+        "raynet_message_step_ms", msg_ms, "ms",
+        ROUND1_MESSAGE_STEP_MS / msg_ms,
+    )
+
+    dtu_batches = 49 * 1600 * 1200 / rays_batch
+    dtu_s = 4 * (msg_ms / 1e3) * dtu_batches
+    emit(
+        "dtu_scene_extrapolated_s", dtu_s, "s", DTU_SCENE_TARGET_S / dtu_s
+    )
+
+    # -------------------------- 4. on-device kernel-vs-XLA value agreement
+    val_idxs = jnp.asarray(order[:4096].copy())  # 32 complete tiles
+
+    @jax.jit
+    def depth_banded(idxs, features, P, P_pinv, center, bbox):
+        return fused.mvcnn_depth_step(
+            idxs, features, P, P_pinv, center, bbox,
+            h, w, padding, depth_planes, band_specs=bands,
+            tile_ordered=True,
+        )[1]
+
+    @jax.jit
+    def depth_xla(idxs, features, P, P_pinv, center, bbox):
+        return fused.mvcnn_depth_step(
+            idxs, features, P, P_pinv, center, bbox,
+            h, w, padding, depth_planes,
+        )[1]
+
+    d_k = np.asarray(depth_banded(val_idxs, features, P, P_pinv, center, bbox))
+    d_x = np.asarray(depth_xla(val_idxs, features, P, P_pinv, center, bbox))
+    agree = float(np.isclose(d_k, d_x, rtol=1e-3, atol=1e-3).mean())
+    emit("mvcnn_depth_agreement", agree, "fraction", agree / AGREEMENT_BAR)
+
+    vgrid, vm = (128, 128, 64), 384
+
+    @jax.jit
+    def vdepth_pallas(idxs, features, P, P_pinv, center, bbox):
+        return fused.mvcnn_voxel_depth_step(
+            idxs, features, P, P_pinv, center, bbox,
+            h, w, padding, depth_planes, vgrid, vm, use_pallas=on_tpu,
+        )[3]
+
+    @jax.jit
+    def vdepth_scan(idxs, features, P, P_pinv, center, bbox):
+        return fused.mvcnn_voxel_depth_step(
+            idxs, features, P, P_pinv, center, bbox,
+            h, w, padding, depth_planes, vgrid, vm, use_pallas=False,
+        )[3]
+
+    v_p = np.asarray(
+        vdepth_pallas(val_idxs, features, P, P_pinv, center, bbox)
+    )
+    v_s = np.asarray(vdepth_scan(val_idxs, features, P, P_pinv, center, bbox))
+    vagree = float(np.isclose(v_p, v_s, rtol=1e-3, atol=1e-3).mean())
+    emit("voxel_depth_agreement", vagree, "fraction", vagree / AGREEMENT_BAR)
 
 
 if __name__ == "__main__":

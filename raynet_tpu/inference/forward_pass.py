@@ -55,7 +55,31 @@ class ForwardPass:
 
         self._feature_cache = OrderedDict()
         self.max_cached_view_sets = 12
+        self._band_cache = {}
         self.timer = PhaseTimer(verbose=False)
+
+    def _band_specs(self, scene, ref_idx, features):
+        """Static epipolar-band boxes for the banded plane-sweep kernel
+        (None -> XLA gather path). Planned once per reference view on the
+        host; bucketed so nearby views reuse one compiled kernel."""
+        if (
+            not _use_pallas()
+            or self.rays_batch % 128 != 0
+            or features.shape[-1] != 32
+        ):
+            return None
+        if ref_idx not in self._band_cache:
+            from ..ops.pallas.planesweep import plan_band_specs
+
+            _, P, P_pinv, center = self._feature_cache[ref_idx]
+            gp = self._generation_params
+            H, W = scene.image_shape
+            self._band_cache[ref_idx] = plan_band_specs(
+                P, P_pinv, center,
+                jnp.asarray(scene.bbox.reshape(-1), dtype=jnp.float32),
+                H, W, gp.padding, gp.depth_planes,
+            )
+        return self._band_cache[ref_idx]
 
     # -- depth-map converters (parity: forward_pass.py:51-139) ----------
     @staticmethod
@@ -110,8 +134,25 @@ class ForwardPass:
         if self._filter_out_rays:
             grid = idxs.reshape(W, H).T
             G = scene.get_depth_map(i)
-            return grid[G != 0].ravel()
-        return idxs
+            idxs = grid[G != 0].ravel()
+        return self._tile_sort(idxs, H)
+
+    def _tile_sort(self, idxs, height):
+        """Pre-sort rays by pixel tile so the banded plane-sweep kernel's
+        128-ray blocks stay spatially tight (batch boundaries then cut at
+        tile boundaries). A stable re-sort inside the fused step is a
+        no-op on already-sorted input; callers index depth maps by ray id,
+        so any fixed order is fine."""
+        if not _use_pallas() or self.rays_batch % 128 != 0:
+            return idxs
+        from ..ops.pallas.planesweep import TILE_W, TILE_H
+
+        x = idxs // height
+        y = idxs % height
+        tile = (x // TILE_W) * ((height + TILE_H - 1) // TILE_H) + (
+            y // TILE_H
+        )
+        return idxs[np.argsort(tile, kind="stable")]
 
     def _features_and_cameras(self, scene, ref_idx):
         """CNN features + camera tensors for a reference view set, cached."""
@@ -144,13 +185,20 @@ class ForwardPass:
         return self._feature_cache[ref_idx]
 
     def _ray_batches(self, ray_idxs):
-        """Fixed-size batches (last one padded) to avoid jit re-tracing."""
+        """Fixed-size batches (last one padded) to avoid jit re-tracing.
+
+        Padding repeats the chunk's LAST ray (not ray 0) so padded blocks
+        stay spatially tight for the banded kernel; padded rows are masked
+        out of any scatter via n_valid.
+        """
         b = self.rays_batch
         for i in range(0, len(ray_idxs), b):
             chunk = ray_idxs[i : i + b]
             pad = b - len(chunk)
             if pad:
-                chunk = np.concatenate([chunk, np.zeros(pad, np.int32)])
+                chunk = np.concatenate(
+                    [chunk, np.full(pad, chunk[-1], np.int32)]
+                )
             yield i, len(ray_idxs[i : i + b]), jnp.asarray(chunk)
 
     def forward_pass(self, scene, images_range):
@@ -172,12 +220,14 @@ class MultiViewCNNForwardPass(ForwardPass):
             features, P, P_pinv, center = self._features_and_cameras(
                 scene, ref_idx
             )
+            bands = self._band_specs(scene, ref_idx, features)
             depth_map = np.zeros(H * W, dtype=np.float32)
             with self.timer.phase("Per-pixel depth estimation"):
                 for off, n_valid, chunk in self._ray_batches(ray_idxs):
                     _, depth = fused.mvcnn_depth_step(
                         chunk, features, P, P_pinv, center, bbox,
                         H, W, gp.padding, gp.depth_planes,
+                        band_specs=bands, tile_ordered=True,
                     )
                     depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                         depth
@@ -202,6 +252,7 @@ class MultiViewCNNVoxelSpaceForwardPass(ForwardPass):
             features, P, P_pinv, center = self._features_and_cameras(
                 scene, ref_idx
             )
+            bands = self._band_specs(scene, ref_idx, features)
             depth_map = np.zeros(H * W, dtype=np.float32)
             with self.timer.phase("Per-pixel depth estimation"):
                 for off, n_valid, chunk in self._ray_batches(ray_idxs):
@@ -210,6 +261,7 @@ class MultiViewCNNVoxelSpaceForwardPass(ForwardPass):
                         H, W, gp.padding, gp.depth_planes, grid_shape,
                         gp.max_number_of_marched_voxels,
                         use_pallas=_use_pallas(),
+                        band_specs=bands, tile_ordered=True,
                     )
                     depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                         depth
@@ -352,6 +404,10 @@ class RayNetForwardPass(ForwardPass):
                                     grid_shape, M,
                                     use_pallas=_use_pallas(),
                                     first_iteration=(iteration == 0),
+                                    band_specs=self._band_specs(
+                                        scene, ref_idx, features
+                                    ),
+                                    tile_ordered=True,
                                 )
                             messages[ref_idx][
                                 off : off + n_valid
@@ -383,6 +439,10 @@ class RayNetForwardPass(ForwardPass):
                             jnp.asarray(msg_in), grid_acc,
                             H, W, gp.padding, gp.depth_planes, grid_shape, M,
                             use_pallas=_use_pallas(),
+                            band_specs=self._band_specs(
+                                scene, ref_idx, features
+                            ),
+                            tile_ordered=True,
                         )
                     depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                         depth

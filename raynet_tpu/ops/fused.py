@@ -20,7 +20,11 @@ import jax.numpy as jnp
 
 from .geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
 from .sampling import sample_points_along_segments
-from .similarities import compute_similarities
+from .similarities import (
+    compute_similarities,
+    project_to_feature_idx,
+    bands_fit,
+)
 from .ray_marching import (
     voxel_traversal_flat,
     unflatten_voxel_indices,
@@ -35,9 +39,57 @@ def _segments(ray_idxs, P_pinv, camera_center, bbox, height):
     return rays_entry_exit_bbox(directions, camera_center, bbox[:3], bbox[3:])
 
 
+def _tile_perm(ray_idxs, height, tile_ordered):
+    """(perm, inv) for the banded kernel's pixel-tile blocking; identity
+    when the caller already passes tile-ordered rays (the forward passes
+    and bench pre-sort on the host — the in-graph argsort costs ~8 ms per
+    65k rays on v5e). bands_fit still guards exactness either way."""
+    if tile_ordered:
+        identity = jnp.arange(ray_idxs.shape[0], dtype=jnp.int32)
+        return identity, identity
+    from .pallas.planesweep import tile_order
+
+    return tile_order(ray_idxs, height)
+
+
+def _similarities(
+    features, P, points, padding, height, width, band_specs
+):
+    """Plane-sweep scores: banded Pallas kernel when ``band_specs`` is set
+    (points must then be in ray-tile order), with an in-graph fallback to
+    the XLA gather path if this batch's bands overflow the static boxes."""
+    if band_specs is None:
+        return compute_similarities(
+            features, P, points, padding, height, width
+        )
+    from .pallas.planesweep import banded_similarities
+
+    n_views = features.shape[0]
+    n_pairs = (n_views * (n_views - 1)) // 2
+    fidx = project_to_feature_idx(
+        features, P, points, padding, height, width
+    )
+
+    def banded(_):
+        pair = banded_similarities(
+            features, fidx, band_specs, height, width, points.shape[1]
+        )
+        return jax.nn.softmax(pair / n_pairs, axis=-1)
+
+    def fallback(_):
+        return compute_similarities(
+            features, P, points, padding, height, width
+        )
+
+    return jax.lax.cond(bands_fit(fidx, band_specs), banded, fallback, None)
+
+
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "padding", "depth_planes"),
+    static_argnames=(
+        "height", "width", "padding", "depth_planes", "band_specs",
+        "tile_ordered",
+    ),
 )
 def mvcnn_depth_step(
     ray_idxs,
@@ -50,23 +102,39 @@ def mvcnn_depth_step(
     width,
     padding,
     depth_planes,
+    band_specs=None,
+    tile_ordered=False,
 ):
     """Plane-sweep scoring + per-ray argmax depth.
 
     Returns (S (N, D) softmax scores, depth (N,) = ||argmax point - C||).
     Ties break to the first maximum, like the reference argmax.
+
+    ``band_specs`` (static, from ops.pallas.planesweep.plan_band_specs)
+    routes the scoring through the banded Pallas kernel (~11x on v5e);
+    ``tile_ordered`` promises the rays are already pixel-tile sorted.
     """
+    reorder = band_specs is not None and not tile_ordered
+    if reorder:
+        from .pallas.planesweep import tile_order
+
+        perm, inv = tile_order(ray_idxs, height)
+        ray_idxs = ray_idxs[perm]
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S = compute_similarities(features, P, points, padding, height, width)
+    S = _similarities(
+        features, P, points, padding, height, width, band_specs
+    )
 
     best = jnp.argmax(S, axis=-1)  # (N,)
     best_points = jnp.take_along_axis(
         points, best[:, None, None], axis=1
     )[:, 0]
     depth = jnp.linalg.norm(best_points - camera_center[None], axis=-1)
+    if reorder:
+        S, depth = S[inv], depth[inv]
     return S, depth
 
 
@@ -80,6 +148,8 @@ def mvcnn_depth_step(
         "grid_shape",
         "max_voxels",
         "use_pallas",
+        "band_specs",
+        "tile_ordered",
     ),
 )
 def mvcnn_voxel_depth_step(
@@ -96,16 +166,26 @@ def mvcnn_voxel_depth_step(
     grid_shape,
     max_voxels,
     use_pallas=False,
+    band_specs=None,
+    tile_ordered=False,
 ):
     """Plane sweep -> voxel traversal -> depth->voxel mapping -> argmax.
 
     Returns (S_vox (N, M), voxel_indices (N, M, 3), counts (N,), depth (N,)).
     """
+    reorder = band_specs is not None and not tile_ordered
+    if reorder:
+        from .pallas.planesweep import tile_order
+
+        perm, inv = tile_order(ray_idxs, height)
+        ray_idxs = ray_idxs[perm]
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = compute_similarities(features, P, points, padding, height, width)
+    S_planes = _similarities(
+        features, P, points, padding, height, width, band_specs
+    )
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
@@ -123,6 +203,9 @@ def mvcnn_voxel_depth_step(
     ]
     depth = jnp.linalg.norm(best_centers - camera_center[None], axis=-1)
     depth = jnp.where(counts > 0, depth, 0.0)
+    if reorder:
+        S_vox, vox = S_vox[inv], vox[inv]
+        counts, depth = counts[inv], depth[inv]
     return S_vox, vox, counts, depth
 
 
@@ -137,6 +220,8 @@ def mvcnn_voxel_depth_step(
         "max_voxels",
         "use_pallas",
         "first_iteration",
+        "band_specs",
+        "tile_ordered",
     ),
 )
 def raynet_message_step(
@@ -157,6 +242,8 @@ def raynet_message_step(
     max_voxels,
     use_pallas=False,
     first_iteration=False,
+    band_specs=None,
+    tile_ordered=False,
 ):
     """Front half of RayNet + one BP message update for this ray batch.
 
@@ -173,18 +260,28 @@ def raynet_message_step(
     the incoming messages are zero, so the specialized first sweep skips the
     42M-element grid gather entirely (ops/mrf.bp_update_first).
     """
+    reorder = band_specs is not None and not tile_ordered
+    if reorder:
+        from .pallas.planesweep import tile_order
+
+        perm, inv = tile_order(ray_idxs, height)
+        ray_idxs = ray_idxs[perm]
+        messages_pon = messages_pon[perm]
+        valid = perm < n_valid
+    else:
+        valid = jnp.arange(ray_idxs.shape[0]) < n_valid
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = compute_similarities(features, P, points, padding, height, width)
+    S_planes = _similarities(
+        features, P, points, padding, height, width, band_specs
+    )
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
     )
-    counts = jnp.where(
-        jnp.arange(counts.shape[0]) < n_valid, counts, 0
-    )
+    counts = jnp.where(valid, counts, 0)
     vox = unflatten_voxel_indices(flat_idx, grid_shape)
     S_vox = planes_to_voxels_mapping(
         S_planes, vox, counts, ray_start, ray_end, bbox, grid_shape,
@@ -200,6 +297,8 @@ def raynet_message_step(
         new_msgs, scatter = mrf.bp_update(
             S_vox, flat_idx, counts, messages_pon, grid_acc_flat, grid_size
         )
+    if reorder:
+        new_msgs = new_msgs[inv]
     return new_msgs, scatter
 
 
@@ -213,6 +312,8 @@ def raynet_message_step(
         "grid_shape",
         "max_voxels",
         "use_pallas",
+        "band_specs",
+        "tile_ordered",
     ),
 )
 def raynet_depth_step(
@@ -231,16 +332,27 @@ def raynet_depth_step(
     grid_shape,
     max_voxels,
     use_pallas=False,
+    band_specs=None,
+    tile_ordered=False,
 ):
     """Final RayNet sweep: occlusion-aware posterior depth per ray.
 
     Returns (S_new (N, M), depth (N,)).
     """
+    reorder = band_specs is not None and not tile_ordered
+    if reorder:
+        from .pallas.planesweep import tile_order
+
+        perm, inv = tile_order(ray_idxs, height)
+        ray_idxs = ray_idxs[perm]
+        messages_pon = messages_pon[perm]
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = compute_similarities(features, P, points, padding, height, width)
+    S_planes = _similarities(
+        features, P, points, padding, height, width, band_specs
+    )
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
@@ -263,4 +375,6 @@ def raynet_depth_step(
     ]
     depth = jnp.linalg.norm(best_centers - camera_center[None], axis=-1)
     depth = jnp.where(counts > 0, depth, 0.0)
+    if reorder:
+        S_new, depth = S_new[inv], depth[inv]
     return S_new, depth

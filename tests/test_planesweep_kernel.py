@@ -1,0 +1,198 @@
+"""Banded plane-sweep kernel vs the XLA similarity path (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raynet_tpu.ops.geometry import (
+    rays_from_pixel_idxs,
+    rays_entry_exit_bbox,
+    project_points,
+)
+from raynet_tpu.ops.sampling import sample_points_along_segments
+from raynet_tpu.ops.similarities import (
+    compute_similarities,
+    pixel_to_feature_idx,
+)
+from raynet_tpu.ops.pallas.planesweep import (
+    banded_similarities,
+    measure_box_specs,
+    tile_order,
+    RAYS_PER_BLOCK,
+)
+
+
+def _ring_setup(rng, h=32, w=32, v=3, padding=5, f=32, ang_scale=0.08):
+    K = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]])
+    Ps, centers = [], []
+    for i in range(v):
+        ang = (i - v / 2) * ang_scale
+        c = np.array([10 * np.sin(ang), 0, -10 * np.cos(ang)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        t = -R @ c.reshape(3, 1)
+        Ps.append(K @ np.hstack([R, t]))
+        centers.append(c)
+    P = jnp.asarray(np.stack(Ps), jnp.float32)
+    P_pinv = jnp.asarray(np.linalg.pinv(Ps[0]), jnp.float32)
+    center = jnp.asarray(centers[0], jnp.float32)
+    bbox = jnp.asarray([-2, -2, -2, 2, 2, 2], jnp.float32)
+    feats = jnp.asarray(
+        rng.randn(v, h + padding + 1, w + padding + 1, f), jnp.float32
+    )
+    return P, P_pinv, center, bbox, feats, padding
+
+
+def test_banded_matches_xla_similarities(rng):
+    h = w = 32
+    d = 8
+    P, P_pinv, center, bbox, feats, padding = _ring_setup(rng, h, w)
+
+    n = h * w  # 1024 rays = 8 blocks of 128
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    dirs = rays_from_pixel_idxs(idxs, P_pinv, center, h)
+    s, e = rays_entry_exit_bbox(dirs, center, bbox[:3], bbox[3:])
+    pts = sample_points_along_segments(s, e, d)
+
+    S_ref = np.asarray(
+        compute_similarities(feats, P, pts, padding, h, w)
+    )
+
+    # Kernel path: tile-order the rays, compute fidx, call the kernel.
+    perm, inv = tile_order(idxs, h)
+    pts_t = pts[perm]
+    nv = feats.shape[0]
+    pixels = project_points(
+        P, pts_t.reshape(-1, 3)[None].repeat(nv, axis=0)
+    ).reshape(nv, n, d, 2)
+    fidx = np.asarray(
+        pixel_to_feature_idx(
+            jnp.moveaxis(pixels, 0, 2), padding, h, w
+        )
+    )  # (N, D, V, 2)
+
+    specs = measure_box_specs(fidx, d)
+    pair = banded_similarities(
+        feats, jnp.asarray(fidx), specs, h, w, d, interpret=True
+    )
+    n_pairs = nv * (nv - 1) // 2
+    S_kernel = np.asarray(jax.nn.softmax(pair / n_pairs, axis=-1))[
+        np.asarray(inv)
+    ]
+
+    np.testing.assert_allclose(S_kernel, S_ref, rtol=2e-2, atol=2e-3)
+
+
+def test_fused_mvcnn_step_banded_matches(rng):
+    """mvcnn_depth_step with band_specs (interpret mode) == XLA path,
+    including the tile-order round trip."""
+    from jax.experimental.pallas import tpu as pltpu
+    from raynet_tpu.ops import fused
+    from raynet_tpu.ops.pallas.planesweep import plan_band_specs
+
+    h = w = 32
+    d = 8
+    P, P_pinv, center, bbox, feats, padding = _ring_setup(rng, h, w)
+    idxs = jnp.arange(h * w, dtype=jnp.int32)
+
+    S0, depth0 = fused.mvcnn_depth_step(
+        idxs, feats, P, P_pinv, center, bbox, h, w, padding, d
+    )
+    specs = plan_band_specs(
+        P, P_pinv, center, bbox, h, w, padding, d
+    )
+    with pltpu.force_tpu_interpret_mode():
+        S1, depth1 = fused.mvcnn_depth_step(
+            idxs, feats, P, P_pinv, center, bbox, h, w, padding, d,
+            band_specs=specs,
+        )
+    np.testing.assert_allclose(
+        np.asarray(S1), np.asarray(S0), rtol=2e-2, atol=2e-3
+    )
+    # bf16 band values can flip near-tie argmaxes; the depths themselves
+    # must agree except on a tiny tie fraction
+    close = np.isclose(
+        np.asarray(depth1), np.asarray(depth0), rtol=1e-4, atol=1e-4
+    )
+    assert close.mean() > 0.99, "depth disagreement beyond tie flips"
+
+
+def test_fused_raynet_step_banded_matches(rng):
+    """raynet_message_step with band_specs: messages/valid-mask follow the
+    tile permutation; outputs equal the XLA path (incl. padded tail)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from raynet_tpu.ops import fused
+    from raynet_tpu.ops.pallas.planesweep import plan_band_specs
+
+    h = w = 32
+    d = 8
+    m = 16
+    grid_shape = (8, 8, 8)
+    P, P_pinv, center, bbox, feats, padding = _ring_setup(rng, h, w)
+    n = h * w
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    n_valid = jnp.int32(n - 100)  # padded tail
+    msgs = jnp.asarray(rng.randn(n, m) * 0.1, jnp.float32)
+    grid_acc = jnp.asarray(rng.randn(512) * 0.3, jnp.float32)
+
+    m0, s0 = fused.raynet_message_step(
+        idxs, feats, P, P_pinv, center, bbox, msgs, grid_acc, n_valid,
+        h, w, padding, d, grid_shape, m,
+    )
+    specs = plan_band_specs(P, P_pinv, center, bbox, h, w, padding, d)
+    with pltpu.force_tpu_interpret_mode():
+        m1, s1 = fused.raynet_message_step(
+            idxs, feats, P, P_pinv, center, bbox, msgs, grid_acc, n_valid,
+            h, w, padding, d, grid_shape, m, band_specs=specs,
+        )
+    # bf16 band values perturb S slightly; the log-quotient recurrence
+    # amplifies that on near-zero messages — bound the affected fraction
+    close = np.isclose(
+        np.asarray(m1), np.asarray(m0), rtol=2e-2, atol=2e-3
+    )
+    assert close.mean() > 0.995
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s0), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_banded_handles_sentinels(rng):
+    """Rays whose projections clamp to the (0,0) sentinel must read
+    F[v, 0, 0] exactly like the XLA path."""
+    h = w = 32
+    d = 8
+    # Wider ring -> more off-image projections
+    P, P_pinv, center, bbox, feats, padding = _ring_setup(
+        rng, h, w, v=3, ang_scale=0.6
+    )
+    n = h * w
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    dirs = rays_from_pixel_idxs(idxs, P_pinv, center, h)
+    s, e = rays_entry_exit_bbox(dirs, center, bbox[:3] - 1.5, bbox[3:] + 1.5)
+    pts = sample_points_along_segments(s, e, d)
+
+    S_ref = np.asarray(compute_similarities(feats, P, pts, padding, h, w))
+
+    perm, inv = tile_order(idxs, h)
+    nv = feats.shape[0]
+    pixels = project_points(
+        P, pts[perm].reshape(-1, 3)[None].repeat(nv, axis=0)
+    ).reshape(nv, n, d, 2)
+    fidx = np.asarray(
+        pixel_to_feature_idx(jnp.moveaxis(pixels, 0, 2), padding, h, w)
+    )
+    n_sent = int(((fidx[..., 0] == 0) & (fidx[..., 1] == 0)).sum())
+    assert n_sent > 0, "test geometry produced no sentinels"
+
+    specs = measure_box_specs(fidx, d)
+    pair = banded_similarities(
+        feats, jnp.asarray(fidx), specs, h, w, d, interpret=True
+    )
+    n_pairs = nv * (nv - 1) // 2
+    S_kernel = np.asarray(jax.nn.softmax(pair / n_pairs, axis=-1))[
+        np.asarray(inv)
+    ]
+    np.testing.assert_allclose(S_kernel, S_ref, rtol=2e-2, atol=2e-3)
