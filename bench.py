@@ -161,18 +161,43 @@ def main():
     grid_shape = (256, 256, 128)
     max_voxels = 650
     grid_size = int(np.prod(grid_shape))
-    msgs = jnp.zeros((rays_batch, max_voxels), dtype=jnp.float32)
     grid_acc = jnp.full((grid_size,), -3.0, dtype=jnp.float32)
 
-    @jax.jit
-    def message_step(idxs, features, P, P_pinv, center, bbox, msgs, acc):
-        new_msgs, scatter = fused.raynet_message_step(
-            idxs, features, P, P_pinv, center, bbox, msgs, acc,
-            jnp.int32(rays_batch), h, w, padding, depth_planes,
-            grid_shape, max_voxels,
-            use_pallas=on_tpu, band_specs=bands, tile_ordered=True,
+    bp_cfg = None
+    if on_tpu:
+        from raynet_tpu.ops.pallas.bp_beam import plan_bp_config
+
+        bp_cfg = plan_bp_config(
+            P_pinv_np, center_np, np.asarray([-3, -3, -3, 3, 3, 3], float),
+            grid_shape, h, w, depth_planes, max_voxels, gamma=0.05,
         )
-        return new_msgs.sum() + scatter.sum()
+    print("bp beam config:", bp_cfg, file=sys.stderr)
+
+    if bp_cfg is not None:
+        msgs = jnp.zeros((rays_batch, bp_cfg.slots), dtype=jnp.float32)
+
+        @jax.jit
+        def message_step(idxs, features, P, P_pinv, center, bbox, msgs,
+                         acc):
+            new_msgs, scatter, _ = fused.raynet_beam_message_step(
+                idxs, features, P, P_pinv, center, bbox, msgs, acc,
+                jnp.int32(rays_batch), h, w, padding, depth_planes,
+                bp_cfg, band_specs=bands,
+            )
+            return new_msgs.sum() + scatter.sum()
+    else:
+        msgs = jnp.zeros((rays_batch, max_voxels), dtype=jnp.float32)
+
+        @jax.jit
+        def message_step(idxs, features, P, P_pinv, center, bbox, msgs,
+                         acc):
+            new_msgs, scatter = fused.raynet_message_step(
+                idxs, features, P, P_pinv, center, bbox, msgs, acc,
+                jnp.int32(rays_batch), h, w, padding, depth_planes,
+                grid_shape, max_voxels,
+                use_pallas=on_tpu, band_specs=bands, tile_ordered=True,
+            )
+            return new_msgs.sum() + scatter.sum()
 
     args = (batches[0], features, P, P_pinv, center, bbox, msgs, grid_acc)
     float(message_step(*args))  # warmup/compile

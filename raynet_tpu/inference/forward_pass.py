@@ -285,6 +285,35 @@ class RayNetForwardPass(ForwardPass):
     # "auto": shard the ray axis over all visible devices (the scale-out
     # capability the single-GPU reference lacks); "off": single device.
     multichip = "auto"
+    # "auto": use the fused BP beam kernel when the per-image geometry
+    # admits it (26x the XLA sweep on v5e); "off": XLA BP path.
+    bp_beam = "auto"
+
+    def _bp_cfg(self, scene, ref_idx):
+        """Plan (and cache) the BP beam kernel config for a reference view;
+        None -> XLA path for that image."""
+        if (
+            self.bp_beam == "off"
+            or not _use_pallas()
+            or self.rays_batch % 256 != 0
+        ):
+            return None
+        if not hasattr(self, "_bp_cfg_cache"):
+            self._bp_cfg_cache = {}
+        if ref_idx not in self._bp_cfg_cache:
+            from ..ops.pallas.bp_beam import plan_bp_config
+
+            _, P, P_pinv, center = self._feature_cache[ref_idx]
+            gp = self._generation_params
+            H, W = scene.image_shape
+            gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
+            self._bp_cfg_cache[ref_idx] = plan_bp_config(
+                np.asarray(P_pinv), np.asarray(center),
+                scene.bbox.reshape(-1), gp.grid_shape, H, W,
+                gp.depth_planes, gp.max_number_of_marched_voxels,
+                gamma=gamma,
+            )
+        return self._bp_cfg_cache[ref_idx]
 
     def _sharded_steps(self, H, W, gp, grid_shape, M):
         """Build shard_map'ed message/depth steps when >1 device is visible
@@ -359,11 +388,25 @@ class RayNetForwardPass(ForwardPass):
         ray_idxs_per_image = {
             i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
         }
+        sharded = self._sharded_steps(H, W, gp, grid_shape, M)
+        # Per-image BP beam plans (the fused Pallas sweep); images the
+        # planner rejects keep the XLA path. Beam messages live in the
+        # kernel's slot layout, so the per-image column count differs.
+        bp_cfgs = {}
+        for i in ref_indices:
+            if sharded is None:
+                self._features_and_cameras(scene, i)
+                bp_cfgs[i] = self._bp_cfg(scene, i)
+            else:
+                bp_cfgs[i] = None
         messages = {
-            i: self._alloc_messages(len(ray_idxs_per_image[i]), M, i)
+            i: self._alloc_messages(
+                len(ray_idxs_per_image[i]),
+                bp_cfgs[i].slots if bp_cfgs[i] is not None else M,
+                i,
+            )
             for i in ref_indices
         }
-        sharded = self._sharded_steps(H, W, gp, grid_shape, M)
         try:
             grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
 
@@ -376,12 +419,14 @@ class RayNetForwardPass(ForwardPass):
                     features, P, P_pinv, center = self._features_and_cameras(
                         scene, ref_idx
                     )
+                    cfg = bp_cfgs[ref_idx]
+                    cols = cfg.slots if cfg is not None else M
                     with self.timer.phase("Message passing"):
                         for off, n_valid, chunk in self._ray_batches(
                             ray_idxs
                         ):
                             msg_in = np.zeros(
-                                (self.rays_batch, M), dtype=np.float32
+                                (self.rays_batch, cols), dtype=np.float32
                             )
                             msg_in[:n_valid] = messages[ref_idx][
                                 off : off + n_valid
@@ -394,6 +439,21 @@ class RayNetForwardPass(ForwardPass):
                                     chunk, features, P, P_pinv, center,
                                     bbox, jnp.asarray(msg_in), grid_acc,
                                     jnp.int32(n_valid),
+                                )
+                            elif cfg is not None:
+                                new_msgs, scatter, _ = (
+                                    fused.raynet_beam_message_step(
+                                        chunk, features, P, P_pinv,
+                                        center, bbox,
+                                        jnp.asarray(msg_in), grid_acc,
+                                        jnp.int32(n_valid),
+                                        H, W, gp.padding,
+                                        gp.depth_planes, cfg,
+                                        band_specs=self._band_specs(
+                                            scene, ref_idx, features
+                                        ),
+                                        first_iteration=(iteration == 0),
+                                    )
                                 )
                             else:
                                 new_msgs, scatter = fused.raynet_message_step(
@@ -420,10 +480,12 @@ class RayNetForwardPass(ForwardPass):
                 features, P, P_pinv, center = self._features_and_cameras(
                     scene, ref_idx
                 )
+                cfg = bp_cfgs[ref_idx]
+                cols = cfg.slots if cfg is not None else M
                 depth_map = np.zeros(H * W, dtype=np.float32)
                 for off, n_valid, chunk in self._ray_batches(ray_idxs):
                     msg_in = np.zeros(
-                        (self.rays_batch, M), dtype=np.float32
+                        (self.rays_batch, cols), dtype=np.float32
                     )
                     msg_in[:n_valid] = messages[ref_idx][
                         off : off + n_valid
@@ -432,6 +494,15 @@ class RayNetForwardPass(ForwardPass):
                         _, depth = sharded["depth"](
                             chunk, features, P, P_pinv, center, bbox,
                             jnp.asarray(msg_in), grid_acc,
+                        )
+                    elif cfg is not None:
+                        depth, _ = fused.raynet_beam_depth_step(
+                            chunk, features, P, P_pinv, center, bbox,
+                            jnp.asarray(msg_in), grid_acc,
+                            H, W, gp.padding, gp.depth_planes, cfg,
+                            band_specs=self._band_specs(
+                                scene, ref_idx, features
+                            ),
                         )
                     else:
                         _, depth = fused.raynet_depth_step(

@@ -305,6 +305,101 @@ def raynet_message_step(
 @partial(
     jax.jit,
     static_argnames=(
+        "height", "width", "padding", "depth_planes", "bp_cfg",
+        "band_specs", "first_iteration", "interpret",
+    ),
+)
+def raynet_beam_message_step(
+    ray_idxs,
+    features,
+    P,
+    P_pinv,
+    camera_center,
+    bbox,
+    messages_slot,
+    grid_acc_flat,
+    n_valid,
+    height,
+    width,
+    padding,
+    depth_planes,
+    bp_cfg,
+    band_specs=None,
+    first_iteration=False,
+    interpret=False,
+):
+    """Fully fused RayNet message sweep: banded plane-sweep similarities +
+    the BP beam kernel (traversal, hat mapping, gather, recurrences,
+    scatter all in one Pallas program — 26x the XLA sweep on v5e).
+
+    Rays MUST be tile-ordered and N a multiple of 256; messages are stored
+    in the kernel's slot layout ((N, bp_cfg.slots)).
+
+    Returns (new_messages_slot, scatter (G,), overflow scalar).
+    """
+    from .pallas.bp_beam import bp_beam_message_step
+
+    ray_start, ray_end = _segments(
+        ray_idxs, P_pinv, camera_center, bbox, height
+    )
+    points = sample_points_along_segments(ray_start, ray_end, depth_planes)
+    S_planes = _similarities(
+        features, P, points, padding, height, width, band_specs
+    )
+    valid = (jnp.arange(ray_idxs.shape[0]) < n_valid).astype(jnp.int32)
+    return bp_beam_message_step(
+        ray_start, ray_end, valid, S_planes, messages_slot,
+        grid_acc_flat, camera_center, bbox, bp_cfg,
+        first_iteration=first_iteration, interpret=interpret,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "padding", "depth_planes", "bp_cfg",
+        "band_specs", "interpret",
+    ),
+)
+def raynet_beam_depth_step(
+    ray_idxs,
+    features,
+    P,
+    P_pinv,
+    camera_center,
+    bbox,
+    messages_slot,
+    grid_acc_flat,
+    height,
+    width,
+    padding,
+    depth_planes,
+    bp_cfg,
+    band_specs=None,
+    interpret=False,
+):
+    """Fused posterior-depth sweep via the BP beam kernel.
+
+    Returns (depth (N,), overflow scalar)."""
+    from .pallas.bp_beam import bp_beam_depth_step
+
+    ray_start, ray_end = _segments(
+        ray_idxs, P_pinv, camera_center, bbox, height
+    )
+    points = sample_points_along_segments(ray_start, ray_end, depth_planes)
+    S_planes = _similarities(
+        features, P, points, padding, height, width, band_specs
+    )
+    valid = jnp.ones((ray_idxs.shape[0],), jnp.int32)
+    return bp_beam_depth_step(
+        ray_start, ray_end, valid, S_planes, messages_slot,
+        grid_acc_flat, camera_center, bbox, bp_cfg, interpret=interpret,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "height",
         "width",
         "padding",

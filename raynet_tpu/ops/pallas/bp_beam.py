@@ -1,0 +1,733 @@
+"""Pallas TPU kernel: fused RayNet BP sweep over frustum beams.
+
+Round 1 measured the BP grid interaction (a 42M-element XLA gather + a 42M
+scatter-add per sweep, ~15-22 ns each) at ~85% of the full message step.
+This kernel replaces the whole per-sweep chain — voxel traversal, the
+depth->voxel hat mapping, the occupancy gather, the per-ray message
+recurrences, and the grid scatter — with ONE program per 256-ray block:
+
+- The grid is viewed SLICE-MAJOR along each image's dominant ray axis
+  (wrapper transposes once per call; the transpose is bandwidth-cheap).
+  Rays march slice by slice: per slice a ray takes at most K non-dominant
+  DDA steps (K planned from the ray geometry), so every path position has
+  a STATIC slot (slice * K + k) — no data-dependent addressing anywhere.
+- A block's rays form a frustum beam; per slice its footprint fits a
+  (NSTRIPE x BA x 128)-cell box. Boxes stream through VMEM one 8-slice
+  group at a time (double-buffered DMA), so box size is almost free.
+- The occupancy gather and the message scatter are two-level one-hot
+  contractions against the per-slice box (row pick on the MXU, lane pick
+  by sublane compare) — rays stay in lanes end to end, no transposes.
+- The scatter accumulates by read-modify-write DMA into an aliased HBM
+  grid (Pallas TPU grid steps run sequentially on the core, so there are
+  no races); the wrapper gets the accumulated grid back directly.
+- The linear-time message recurrences (cumsum/cumprod of mrf.py, i.e.
+  mrf_bp.cu:88-167) run in-kernel over slot rows in 8-row chunks.
+
+Slot order equals DDA step order (the dominant coordinate is monotone
+along a ray), so message semantics match ops/mrf.py exactly; slot storage
+is an internal layout of the per-image message arrays.
+
+Wrapper-side planning (host, once per image geometry): dominant axis +
+sign check, K bound, per-block beam boxes. Images the planner cannot
+guarantee (mixed dominant-axis signs, K over budget, boxes too wide) keep
+the XLA path — exactness is never traded.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAYS = 256  # rays per block (two 16x8 pixel tiles = a 16x16 block)
+_EPS = 1e-2
+_FLT_MAX = 3.4028235e38
+_CLIP_S = 1e-5
+_CLIP_MU = 1e-4
+_EPS_T = 1e-4
+
+
+# --------------------------------------------------------------------- #
+# planning                                                               #
+# --------------------------------------------------------------------- #
+
+class BpBeamConfig:
+    """Static per-image-geometry kernel configuration (hashable)."""
+
+    def __init__(self, perm, S, A, B, K, BA, nstripe, depth_planes,
+                 max_voxels, bins, prior, grid_shape):
+        self.perm = perm  # permuted axis order, perm[0] = dominant
+        self.S, self.A, self.B = S, A, B
+        self.K, self.BA, self.nstripe = K, BA, nstripe
+        self.depth_planes = depth_planes
+        self.max_voxels = max_voxels
+        self.bins = bins  # per PERMUTED axis, python floats
+        self.prior = prior
+        self.grid_shape = grid_shape  # original order
+        self.slots = S * K
+        self.Bg = -(-B // 128)
+        self.rows = BA * nstripe  # one-hot rows per slice box
+
+    def _key(self):
+        return (self.perm, self.S, self.A, self.B, self.K, self.BA,
+                self.nstripe, self.depth_planes, self.max_voxels,
+                self.bins, self.prior, self.grid_shape)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, BpBeamConfig) and self._key() == other._key()
+
+    def __repr__(self):
+        return "BpBeamConfig(perm=%s S=%d K=%d BA=%d ns=%d)" % (
+            self.perm, self.S, self.K, self.BA, self.nstripe
+        )
+
+
+def plan_bp_config(
+    P_pinv, camera_center, bbox, grid_shape, height, width,
+    depth_planes, max_voxels, gamma=0.05, k_cap=8, ba_cap=128,
+    sample_stride=7,
+):
+    """Host-side planning. Returns a BpBeamConfig, or None when the kernel
+    cannot cover this image exactly (caller keeps the XLA path)."""
+    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
+    from .planesweep import tile_order
+
+    bbox = np.asarray(bbox, np.float64).reshape(6)
+    grid_shape = tuple(int(g) for g in grid_shape)
+    n = height * width
+    # Sample whole 256-ray TILE-ORDERED blocks (strided single rays would
+    # fake blocks spanning many tiles and blow the box estimates).
+    all_idxs = jnp.arange(n, dtype=jnp.int32)
+    perm_t, _ = tile_order(all_idxs, height)
+    nblk = max(n // RAYS, 1)
+    blocks = np.arange(0, nblk, sample_stride)
+    keep = (blocks[:, None] * RAYS + np.arange(RAYS)[None]).reshape(-1)
+    keep = keep[keep < n]
+    idxs = perm_t[jnp.asarray(keep, jnp.int32)]
+
+    @jax.jit
+    def seg_of(P_pinv, center, bbox_):
+        d = rays_from_pixel_idxs(idxs, P_pinv, center, height)
+        return rays_entry_exit_bbox(d, center, bbox_[:3], bbox_[3:])
+
+    s, e = seg_of(
+        jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(camera_center, jnp.float32),
+        jnp.asarray(bbox, jnp.float32),
+    )
+    s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
+    ray = e - s
+    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
+    cells = np.abs(ray) / bins[None]  # voxel-unit travel per axis
+    dom = int(np.argmax(cells.mean(axis=0)))
+    if not np.all(ray[:, dom] > 0):
+        return None  # mixed/negative dominant sign: keep the XLA path
+    others = [a for a in range(3) if a != dom]
+    perm = (dom, others[0], others[1])
+
+    # K: slice-entry voxel + max non-dominant steps inside one slice.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        per_slice = (
+            np.ceil(cells[:, others[0]] / np.maximum(cells[:, dom], 1e-9))
+            + np.ceil(cells[:, others[1]] / np.maximum(cells[:, dom], 1e-9))
+        )
+    k = int(np.nanmax(per_slice)) + 1
+    if k > k_cap:
+        return None
+
+    S = grid_shape[dom]
+    A = grid_shape[others[0]]
+    B = grid_shape[others[1]]
+    if S % 8:
+        return None
+
+    # Per-block box spans from the segment-endpoint AABB (+nudge margin).
+    def cell_of(p, axis):
+        return np.floor((p[:, axis] - bbox[axis]) / bins[axis]).astype(int)
+
+    nb = len(s) // RAYS
+    if nb == 0:
+        return None
+    trim = nb * RAYS
+
+    def span(axis):
+        lo = np.minimum(cell_of(s, axis), cell_of(e, axis))
+        hi = np.maximum(cell_of(s, axis), cell_of(e, axis))
+        lo = lo[:trim].reshape(nb, RAYS).min(axis=1)
+        hi = hi[:trim].reshape(nb, RAYS).max(axis=1)
+        return int((hi - lo).max()) + 3  # +1 box, +2 nudge/sampling margin
+
+    ba = span(others[0]) + 8  # origin snapped down to a multiple of 8
+    for bucket in (16, 32, 64, 128):  # powers of two: decode uses shifts
+        if ba <= bucket:
+            ba = bucket
+            break
+    else:
+        return None
+    if ba > ba_cap:
+        return None
+    bb = span(others[1]) + 128  # origin snapped to a 128-cell stripe
+    nstripe = -(-bb // 128)
+    if nstripe > 4:
+        return None
+
+    prior = float(np.log(gamma) - np.log(1.0 - gamma))
+    return BpBeamConfig(
+        perm, S, A, B, k, ba, nstripe, int(depth_planes), int(max_voxels),
+        tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
+    )
+
+
+# --------------------------------------------------------------------- #
+# kernel                                                                 #
+# --------------------------------------------------------------------- #
+
+
+def _ds8(off, size):
+    return pl.ds(pl.multiple_of(off, 8), size)
+
+
+def _tie_break(perm, t):
+    """move flags per PERMUTED axis with the reference's ORIGINAL-axis
+    nested tie-breaking (ray_tracing.pyx:169-194):
+    x<y ? (x<z ? X : Z) : (y<z ? Y : Z)."""
+    tx = t[perm.index(0)]
+    ty = t[perm.index(1)]
+    tz = t[perm.index(2)]
+    move_x = (tx < ty) & (tx < tz)
+    move_y = ~(tx < ty) & (ty < tz)
+    move_z = ~move_x & ~move_y
+    orig = (move_x, move_y, move_z)
+    return tuple(orig[perm[i]] for i in range(3))
+
+
+def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
+               seg_ref, sp_ref, msg_ref, grid_ref, zeros_ref,
+               out_msg_ref, out_grid_ref, out_misc_ref,
+               cell_scr, t_scr, mu_scr, sv_scr,
+               gbuf, dstage, dacc, gsem, dsem):
+    S, K, BA, NS, D = cfg.S, cfg.K, cfg.BA, cfg.nstripe, cfg.depth_planes
+    ROWS = cfg.rows
+    perm = cfg.perm
+    bins = cfg.bins
+    ba_shift = BA.bit_length() - 1  # BA is a power of two
+    b = pl.program_id(0)
+    a0 = pl.multiple_of(origins_ref[b * 2], 8)
+    bg0 = origins_ref[b * 2 + 1]
+    del zeros_ref  # aliased to out_grid_ref; only the alias is touched
+
+    def row(i):
+        return seg_ref[0, i : i + 1, :]  # (1, RAYS)
+
+    start = [row(0), row(1), row(2)]
+    end = [row(3), row(4), row(5)]
+    valid_ray = row(6) > 0.5
+    cam = [row(8), row(9), row(10)]
+
+    ray = [e - s for s, e in zip(start, end)]
+    step = [jnp.where(r >= 0, 1, -1).astype(jnp.int32) for r in ray]
+    stepf = [s_.astype(jnp.float32) for s_ in step]
+    startn = [s_ + f * bn * _EPS for s_, f, bn in zip(start, stepf, bins)]
+    endn = [e - f * bn * _EPS for e, f, bn in zip(end, stepf, bins)]
+    cur = [jnp.floor(s_ / bn).astype(jnp.int32)
+           for s_, bn in zip(startn, bins)]
+    last = [jnp.floor(e / bn).astype(jnp.int32)
+            for e, bn in zip(endn, bins)]
+    dims = [S, cfg.A, cfg.B]
+    inside0 = valid_ray
+    for c, g in zip(cur, dims):
+        inside0 = inside0 & (c >= 0) & (c < g)
+
+    t_max, t_delta = [], []
+    for a in range(3):
+        cc = cur[a].astype(jnp.float32) * bins[a]
+        boundary = jnp.where(
+            (step[a] < 0) & (cc < startn[a]), cc, cc + stepf[a] * bins[a]
+        )
+        t_max.append(
+            jnp.where(ray[a] != 0, (boundary - startn[a]) / ray[a],
+                      _FLT_MAX)
+        )
+        t_delta.append(
+            jnp.where(ray[a] != 0, stepf[a] * bins[a] / ray[a], _FLT_MAX)
+        )
+
+    seglen2 = sum((e - s) * (e - s) for s, e in zip(start, end))
+    inv_len2 = 1.0 / jnp.maximum(seglen2, 1e-30)
+
+    def t_param(c0, c1, c2):
+        acc = None
+        for c, s_, e, bn in zip((c0, c1, c2), start, end, bins):
+            ctr = (c.astype(jnp.float32) + 0.5) * bn
+            term = (ctr - s_) * (e - s_)
+            acc = term if acc is None else acc + term
+        return acc * inv_len2
+
+    def local_cell(c1, c2):
+        la = c1 - a0
+        lb = c2 - bg0 * 128
+        cell = (((lb >> 7) << ba_shift) + la) * 128 + (lb & 127)
+        inbox = (la >= 0) & (la < BA) & (lb >= 0) & (lb < NS * 128)
+        return jnp.where(inbox, cell, -2)
+
+    # ------------------------------------------------------------ march
+    def march_group(g, carry):
+        c0, c1, c2, t0, t1, t2, alive_i, steps, overflow = carry
+        alive = alive_i > 0  # i1 vectors cannot be carried through scf.for
+        cell_rows, t_rows = [], []
+        for u in range(8):
+            s = g * 8 + u
+            in_slice = alive & (c0 == s)
+            for k in range(K):
+                if k == 0:
+                    emit = in_slice & (steps < cfg.max_voxels)
+                else:
+                    m0, m1, m2 = _tie_break(perm, (t0, t1, t2))
+                    at_last = (
+                        (c0 == last[0]) & (c1 == last[1]) & (c2 == last[2])
+                    )
+                    want = in_slice & ~at_last & ~m0
+                    n1 = c1 + jnp.where(m1, step[1], 0)
+                    n2 = c2 + jnp.where(m2, step[2], 0)
+                    oob = (m1 & ((n1 < 0) | (n1 >= cfg.A))) | (
+                        m2 & ((n2 < 0) | (n2 >= cfg.B))
+                    )
+                    dead = want & oob
+                    adv = want & ~oob
+                    c1 = jnp.where(adv, n1, c1)
+                    c2 = jnp.where(adv, n2, c2)
+                    t1 = jnp.where(adv & m1, t1 + t_delta[1], t1)
+                    t2 = jnp.where(adv & m2, t2 + t_delta[2], t2)
+                    alive = alive & ~dead
+                    in_slice = in_slice & adv
+                    emit = in_slice & (steps < cfg.max_voxels)
+                cell = local_cell(c1, c2)
+                overflow = overflow + (emit & (cell < 0)).astype(jnp.int32)
+                cell_rows.append(jnp.where(emit, cell, -1))
+                t_rows.append(
+                    jnp.clip(t_param(c0, c1, c2), _EPS_T, 1.0 - _EPS_T)
+                )
+                steps = steps + emit.astype(jnp.int32)
+            pending = alive & (c0 == s)
+            at_last = (c0 == last[0]) & (c1 == last[1]) & (c2 == last[2])
+            m0, _, _ = _tie_break(perm, (t0, t1, t2))
+            overflow = overflow + (
+                pending & ~at_last & ~m0
+            ).astype(jnp.int32)
+            stepping = pending & ~at_last
+            n0 = c0 + 1
+            dead0 = stepping & (n0 >= S)
+            adv0 = stepping & (n0 < S)
+            c0 = jnp.where(adv0, n0, c0)
+            t0 = jnp.where(adv0, t0 + t_delta[0], t0)
+            alive = alive & ~dead0 & ~(pending & at_last)
+        cell_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(
+            cell_rows, axis=0
+        )
+        t_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(t_rows, axis=0)
+        return (c0, c1, c2, t0, t1, t2, alive.astype(jnp.int32), steps,
+                overflow)
+
+    zero = jnp.zeros((1, RAYS), jnp.int32)
+    *_, steps_f, overflow = jax.lax.fori_loop(
+        0, S // 8, march_group,
+        (cur[0], cur[1], cur[2], t_max[0], t_max[1], t_max[2],
+         inside0.astype(jnp.int32), zero, zero),
+    )
+    count = steps_f  # (1, RAYS)
+
+    # -------------------------------------------------- hat mapping + clip
+    sp = sp_ref[0]  # (D, RAYS)
+    scale = jnp.float32(D - 1)
+
+    def hat_chunk(c, total):
+        tt = t_scr[_ds8(c * 8, 8)]
+        cc = cell_scr[_ds8(c * 8, 8)]
+        sv = jnp.zeros((8, RAYS), jnp.float32)
+        for d in range(D):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(tt * scale - d))
+            sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
+        sv = jnp.clip(sv, _CLIP_S, 1.0 - _CLIP_S)
+        sv = jnp.where(cc >= 0, sv, 0.0)
+        sv_scr[_ds8(c * 8, 8)] = sv
+        return total + sv.sum(axis=0, keepdims=True)
+
+    total_sv = jax.lax.fori_loop(
+        0, cfg.slots // 8, hat_chunk, jnp.zeros((1, RAYS), jnp.float32)
+    )
+    inv_total = jnp.where(
+        (total_sv > 1e-30) & (count > 1), 1.0 / total_sv, 0.0
+    )
+
+    # ------------------------------------------------------------ gather
+    def grid_dma(g, slot):
+        return pltpu.make_async_copy(
+            grid_ref.at[
+                _ds8(g * 8, 8), pl.ds(bg0, NS), pl.ds(a0, BA)
+            ],
+            gbuf.at[slot],
+            gsem.at[slot],
+        )
+
+    mu_c = cfg.prior
+    mu_const = min(
+        max(np.exp(mu_c) / (1.0 + np.exp(mu_c)), _CLIP_MU), 1.0 - _CLIP_MU
+    )
+    if first_iteration:
+        def mu_chunk(c, _):
+            cc = cell_scr[_ds8(c * 8, 8)]
+            mu_scr[_ds8(c * 8, 8)] = jnp.where(cc >= 0, mu_const, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, cfg.slots // 8, mu_chunk, 0)
+    else:
+        iota_row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RAYS), 0)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, RAYS), 0)
+        grid_dma(0, 0).start()
+
+        def gather_group(g, _):
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < S // 8)
+            def _():
+                grid_dma(g + 1, 1 - slot).start()
+
+            grid_dma(g, slot).wait()
+            cells = cell_scr[_ds8(g * 8 * K, 8 * K)]
+            msgs = msg_ref[0, _ds8(g * 8 * K, 8 * K)]
+            mu_rows = []
+            for u in range(8):
+                table = gbuf[slot, u].reshape(ROWS, 128)
+                for k in range(K):
+                    r = u * K + k
+                    cid = cells[r : r + 1]
+                    rowid = cid >> 7
+                    lo = cid & 127
+                    eq = (iota_row == jnp.broadcast_to(
+                        rowid, (ROWS, RAYS)
+                    )).astype(jnp.float32)
+                    rows_T = jax.lax.dot_general(
+                        table, eq, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (128, RAYS)
+                    val = jnp.where(
+                        iota_sub == jnp.broadcast_to(lo, (128, RAYS)),
+                        rows_T, 0.0,
+                    ).sum(axis=0, keepdims=True)
+                    pon = val - msgs[r : r + 1]
+                    mx = jnp.maximum(0.0, pon)
+                    mu = jnp.exp(pon - mx) / (
+                        jnp.exp(0.0 - mx) + jnp.exp(pon - mx)
+                    )
+                    mu = jnp.clip(mu, _CLIP_MU, 1.0 - _CLIP_MU)
+                    mu_rows.append(jnp.where(cid >= 0, mu, 0.0))
+            mu_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(
+                mu_rows, axis=0
+            )
+            return 0
+
+        jax.lax.fori_loop(0, S // 8, gather_group, 0)
+
+    # --------------------------------------------- pass R1: total contrib
+    def r1_chunk(c, carry):
+        ep, tot = carry
+        mu8 = mu_scr[_ds8(c * 8, 8)]
+        sv8 = sv_scr[_ds8(c * 8, 8)]
+        e = ep
+        for i in range(8):
+            tot = tot + mu8[i : i + 1] * e * sv8[i : i + 1]
+            e = e * (1.0 - mu8[i : i + 1])
+        return e, tot
+
+    ones = jnp.ones((1, RAYS), jnp.float32)
+    _, total_raw = jax.lax.fori_loop(
+        0, cfg.slots // 8, r1_chunk,
+        (ones, jnp.zeros((1, RAYS), jnp.float32)),
+    )
+    total = total_raw * inv_total
+
+    # ------------------------------- pass R2: messages (+ depth / scatter)
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RAYS), 0)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, RAYS), 0)
+
+    def out_dma(g, direction):
+        region = out_grid_ref.at[
+            _ds8(g * 8, 8), pl.ds(bg0, NS), pl.ds(a0, BA)
+        ]
+        if direction == "read":
+            return pltpu.make_async_copy(region, dstage, dsem)
+        return pltpu.make_async_copy(dstage, region, dsem)
+
+    def r2_group(g, carry):
+        ep, cse, best_v, best_cell, best_s = carry
+        n_rows = 8 * K
+        cells = cell_scr[_ds8(g * n_rows, n_rows)]
+        mu8 = mu_scr[_ds8(g * n_rows, n_rows)]
+        sv8 = sv_scr[_ds8(g * n_rows, n_rows)]
+        if not depth_mode:
+            rd = out_dma(g, "read")
+            rd.start()
+        out_rows = []
+        for u in range(8):
+            s = g * 8 + u
+            if not depth_mode:
+                delta = jnp.zeros((ROWS, 128), jnp.float32)
+            for k in range(K):
+                r = u * K + k
+                cid = cells[r : r + 1]
+                muv = mu8[r : r + 1]
+                Sr = sv8[r : r + 1] * inv_total
+                om = jnp.where(cid >= 0, 1.0 - muv, 1.0)
+                contrib = muv * ep * Sr
+                if depth_mode:
+                    s_new = contrib
+                    better = (cid >= 0) & ((s_new > best_v) | (best_v < 0))
+                    best_v = jnp.where(
+                        better, jnp.maximum(s_new, 0.0), best_v
+                    )
+                    best_cell = jnp.where(better, cid, best_cell)
+                    best_s = jnp.where(better, s, best_s)
+                else:
+                    pos = cse + ep * Sr
+                    neg = cse + (total - cse - contrib) / om
+                    p = pos / jnp.maximum(pos + neg, 1e-37)
+                    p = jnp.clip(p, 1e-37, 1.0 - 1e-7)
+                    new_pon = jnp.log(p) - jnp.log1p(-p)
+                    new_pon = jnp.where(
+                        (cid >= 0) & (count > 1), new_pon, 0.0
+                    )
+                    out_rows.append(new_pon)
+                    rowid = cid >> 7
+                    lo = cid & 127
+                    eq = (iota_row == jnp.broadcast_to(
+                        rowid, (ROWS, RAYS)
+                    )).astype(jnp.float32)
+                    X = jnp.where(
+                        iota_sub == jnp.broadcast_to(lo, (128, RAYS)),
+                        jnp.broadcast_to(new_pon, (128, RAYS)),
+                        0.0,
+                    )
+                    delta = delta + jax.lax.dot_general(
+                        eq, X, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                cse = cse + contrib
+                ep = ep * om
+            if not depth_mode:
+                dacc[u] = delta.reshape(NS, BA, 128)
+        if not depth_mode:
+            rd = out_dma(g, "read")
+            rd.wait()
+            dstage[:] = dstage[:] + dacc[:]
+            wr = out_dma(g, "write")
+            wr.start()
+            wr.wait()
+            out_msg_ref[0, _ds8(g * n_rows, n_rows)] = jnp.concatenate(
+                out_rows, axis=0
+            )
+        return ep, cse, best_v, best_cell, best_s
+
+    init = (
+        ones, jnp.zeros((1, RAYS), jnp.float32),
+        jnp.full((1, RAYS), -1.0, jnp.float32), zero, zero,
+    )
+    _, _, best_v, best_cell, best_s = jax.lax.fori_loop(
+        0, S // 8, r2_group, init
+    )
+
+    # ------------------------------------------------------------- misc
+    if depth_mode:
+        rowpair = best_cell >> 7
+        lo = best_cell & 127
+        stripe = rowpair >> ba_shift
+        la = rowpair - (stripe << ba_shift)
+        c1 = la + a0
+        c2 = stripe * 128 + lo + bg0 * 128
+        w0 = (best_s.astype(jnp.float32) + 0.5) * bins[0]
+        w1 = (c1.astype(jnp.float32) + 0.5) * bins[1]
+        w2 = (c2.astype(jnp.float32) + 0.5) * bins[2]
+        d0, d1, d2 = w0 - cam[0], w1 - cam[1], w2 - cam[2]
+        depth = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+        depth = jnp.where((count > 0) & (best_v >= 0), depth, 0.0)
+        out_misc_ref[0, 1:2] = depth
+        out_msg_ref[0] = jnp.zeros_like(out_msg_ref[0])
+    else:
+        out_misc_ref[0, 1:2] = jnp.zeros((1, RAYS), jnp.float32)
+    out_misc_ref[0, 0:1] = overflow.astype(jnp.float32)
+    out_misc_ref[0, 2:3] = count.astype(jnp.float32)
+    out_misc_ref[0, 3:8] = jnp.zeros((5, RAYS), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "first_iteration", "depth_mode", "interpret"),
+)
+def bp_beam_call(
+    seg,  # (NB, 16, RAYS) f32: rows 0-5 start/end, 6 valid, 8-10 camera
+    splanes,  # (NB, D, RAYS) f32
+    msgs,  # (NB, SLOTS, RAYS) f32 slot-major messages
+    grid_perm,  # (S, Bgp, Ap, 128) f32 stripe-major padded gather grid
+    zeros_grid,  # (S, Bgp, Ap, 128) f32 zeros; ALIASED to the delta output
+    origins,  # (NB * 2,) int32 (a0, bg0) per block
+    cfg,
+    first_iteration=False,
+    depth_mode=False,
+    interpret=False,
+):
+    nb = seg.shape[0]
+    S, K, BA, NS = cfg.S, cfg.K, cfg.BA, cfg.nstripe
+    slots = cfg.slots
+    gshape = zeros_grid.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 16, RAYS), lambda b, _: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.depth_planes, RAYS),
+                         lambda b, _: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, slots, RAYS), lambda b, _: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, slots, RAYS), lambda b, _: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, RAYS), lambda b, _: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((slots, RAYS), jnp.int32),
+            pltpu.VMEM((slots, RAYS), jnp.float32),
+            pltpu.VMEM((slots, RAYS), jnp.float32),
+            pltpu.VMEM((slots, RAYS), jnp.float32),
+            pltpu.VMEM((2, 8, NS, BA, 128), jnp.float32),  # gather groups
+            pltpu.VMEM((8, NS, BA, 128), jnp.float32),  # RMW stage
+            pltpu.VMEM((8, NS, BA, 128), jnp.float32),  # delta accum
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(_bp_kernel, cfg, first_iteration, depth_mode),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, slots, RAYS), jnp.float32),
+            jax.ShapeDtypeStruct(gshape, jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, RAYS), jnp.float32),
+        ),
+        input_output_aliases={5: 1},  # zeros grid -> accumulated output
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(origins, seg, splanes, msgs, grid_perm, zeros_grid)
+
+
+# --------------------------------------------------------------------- #
+# in-graph wrappers                                                      #
+# --------------------------------------------------------------------- #
+
+
+def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
+                 camera_center, bbox, cfg):
+    perm = list(cfg.perm)
+    n = ray_start.shape[0]
+    nb = n // RAYS
+    bmin = bbox[:3][jnp.asarray(perm)]
+    st = (ray_start[:, perm] - bmin[None]).T  # (3, N)
+    en = (ray_end[:, perm] - bmin[None]).T
+    cam = camera_center[jnp.asarray(perm)] - bmin
+
+    seg = jnp.zeros((16, n), jnp.float32)
+    seg = seg.at[0:3].set(st).at[3:6].set(en)
+    seg = seg.at[6].set(valid.astype(jnp.float32))
+    seg = seg.at[8:11].set(jnp.broadcast_to(cam[:, None], (3, n)))
+    seg = seg.reshape(16, nb, RAYS).transpose(1, 0, 2)
+
+    sp = S_planes.reshape(nb, RAYS, -1).transpose(0, 2, 1)
+    msgs = messages_slot.reshape(nb, RAYS, cfg.slots).transpose(0, 2, 1)
+
+    bins = jnp.asarray(cfg.bins, jnp.float32)
+    ca = jnp.floor(st[1] / bins[1]).astype(jnp.int32)
+    cae = jnp.floor(en[1] / bins[1]).astype(jnp.int32)
+    cb = jnp.floor(st[2] / bins[2]).astype(jnp.int32)
+    cbe = jnp.floor(en[2] / bins[2]).astype(jnp.int32)
+    a_min = jnp.minimum(ca, cae).reshape(nb, RAYS).min(axis=1) - 1
+    b_min = jnp.minimum(cb, cbe).reshape(nb, RAYS).min(axis=1) - 1
+    ap = -(-(cfg.A + cfg.BA) // 8) * 8
+    bgp = cfg.Bg + cfg.nstripe
+    a0 = jnp.clip((a_min // 8) * 8, 0, ap - cfg.BA)
+    bg0 = jnp.clip(b_min // 128, 0, bgp - cfg.nstripe)
+    origins = jnp.stack([a0, bg0], axis=-1).reshape(-1).astype(jnp.int32)
+    return seg, sp, msgs, origins, (ap, bgp)
+
+
+def _grid_to_perm(grid_flat, cfg, pads):
+    ap, bgp = pads
+    g = grid_flat.reshape(cfg.grid_shape).transpose(cfg.perm)
+    g = jnp.pad(
+        g, ((0, 0), (0, ap - cfg.A), (0, bgp * 128 - cfg.B))
+    )
+    return g.reshape(cfg.S, ap, bgp, 128).transpose(0, 2, 1, 3)
+
+
+def _grid_from_perm(grid_perm, cfg, pads):
+    ap, bgp = pads
+    g = grid_perm.transpose(0, 2, 1, 3).reshape(cfg.S, ap, bgp * 128)
+    g = g[:, : cfg.A, : cfg.B]
+    inv = [cfg.perm.index(a) for a in range(3)]
+    return g.transpose(inv).reshape(-1)
+
+
+def bp_beam_message_step(
+    ray_start, ray_end, valid, S_planes, messages_slot, grid_acc_flat,
+    camera_center, bbox, cfg, first_iteration=False, interpret=False,
+):
+    """One fused BP message sweep (traversal + hat mapping + gather +
+    recurrences + scatter) for tile-ordered rays.
+
+    Returns (new_messages_slot (N, SLOTS), scatter (G,), overflow scalar).
+    """
+    seg, sp, msgs, origins, pads = _prep_inputs(
+        ray_start, ray_end, valid, S_planes, messages_slot,
+        camera_center, bbox, cfg,
+    )
+    grid_perm = _grid_to_perm(grid_acc_flat, cfg, pads)
+    zeros_grid = jnp.zeros_like(grid_perm)
+    out_msgs, grid_out, misc = bp_beam_call(
+        seg, sp, msgs, grid_perm, zeros_grid, origins, cfg,
+        first_iteration=first_iteration, depth_mode=False,
+        interpret=interpret,
+    )
+    n = ray_start.shape[0]
+    new_msgs = out_msgs.transpose(0, 2, 1).reshape(n, cfg.slots)
+    scatter = _grid_from_perm(grid_out, cfg, pads)
+    overflow = misc[:, 0].sum()
+    return new_msgs, scatter, overflow
+
+
+def bp_beam_depth_step(
+    ray_start, ray_end, valid, S_planes, messages_slot, grid_acc_flat,
+    camera_center, bbox, cfg, interpret=False,
+):
+    """Final posterior-depth sweep. Returns (depth (N,), overflow)."""
+    seg, sp, msgs, origins, pads = _prep_inputs(
+        ray_start, ray_end, valid, S_planes, messages_slot,
+        camera_center, bbox, cfg,
+    )
+    grid_perm = _grid_to_perm(grid_acc_flat, cfg, pads)
+    zeros_grid = jnp.zeros_like(grid_perm)
+    _, _, misc = bp_beam_call(
+        seg, sp, msgs, grid_perm, zeros_grid, origins, cfg,
+        first_iteration=False, depth_mode=True, interpret=interpret,
+    )
+    depth = misc[:, 1].reshape(-1)
+    overflow = misc[:, 0].sum()
+    return depth, overflow

@@ -1,0 +1,211 @@
+"""Fused BP beam kernel vs the XLA path (interpret mode, CPU).
+
+The kernel stores messages in slice-major slot order; comparisons use
+order-insensitive views (scatter grids, depths, per-ray sorted message
+multisets) plus a full two-sweep roundtrip.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raynet_tpu.ops.geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
+from raynet_tpu.ops.sampling import sample_points_along_segments
+from raynet_tpu.ops.similarities import compute_similarities
+from raynet_tpu.ops.ray_marching import (
+    voxel_traversal_flat,
+    unflatten_voxel_indices,
+)
+from raynet_tpu.ops.planes_voxels import planes_to_voxels_mapping
+from raynet_tpu.ops import mrf
+from raynet_tpu.ops.pallas.bp_beam import (
+    plan_bp_config,
+    bp_beam_message_step,
+    bp_beam_depth_step,
+)
+from raynet_tpu.ops.pallas.planesweep import tile_order
+
+
+H = W = 32
+D = 8
+GRID = (16, 16, 16)
+M = 48
+GAMMA = 0.05
+
+
+@pytest.fixture(scope="module")
+def geo():
+    rng = np.random.RandomState(0)
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c = np.array([0.5, -0.3, -10.0])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    t = -R @ c.reshape(3, 1)
+    P = K @ np.hstack([R, t])
+    P_pinv = np.linalg.pinv(P)
+    bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
+
+    idxs = jnp.arange(H * W, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, H)
+    idxs = idxs[perm]
+    dirs = rays_from_pixel_idxs(
+        idxs, jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(c, jnp.float32), H,
+    )
+    s, e = rays_entry_exit_bbox(
+        dirs, jnp.asarray(c, jnp.float32),
+        jnp.asarray(bbox[:3]), jnp.asarray(bbox[3:]),
+    )
+    pts = sample_points_along_segments(s, e, D)
+    S_planes = jnp.asarray(
+        rng.dirichlet(np.ones(D), size=H * W), jnp.float32
+    )
+    cfg = plan_bp_config(
+        P_pinv, c, bbox, GRID, H, W, D, M, gamma=GAMMA, sample_stride=1
+    )
+    assert cfg is not None, "planner rejected the test geometry"
+    return dict(
+        start=s, end=e, S_planes=S_planes, cfg=cfg,
+        center=jnp.asarray(c, jnp.float32), bbox=jnp.asarray(bbox),
+        rng=rng,
+    )
+
+
+def _xla_sweep(geo, messages_step, grid_acc, first):
+    """Reference: traversal + mapping + bp_update in step space."""
+    g = int(np.prod(GRID))
+    flat_idx, counts = voxel_traversal_flat(
+        geo["bbox"], geo["start"], geo["end"], GRID, M, False
+    )
+    vox = unflatten_voxel_indices(flat_idx, GRID)
+    S_vox = planes_to_voxels_mapping(
+        geo["S_planes"], vox, counts, geo["start"], geo["end"],
+        geo["bbox"], GRID, D,
+    )
+    if first:
+        msgs, scatter = mrf.bp_update_first(
+            S_vox, flat_idx, counts, grid_acc[0], g
+        )
+    else:
+        msgs, scatter = mrf.bp_update(
+            S_vox, flat_idx, counts, messages_step, grid_acc, g
+        )
+    return msgs, scatter, S_vox, flat_idx, counts
+
+
+def _sorted_rows(a):
+    return np.sort(np.asarray(a), axis=1)
+
+
+def test_bp_beam_first_sweep_matches(geo):
+    g = int(np.prod(GRID))
+    n = H * W
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    grid_acc = jnp.full((g,), prior, jnp.float32)
+    valid = jnp.ones((n,), jnp.int32)
+
+    xla_msgs, xla_scatter, *_ = _xla_sweep(geo, None, grid_acc, True)
+
+    msgs0 = jnp.zeros((n, geo["cfg"].slots), jnp.float32)
+    k_msgs, k_scatter, overflow = bp_beam_message_step(
+        geo["start"], geo["end"], valid, geo["S_planes"], msgs0,
+        grid_acc, geo["center"], geo["bbox"], geo["cfg"],
+        first_iteration=True, interpret=True,
+    )
+    assert float(overflow) == 0.0
+
+    np.testing.assert_allclose(
+        np.asarray(k_scatter), np.asarray(xla_scatter),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        _sorted_rows(k_msgs), _sorted_rows(xla_msgs),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_bp_beam_roundtrip_and_depth_match(geo):
+    """Two message sweeps + the depth sweep, kernel vs XLA end to end."""
+    g = int(np.prod(GRID))
+    n = H * W
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    valid = jnp.ones((n,), jnp.int32)
+    cfg = geo["cfg"]
+
+    # XLA: two sweeps
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    x_m1, x_s1, S_vox, flat_idx, counts = _xla_sweep(geo, None, acc0, True)
+    acc1 = x_s1 + prior
+    x_m2, x_s2, *_ = _xla_sweep(geo, x_m1, acc1, False)
+    acc2 = x_s2 + prior
+    x_Snew = mrf.depth_estimate(S_vox, flat_idx, counts, x_m2, acc2, g)
+    from raynet_tpu.ops.ray_marching import voxel_centers
+
+    centers = voxel_centers(
+        unflatten_voxel_indices(flat_idx, GRID), geo["bbox"], GRID
+    )
+    best = jnp.argmax(x_Snew, axis=-1)
+    bc = jnp.take_along_axis(centers, best[:, None, None], axis=1)[:, 0]
+    x_depth = jnp.linalg.norm(bc - geo["center"][None], axis=-1)
+    x_depth = np.where(np.asarray(counts) > 0, np.asarray(x_depth), 0.0)
+
+    # kernel: two sweeps + depth
+    msgs0 = jnp.zeros((n, cfg.slots), jnp.float32)
+    k_m1, k_s1, ov1 = bp_beam_message_step(
+        geo["start"], geo["end"], valid, geo["S_planes"], msgs0,
+        acc0, geo["center"], geo["bbox"], cfg,
+        first_iteration=True, interpret=True,
+    )
+    k_acc1 = k_s1 + prior
+    k_m2, k_s2, ov2 = bp_beam_message_step(
+        geo["start"], geo["end"], valid, geo["S_planes"], k_m1,
+        k_acc1, geo["center"], geo["bbox"], cfg, interpret=True,
+    )
+    k_acc2 = k_s2 + prior
+    k_depth, ov3 = bp_beam_depth_step(
+        geo["start"], geo["end"], valid, geo["S_planes"], k_m2,
+        k_acc2, geo["center"], geo["bbox"], cfg, interpret=True,
+    )
+    assert float(ov1) == float(ov2) == float(ov3) == 0.0
+
+    np.testing.assert_allclose(
+        np.asarray(k_s2), np.asarray(x_s2), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        _sorted_rows(k_m2), _sorted_rows(x_m2), rtol=1e-3, atol=1e-3
+    )
+    close = np.isclose(
+        np.asarray(k_depth), x_depth, rtol=1e-4, atol=1e-4
+    )
+    assert close.mean() > 0.995, (
+        "depth mismatch beyond ties: %f" % close.mean()
+    )
+
+
+def test_bp_beam_padded_rays_masked(geo):
+    """Invalid (padded) rays must contribute nothing to the scatter."""
+    g = int(np.prod(GRID))
+    n = H * W
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    cfg = geo["cfg"]
+    msgs0 = jnp.zeros((n, cfg.slots), jnp.float32)
+
+    valid_all = jnp.ones((n,), jnp.int32)
+    _, s_all, _ = bp_beam_message_step(
+        geo["start"], geo["end"], valid_all, geo["S_planes"], msgs0,
+        acc0, geo["center"], geo["bbox"], cfg,
+        first_iteration=True, interpret=True,
+    )
+    valid_half = (jnp.arange(n) < n // 2).astype(jnp.int32)
+    m_half, s_half, _ = bp_beam_message_step(
+        geo["start"], geo["end"], valid_half, geo["S_planes"], msgs0,
+        acc0, geo["center"], geo["bbox"], cfg,
+        first_iteration=True, interpret=True,
+    )
+    # messages of masked rays are zero; scatter only counts the valid half
+    assert np.all(np.asarray(m_half)[n // 2:] == 0)
+    assert float(jnp.abs(s_half).sum()) < float(jnp.abs(s_all).sum())
