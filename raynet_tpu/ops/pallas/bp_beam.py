@@ -56,8 +56,9 @@ class BpBeamConfig:
     """Static per-image-geometry kernel configuration (hashable)."""
 
     def __init__(self, perm, S, A, B, K, BA, nstripe, depth_planes,
-                 max_voxels, bins, prior, grid_shape):
+                 max_voxels, bins, prior, grid_shape, flip=False):
         self.perm = perm  # permuted axis order, perm[0] = dominant
+        self.flip = flip  # dominant axis mirrored (negative ray sign)
         self.S, self.A, self.B = S, A, B
         self.K, self.BA, self.nstripe = K, BA, nstripe
         self.depth_planes = depth_planes
@@ -72,7 +73,7 @@ class BpBeamConfig:
     def _key(self):
         return (self.perm, self.S, self.A, self.B, self.K, self.BA,
                 self.nstripe, self.depth_planes, self.max_voxels,
-                self.bins, self.prior, self.grid_shape)
+                self.bins, self.prior, self.grid_shape, self.flip)
 
     def __hash__(self):
         return hash(self._key())
@@ -124,8 +125,12 @@ def plan_bp_config(
     bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
     cells = np.abs(ray) / bins[None]  # voxel-unit travel per axis
     dom = int(np.argmax(cells.mean(axis=0)))
-    if not np.all(ray[:, dom] > 0):
-        return None  # mixed/negative dominant sign: keep the XLA path
+    if np.all(ray[:, dom] > 0):
+        flip = False
+    elif np.all(ray[:, dom] < 0):
+        flip = True  # mirror the dominant axis so the march is ascending
+    else:
+        return None  # mixed dominant sign: keep the XLA path
     others = [a for a in range(3) if a != dom]
     perm = (dom, others[0], others[1])
 
@@ -179,6 +184,7 @@ def plan_bp_config(
     return BpBeamConfig(
         perm, S, A, B, k, ba, nstripe, int(depth_planes), int(max_voxels),
         tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
+        flip=flip,
     )
 
 
@@ -644,6 +650,13 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
     st = (ray_start[:, perm] - bmin[None]).T  # (3, N)
     en = (ray_end[:, perm] - bmin[None]).T
     cam = camera_center[jnp.asarray(perm)] - bmin
+    if cfg.flip:
+        # mirror the dominant axis: x' = extent - x; distances (and thus
+        # the hat parameter and depths) are mirror-invariant
+        ext = jnp.float32(cfg.S * cfg.bins[0])
+        st = st.at[0].set(ext - st[0])
+        en = en.at[0].set(ext - en[0])
+        cam = cam.at[0].set(ext - cam[0])
 
     seg = jnp.zeros((16, n), jnp.float32)
     seg = seg.at[0:3].set(st).at[3:6].set(en)
@@ -672,6 +685,8 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
 def _grid_to_perm(grid_flat, cfg, pads):
     ap, bgp = pads
     g = grid_flat.reshape(cfg.grid_shape).transpose(cfg.perm)
+    if cfg.flip:
+        g = jnp.flip(g, axis=0)
     g = jnp.pad(
         g, ((0, 0), (0, ap - cfg.A), (0, bgp * 128 - cfg.B))
     )
@@ -682,6 +697,8 @@ def _grid_from_perm(grid_perm, cfg, pads):
     ap, bgp = pads
     g = grid_perm.transpose(0, 2, 1, 3).reshape(cfg.S, ap, bgp * 128)
     g = g[:, : cfg.A, : cfg.B]
+    if cfg.flip:
+        g = jnp.flip(g, axis=0)
     inv = [cfg.perm.index(a) for a in range(3)]
     return g.transpose(inv).reshape(-1)
 

@@ -185,6 +185,63 @@ def test_bp_beam_roundtrip_and_depth_match(geo):
     )
 
 
+def test_bp_beam_negative_dominant_sign_flip(rng):
+    """A camera on the +z side (rays marching -z) uses the mirror path;
+    first-sweep scatter must still match the XLA reference."""
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c = np.array([0.4, 0.2, 10.0])  # looking back toward -z
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    t = -R @ c.reshape(3, 1)
+    P = K @ np.hstack([R, t])
+    P_pinv = np.linalg.pinv(P)
+    bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
+
+    idxs = jnp.arange(H * W, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, H)
+    idxs = idxs[perm]
+    dirs = rays_from_pixel_idxs(
+        idxs, jnp.asarray(P_pinv, jnp.float32), jnp.asarray(c, jnp.float32),
+        H,
+    )
+    s, e = rays_entry_exit_bbox(
+        dirs, jnp.asarray(c, jnp.float32), jnp.asarray(bbox[:3]),
+        jnp.asarray(bbox[3:]),
+    )
+    S_planes = jnp.asarray(
+        rng.dirichlet(np.ones(D), size=H * W), jnp.float32
+    )
+    cfg = plan_bp_config(
+        P_pinv, c, bbox, GRID, H, W, D, M, gamma=GAMMA, sample_stride=1
+    )
+    assert cfg is not None and cfg.flip
+
+    g = int(np.prod(GRID))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    geo2 = dict(start=s, end=e, S_planes=S_planes, bbox=jnp.asarray(bbox))
+    xla_msgs, xla_scatter, *_ = _xla_sweep(geo2, None, acc0, True)
+
+    n = H * W
+    k_msgs, k_scatter, overflow = bp_beam_message_step(
+        s, e, jnp.ones((n,), jnp.int32), S_planes,
+        jnp.zeros((n, cfg.slots), jnp.float32), acc0,
+        jnp.asarray(c, jnp.float32), jnp.asarray(bbox), cfg,
+        first_iteration=True, interpret=True,
+    )
+    assert float(overflow) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(k_scatter), np.asarray(xla_scatter),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        _sorted_rows(k_msgs), _sorted_rows(xla_msgs), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_bp_beam_padded_rays_masked(geo):
     """Invalid (padded) rays must contribute nothing to the scatter."""
     g = int(np.prod(GRID))
