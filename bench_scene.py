@@ -33,8 +33,21 @@ def main():
     import imageio.v2 as imageio
     import tempfile, os
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from conftest import _make_ring_camera
+    # NOTE: do NOT import tests/conftest here — importing it force-selects
+    # the CPU backend with 8 virtual devices as a side effect.
+    def _make_ring_camera(angle, h, w, radius=20.0):
+        K = np.array(
+            [[400.0, 0, w / 2], [0, 400.0, h / 2], [0, 0, 1]],
+            dtype=np.float32,
+        )
+        c = np.array([radius * np.sin(angle), 0.0, -radius * np.cos(angle)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z]).astype(np.float32)
+        t = (-R @ c.reshape(3, 1)).astype(np.float32)
+        return K, R, t
 
     from raynet_tpu.common.scene import RestrepoScene
     from raynet_tpu.common.generation_parameters import GenerationParameters
@@ -84,8 +97,9 @@ def main():
         scene.image_shape, args.rays_batch,
     )
 
-    # warmup (compiles)
-    _ = list(fp.forward_pass(scene, (0, 1, 1)))
+    # warmup (compiles) over the SAME image range: the scene-level plan
+    # coalescing makes the static configs depend on the image set
+    _ = list(fp.forward_pass(scene, (0, args.images, 1)))
 
     t0 = time.perf_counter()
     maps = list(fp.forward_pass(scene, (0, args.images, 1)))

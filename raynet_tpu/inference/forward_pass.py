@@ -29,6 +29,53 @@ def _use_pallas():
     return jax.default_backend() != "cpu"
 
 
+def _coalesce_band_specs(specs_by_image):
+    """Elementwise max of per-image band specs so every reference view of a
+    scene shares ONE compiled kernel (specs are static args; per-view
+    deltas would recompile the whole fused step per image — 30-150 s each
+    on the remote TPU compiler)."""
+    specs = [s for s in specs_by_image.values() if s is not None]
+    if not specs or any(len(s) != len(specs[0]) for s in specs):
+        return specs_by_image
+    unified = tuple(
+        (max(s[v][0] for s in specs), max(s[v][1] for s in specs))
+        for v in range(len(specs[0]))
+    )
+    return {
+        i: (unified if s is not None else None)
+        for i, s in specs_by_image.items()
+    }
+
+
+def _coalesce_bp_cfgs(cfgs_by_image):
+    """Unify BP beam configs that share (perm, flip, grid) by taking the
+    max K/BA/nstripe — one compilation for the whole scene."""
+    from ..ops.pallas.bp_beam import BpBeamConfig
+
+    groups = {}
+    for i, c in cfgs_by_image.items():
+        if c is None:
+            continue
+        key = (c.perm, c.flip, c.S, c.A, c.B, c.depth_planes,
+               c.max_voxels, c.bins, c.prior, c.grid_shape)
+        groups.setdefault(key, []).append(c)
+    unified = {}
+    for key, cs in groups.items():
+        u = BpBeamConfig(
+            cs[0].perm, cs[0].S, cs[0].A, cs[0].B,
+            max(c.K for c in cs), max(c.BA for c in cs),
+            max(c.nstripe for c in cs), cs[0].depth_planes,
+            cs[0].max_voxels, cs[0].bins, cs[0].prior,
+            cs[0].grid_shape, flip=cs[0].flip,
+        )
+        for c in cs:
+            unified[id(c)] = u
+    return {
+        i: (unified[id(c)] if c is not None else None)
+        for i, c in cfgs_by_image.items()
+    }
+
+
 class ForwardPass:
     """Shared plumbing: feature caching, ray enumeration, depth conversion."""
 
@@ -279,9 +326,15 @@ class RayNetForwardPass(ForwardPass):
 
     bp_iterations = 3
     # Spill per-image message arrays to disk-backed memmaps beyond this many
-    # float32 entries (the reference always memmap'ed;
-    # forward_pass.py:600-615). In-memory is faster for everything that fits.
-    messages_memmap_threshold = 2 ** 28  # 1 GiB of f32
+    # entries (the reference always memmap'ed; forward_pass.py:600-615).
+    # In-memory is faster for everything that fits.
+    messages_memmap_threshold = 2 ** 28
+    # Host-side storage dtype for the per-image message arrays. float16
+    # halves the DTU-scale footprint (49 views x 1.92M rays x ~384 slots:
+    # 144 GB f32 -> 72 GB); pon log-quotients are O(+-40) with ~1e-3
+    # relative resolution at f16 — well inside the BP clipping bands.
+    # Device math stays f32 either way.
+    messages_dtype = np.float32
     # "auto": shard the ray axis over all visible devices (the scale-out
     # capability the single-GPU reference lacks); "off": single device.
     multichip = "auto"
@@ -345,6 +398,20 @@ class RayNetForwardPass(ForwardPass):
             ),
         }
 
+    # Keep per-image message arrays ON DEVICE while the whole scene's set
+    # fits this many bytes of HBM — the per-batch host round trip costs
+    # ~2 s/call through the axon transfer tunnel (~50 MB/s) and real PCIe
+    # hosts also prefer resident state. Beyond the budget: host arrays,
+    # then memmap spill.
+    messages_device_budget = 4 << 30
+
+    def _messages_on_device(self, ray_idxs_per_image, cols_per_image):
+        total = sum(
+            len(ray_idxs_per_image[i]) * cols_per_image[i] * 4
+            for i in cols_per_image
+        )
+        return _use_pallas() and total <= self.messages_device_budget
+
     def _alloc_messages(self, n_rays, M, ref_idx):
         if n_rays * M > self.messages_memmap_threshold:
             from tempfile import mkdtemp
@@ -357,11 +424,39 @@ class RayNetForwardPass(ForwardPass):
                 os.path.join(
                     self._msgs_dir, "messages_pon_%d.dat" % (ref_idx,)
                 ),
-                dtype="float32",
+                dtype=self.messages_dtype,
                 mode="w+",
                 shape=(n_rays, M),
             )
-        return np.zeros((n_rays, M), dtype=np.float32)
+        return np.zeros((n_rays, M), dtype=self.messages_dtype)
+
+    def _load_msgs(self, store, ref_idx, off, n_valid, cols, on_device):
+        """Padded (rays_batch, cols) message block for one chunk."""
+        if on_device:
+            chunk = jax.lax.dynamic_slice_in_dim(
+                store[ref_idx], off, n_valid
+            )
+            if n_valid < self.rays_batch:
+                chunk = (
+                    jnp.zeros((self.rays_batch, cols), chunk.dtype)
+                    .at[:n_valid]
+                    .set(chunk)
+                )
+            return chunk
+        buf = np.zeros((self.rays_batch, cols), np.float32)
+        buf[:n_valid] = store[ref_idx][off : off + n_valid]
+        return jnp.asarray(buf)
+
+    def _store_msgs(self, store, ref_idx, off, n_valid, new_msgs,
+                    on_device):
+        if on_device:
+            store[ref_idx] = jax.lax.dynamic_update_slice_in_dim(
+                store[ref_idx], new_msgs[:n_valid], off, 0
+            )
+        else:
+            store[ref_idx][off : off + n_valid] = np.asarray(
+                new_msgs
+            )[:n_valid]
 
     def _cleanup_messages(self, messages):
         """Release memmap spill files (ADVICE r1: the mkdtemp leaked)."""
@@ -392,21 +487,42 @@ class RayNetForwardPass(ForwardPass):
         # Per-image BP beam plans (the fused Pallas sweep); images the
         # planner rejects keep the XLA path. Beam messages live in the
         # kernel's slot layout, so the per-image column count differs.
+        # Plans and band specs are COALESCED scene-wide so all views share
+        # one compilation of each step.
         bp_cfgs = {}
+        band_specs = {}
         for i in ref_indices:
             if sharded is None:
-                self._features_and_cameras(scene, i)
+                features_i, *_ = self._features_and_cameras(scene, i)
                 bp_cfgs[i] = self._bp_cfg(scene, i)
+                band_specs[i] = self._band_specs(scene, i, features_i)
             else:
                 bp_cfgs[i] = None
-        messages = {
-            i: self._alloc_messages(
-                len(ray_idxs_per_image[i]),
-                bp_cfgs[i].slots if bp_cfgs[i] is not None else M,
-                i,
-            )
+                band_specs[i] = None
+        bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
+        band_specs = _coalesce_band_specs(band_specs)
+        cols_per_image = {
+            i: (bp_cfgs[i].slots if bp_cfgs[i] is not None else M)
             for i in ref_indices
         }
+        msgs_on_device = self._messages_on_device(
+            ray_idxs_per_image, cols_per_image
+        )
+        if msgs_on_device:
+            messages = {
+                i: jnp.zeros(
+                    (len(ray_idxs_per_image[i]), cols_per_image[i]),
+                    jnp.float32,
+                )
+                for i in ref_indices
+            }
+        else:
+            messages = {
+                i: self._alloc_messages(
+                    len(ray_idxs_per_image[i]), cols_per_image[i], i
+                )
+                for i in ref_indices
+            }
         try:
             grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
 
@@ -420,24 +536,22 @@ class RayNetForwardPass(ForwardPass):
                         scene, ref_idx
                     )
                     cfg = bp_cfgs[ref_idx]
-                    cols = cfg.slots if cfg is not None else M
+                    cols = cols_per_image[ref_idx]
                     with self.timer.phase("Message passing"):
                         for off, n_valid, chunk in self._ray_batches(
                             ray_idxs
                         ):
-                            msg_in = np.zeros(
-                                (self.rays_batch, cols), dtype=np.float32
+                            msg_in = self._load_msgs(
+                                messages, ref_idx, off, n_valid, cols,
+                                msgs_on_device,
                             )
-                            msg_in[:n_valid] = messages[ref_idx][
-                                off : off + n_valid
-                            ]
                             if sharded is not None:
                                 step = sharded[
                                     "first" if iteration == 0 else "rest"
                                 ]
                                 new_msgs, scatter = step(
                                     chunk, features, P, P_pinv, center,
-                                    bbox, jnp.asarray(msg_in), grid_acc,
+                                    bbox, msg_in, grid_acc,
                                     jnp.int32(n_valid),
                                 )
                             elif cfg is not None:
@@ -445,33 +559,30 @@ class RayNetForwardPass(ForwardPass):
                                     fused.raynet_beam_message_step(
                                         chunk, features, P, P_pinv,
                                         center, bbox,
-                                        jnp.asarray(msg_in), grid_acc,
+                                        msg_in, grid_acc,
                                         jnp.int32(n_valid),
                                         H, W, gp.padding,
                                         gp.depth_planes, cfg,
-                                        band_specs=self._band_specs(
-                                            scene, ref_idx, features
-                                        ),
+                                        band_specs=band_specs[ref_idx],
                                         first_iteration=(iteration == 0),
                                     )
                                 )
                             else:
                                 new_msgs, scatter = fused.raynet_message_step(
                                     chunk, features, P, P_pinv, center, bbox,
-                                    jnp.asarray(msg_in), grid_acc,
+                                    msg_in, grid_acc,
                                     jnp.int32(n_valid),
                                     H, W, gp.padding, gp.depth_planes,
                                     grid_shape, M,
                                     use_pallas=_use_pallas(),
                                     first_iteration=(iteration == 0),
-                                    band_specs=self._band_specs(
-                                        scene, ref_idx, features
-                                    ),
+                                    band_specs=band_specs[ref_idx],
                                     tile_ordered=True,
                                 )
-                            messages[ref_idx][
-                                off : off + n_valid
-                            ] = np.asarray(new_msgs)[:n_valid]
+                            self._store_msgs(
+                                messages, ref_idx, off, n_valid,
+                                new_msgs, msgs_on_device,
+                            )
                             scatter_total = scatter_total + scatter
                 grid_acc = scatter_total  # swap accumulators
 
@@ -481,38 +592,32 @@ class RayNetForwardPass(ForwardPass):
                     scene, ref_idx
                 )
                 cfg = bp_cfgs[ref_idx]
-                cols = cfg.slots if cfg is not None else M
+                cols = cols_per_image[ref_idx]
                 depth_map = np.zeros(H * W, dtype=np.float32)
                 for off, n_valid, chunk in self._ray_batches(ray_idxs):
-                    msg_in = np.zeros(
-                        (self.rays_batch, cols), dtype=np.float32
+                    msg_in = self._load_msgs(
+                        messages, ref_idx, off, n_valid, cols,
+                        msgs_on_device,
                     )
-                    msg_in[:n_valid] = messages[ref_idx][
-                        off : off + n_valid
-                    ]
                     if sharded is not None:
                         _, depth = sharded["depth"](
                             chunk, features, P, P_pinv, center, bbox,
-                            jnp.asarray(msg_in), grid_acc,
+                            msg_in, grid_acc,
                         )
                     elif cfg is not None:
                         depth, _ = fused.raynet_beam_depth_step(
                             chunk, features, P, P_pinv, center, bbox,
-                            jnp.asarray(msg_in), grid_acc,
+                            msg_in, grid_acc,
                             H, W, gp.padding, gp.depth_planes, cfg,
-                            band_specs=self._band_specs(
-                                scene, ref_idx, features
-                            ),
+                            band_specs=band_specs[ref_idx],
                         )
                     else:
                         _, depth = fused.raynet_depth_step(
                             chunk, features, P, P_pinv, center, bbox,
-                            jnp.asarray(msg_in), grid_acc,
+                            msg_in, grid_acc,
                             H, W, gp.padding, gp.depth_planes, grid_shape, M,
                             use_pallas=_use_pallas(),
-                            band_specs=self._band_specs(
-                                scene, ref_idx, features
-                            ),
+                            band_specs=band_specs[ref_idx],
                             tile_ordered=True,
                         )
                     depth_map[ray_idxs[off : off + n_valid]] = np.asarray(

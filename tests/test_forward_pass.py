@@ -110,6 +110,22 @@ def test_raynet_multichip_matches_single_device(setup):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_raynet_float16_messages(setup):
+    """float16 host-side message storage (the DTU-scale memory plan)
+    reproduces the float32 depth maps within tie tolerance."""
+    scene, gp, model, scheme = setup
+    ref = _run("raynet", setup)
+
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H
+    )
+    fp.messages_dtype = np.float16
+    maps = list(fp.forward_pass(scene, (0, 2, 1)))
+    for a, b in zip(maps, ref):
+        close = np.isclose(a, b, rtol=1e-3, atol=1e-3)
+        assert close.mean() > 0.995, close.mean()
+
+
 def test_filter_out_rays(setup, mock_scene_dir):
     """filter_out_rays restricts prediction to nonzero-GT pixels."""
     scene, gp, model, scheme = setup
