@@ -263,6 +263,28 @@ def main():
     vagree = float(np.isclose(v_p, v_s, rtol=1e-3, atol=1e-3).mean())
     emit("voxel_depth_agreement", vagree, "fraction", vagree / AGREEMENT_BAR)
 
+    # ----------------- 5. full ORCHESTRATED scene (RayNetForwardPass) ----
+    # Emitted last so earlier metrics survive any time budget; this is the
+    # honest end-to-end number (features, batching, message storage, all 4
+    # sweeps) rather than the single-step extrapolation above.
+    if on_tpu:
+        try:
+            from bench_scene import run_scene_benchmark
+
+            res = run_scene_benchmark(images=2)
+            emit(
+                "raynet_scene_rays_per_second",
+                res["rays_per_second_full_pipeline"], "rays/s",
+                res["rays_per_second_full_pipeline"] / BASELINE_RAYS_PER_S,
+            )
+            emit(
+                "dtu_scene_orchestrated_s",
+                res["extrapolated_full_dtu_seconds"], "s",
+                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
+            )
+        except Exception as e:  # keep the earlier metrics on any failure
+            print("scene benchmark failed: %r" % (e,), file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -18,17 +18,19 @@ import time
 import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--images", type=int, default=4)
-    p.add_argument("--height", type=int, default=180)
-    p.add_argument("--width", type=int, default=320)
-    p.add_argument("--depth_planes", type=int, default=32)
-    p.add_argument("--grid", type=lambda s: tuple(map(int, s.split(","))),
-                   default="128,128,64")
-    p.add_argument("--max_voxels", type=int, default=384)
-    p.add_argument("--rays_batch", type=int, default=65536)
-    args = p.parse_args()
+def run_scene_benchmark(
+    images=4, height=180, width=320, depth_planes=32,
+    grid=(128, 128, 64), max_voxels=384, rays_batch=65536,
+):
+    """Build a synthetic ring scene and reconstruct it through the REAL
+    orchestration path (RayNetForwardPass). Returns the metrics dict."""
+    import types
+
+    args = types.SimpleNamespace(
+        images=images, height=height, width=width,
+        depth_planes=depth_planes, grid=grid, max_voxels=max_voxels,
+        rays_batch=rays_batch,
+    )
 
     import imageio.v2 as imageio
     import tempfile, os
@@ -111,21 +113,32 @@ def main():
     est_dtu = elapsed / rays * dtu_rays
 
     print("phase totals:", fp.timer.summary(), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "raynet_scene_seconds",
-                "images": args.images,
-                "rays": rays,
-                "value": round(elapsed, 2),
-                "rays_per_second_full_pipeline": round(
-                    rays * sweeps / elapsed, 1
-                ),
-                "extrapolated_full_dtu_seconds": round(est_dtu, 1),
-            }
-        )
-    )
     assert all(np.isfinite(m).all() for m in maps)
+    return {
+        "metric": "raynet_scene_seconds",
+        "images": args.images,
+        "rays": rays,
+        "value": round(elapsed, 2),
+        "rays_per_second_full_pipeline": round(rays * sweeps / elapsed, 1),
+        "extrapolated_full_dtu_seconds": round(est_dtu, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", type=int, default=4)
+    p.add_argument("--height", type=int, default=180)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--depth_planes", type=int, default=32)
+    p.add_argument("--grid", type=lambda s: tuple(map(int, s.split(","))),
+                   default="128,128,64")
+    p.add_argument("--max_voxels", type=int, default=384)
+    p.add_argument("--rays_batch", type=int, default=65536)
+    a = p.parse_args()
+    print(json.dumps(run_scene_benchmark(
+        a.images, a.height, a.width, a.depth_planes, tuple(a.grid),
+        a.max_voxels, a.rays_batch,
+    )))
 
 
 if __name__ == "__main__":
