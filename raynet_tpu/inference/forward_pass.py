@@ -128,6 +128,15 @@ class ForwardPass:
             )
         return self._band_cache[ref_idx]
 
+    def _scene_band_specs(self, scene, ref_indices):
+        """Plan + coalesce band specs for a set of reference views so they
+        all share one compiled step (see _coalesce_band_specs)."""
+        specs = {}
+        for i in ref_indices:
+            features_i, *_ = self._features_and_cameras(scene, i)
+            specs[i] = self._band_specs(scene, i, features_i)
+        return _coalesce_band_specs(specs)
+
     # -- depth-map converters (parity: forward_pass.py:51-139) ----------
     @staticmethod
     def create_depth_map_from_distribution(
@@ -262,12 +271,15 @@ class MultiViewCNNForwardPass(ForwardPass):
         gp = self._generation_params
         bbox = jnp.asarray(scene.bbox.reshape(-1), dtype=jnp.float32)
 
+        band_specs = self._scene_band_specs(
+            scene, list(range(start, end, skip))
+        )
         for ref_idx in range(start, end, skip):
             ray_idxs = self.get_valid_rays_per_image(scene, ref_idx)
             features, P, P_pinv, center = self._features_and_cameras(
                 scene, ref_idx
             )
-            bands = self._band_specs(scene, ref_idx, features)
+            bands = band_specs[ref_idx]
             depth_map = np.zeros(H * W, dtype=np.float32)
             with self.timer.phase("Per-pixel depth estimation"):
                 for off, n_valid, chunk in self._ray_batches(ray_idxs):
@@ -294,12 +306,15 @@ class MultiViewCNNVoxelSpaceForwardPass(ForwardPass):
         bbox = jnp.asarray(scene.bbox.reshape(-1), dtype=jnp.float32)
         grid_shape = tuple(int(g) for g in gp.grid_shape)
 
+        band_specs = self._scene_band_specs(
+            scene, list(range(start, end, skip))
+        )
         for ref_idx in range(start, end, skip):
             ray_idxs = self.get_valid_rays_per_image(scene, ref_idx)
             features, P, P_pinv, center = self._features_and_cameras(
                 scene, ref_idx
             )
-            bands = self._band_specs(scene, ref_idx, features)
+            bands = band_specs[ref_idx]
             depth_map = np.zeros(H * W, dtype=np.float32)
             with self.timer.phase("Per-pixel depth estimation"):
                 for off, n_valid, chunk in self._ray_batches(ray_idxs):

@@ -138,6 +138,84 @@ def sharded_raynet_depth_step(
     return step
 
 
+def sharded_beam_message_step(
+    mesh, height, width, padding, depth_planes, bp_cfg, band_specs=None,
+    first_iteration=False, interpret=False,
+):
+    """The fused BP beam sweep with rays sharded over the mesh: each device
+    runs the Pallas kernel on its ray shard against the replicated
+    accumulator; the per-device grid contributions are psum'd over ICI
+    (the atomicAdd -> collective mapping, now at beam-kernel speed)."""
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(RAY_AXIS),  # ray_idxs
+            P(),  # features
+            P(),  # P
+            P(),  # P_pinv
+            P(),  # camera_center
+            P(),  # bbox
+            P(RAY_AXIS),  # slot-layout messages
+            P(),  # grid_acc
+            P(),  # n_valid (global; padding sits at the batch tail)
+        ),
+        out_specs=(P(RAY_AXIS), P(), P(RAY_AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+    def step(
+        ray_idxs, features, Pm, P_pinv, center, bbox, messages, grid_acc,
+        n_valid,
+    ):
+        local_n = ray_idxs.shape[0]
+        shard = jax.lax.axis_index(RAY_AXIS)
+        local_valid = jnp.clip(n_valid - shard * local_n, 0, local_n)
+        new_msgs, scatter, overflow = fused.raynet_beam_message_step(
+            ray_idxs, features, Pm, P_pinv, center, bbox, messages,
+            grid_acc, local_valid, height, width, padding, depth_planes,
+            bp_cfg, band_specs=band_specs,
+            first_iteration=first_iteration, interpret=interpret,
+        )
+        return (
+            new_msgs,
+            jax.lax.psum(scatter, RAY_AXIS),
+            jnp.broadcast_to(overflow, (local_n,)),
+        )
+
+    return step
+
+
+def sharded_beam_depth_step(
+    mesh, height, width, padding, depth_planes, bp_cfg, band_specs=None,
+    interpret=False,
+):
+    """Final beam depth sweep with rays sharded (grid read-only)."""
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(RAY_AXIS), P(), P(), P(), P(), P(), P(RAY_AXIS), P(),
+        ),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+    def step(
+        ray_idxs, features, Pm, P_pinv, center, bbox, messages, grid_acc
+    ):
+        depth, _ = fused.raynet_beam_depth_step(
+            ray_idxs, features, Pm, P_pinv, center, bbox, messages,
+            grid_acc, height, width, padding, depth_planes, bp_cfg,
+            band_specs=band_specs, interpret=interpret,
+        )
+        return depth
+
+    return step
+
+
 def shard_e2e_batch(mesh, batch):
     """Shard a RayNet training batch over rays; scene-level tensors are
     replicated. GSPMD then runs the whole jitted train step SPMD, inserting

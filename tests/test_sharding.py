@@ -119,6 +119,84 @@ def test_sharded_raynet_message_step(rng):
     )
 
 
+def test_sharded_beam_message_step(rng):
+    """The fused BP beam kernel under shard_map (interpret mode) matches
+    the single-device beam step, including the psum'd grid scatter."""
+    from raynet_tpu.ops import fused
+    from raynet_tpu.ops.pallas.bp_beam import plan_bp_config
+    from raynet_tpu.ops.pallas.planesweep import tile_order
+    from raynet_tpu.parallel.sharding import sharded_beam_message_step
+
+    mesh = make_ray_mesh()
+    h, w = 32, 64  # 2048 rays = 8 shards x 256
+    v, d, padding, f = 3, 4, 5, 32
+    grid_shape = (16, 16, 16)
+    m = 48
+    g = int(np.prod(grid_shape))
+
+    K = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]])
+    Ps, centers = [], []
+    for i in range(v):
+        ang = (i - v / 2) * 0.05
+        c = np.array([15 * np.sin(ang), 0, -15 * np.cos(ang)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        t = -R @ c.reshape(3, 1)
+        Ps.append(K @ np.hstack([R, t]))
+        centers.append(c)
+    P = jnp.asarray(np.stack(Ps), jnp.float32)
+    P_pinv = jnp.asarray(np.linalg.pinv(Ps[0]), jnp.float32)
+    center = jnp.asarray(centers[0], jnp.float32)
+    bbox = jnp.asarray([-2, -2, -2, 2, 2, 2], jnp.float32)
+    feats = jnp.asarray(
+        rng.randn(v, h + padding + 1, w + padding + 1, f), jnp.float32
+    )
+    cfg = plan_bp_config(
+        np.asarray(P_pinv), centers[0], np.asarray(bbox), grid_shape,
+        h, w, d, m, sample_stride=1,
+    )
+    assert cfg is not None
+
+    n = h * w
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, h)
+    idxs = idxs[perm]
+    msgs = jnp.zeros((n, cfg.slots), jnp.float32)
+    acc = jnp.full((g,), cfg.prior, jnp.float32)
+    n_valid = jnp.int32(n - 300)  # padded tail spans the last shards
+
+    ref_msgs, ref_scatter, ref_ov = fused.raynet_beam_message_step(
+        idxs, feats, P, P_pinv, center, bbox, msgs, acc, n_valid,
+        h, w, padding, d, cfg, first_iteration=True, interpret=True,
+    )
+    assert float(ref_ov) == 0.0
+
+    step = sharded_beam_message_step(
+        mesh, h, w, padding, d, cfg, first_iteration=True, interpret=True
+    )
+    out_msgs, out_scatter, _ = step(
+        shard_batch(mesh, idxs),
+        replicate(mesh, feats),
+        replicate(mesh, P),
+        replicate(mesh, P_pinv),
+        replicate(mesh, center),
+        replicate(mesh, bbox),
+        shard_batch(mesh, msgs),
+        replicate(mesh, acc),
+        replicate(mesh, n_valid),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scatter), np.asarray(ref_scatter),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_msgs), np.asarray(ref_msgs), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_e2e_train_step_runs_sharded(rng):
     """The full training step executes SPMD over the mesh with rays sharded
     (GSPMD inserts the grid all-reduce)."""
