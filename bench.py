@@ -115,16 +115,19 @@ def main():
 
     # Chunk the TILE-ORDERED ray list so every 128-ray kernel block is one
     # complete pixel tile (mixed-tile blocks blow up the band boxes and
-    # trip the exactness fallback).
+    # trip the exactness fallback). The sweep runs the WHOLE image in one
+    # launch when the ray count allows it — per-call overhead through the
+    # axon tunnel is several ms.
     xs = np.arange(n_rays) // h
     ys = np.arange(n_rays) % h
     tile_ids = (xs // 16) * ((h + 7) // 8) + ys // 8
     order = np.argsort(tile_ids, kind="stable").astype(np.int32)
+    sweep_batch = n_rays if n_rays % 128 == 0 else rays_batch
     batches = [
         jnp.asarray(
-            order[np.arange(off, off + rays_batch) % n_rays]
+            order[np.arange(off, off + sweep_batch) % n_rays]
         )
-        for off in range(0, n_rays, rays_batch)
+        for off in range(0, n_rays, sweep_batch)
     ]
 
     def sweep_image():
@@ -199,7 +202,8 @@ def main():
             )
             return new_msgs.sum() + scatter.sum()
 
-    args = (batches[0], features, P, P_pinv, center, bbox, msgs, grid_acc)
+    msg_idxs = jnp.asarray(order[:rays_batch])
+    args = (msg_idxs, features, P, P_pinv, center, bbox, msgs, grid_acc)
     float(message_step(*args))  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -150,21 +150,21 @@ def plan_bp_config(
     if S % 8:
         return None
 
-    # Per-block box spans from the segment-endpoint AABB (+nudge margin).
-    def cell_of(p, axis):
-        return np.floor((p[:, axis] - bbox[axis]) / bins[axis]).astype(int)
-
+    # Per-(block, 8-slice-group) box spans: the beam origin DRIFTS with the
+    # slice group, so the static box only has to cover a group's footprint
+    # (tile + divergence + in-group drift), not the whole path's lateral
+    # travel — typically 8-16 cells instead of 50-130.
     nb = len(s) // RAYS
     if nb == 0:
         return None
     trim = nb * RAYS
+    ngrp = S // 8
+    span_a, span_b = _group_spans(
+        s[:trim], e[:trim], bbox, bins, perm, S, ngrp
+    )
 
     def span(axis):
-        lo = np.minimum(cell_of(s, axis), cell_of(e, axis))
-        hi = np.maximum(cell_of(s, axis), cell_of(e, axis))
-        lo = lo[:trim].reshape(nb, RAYS).min(axis=1)
-        hi = hi[:trim].reshape(nb, RAYS).max(axis=1)
-        return int((hi - lo).max()) + 3  # +1 box, +2 nudge/sampling margin
+        return (span_a if axis == others[0] else span_b) + 3
 
     ba = span(others[0]) + 8  # origin snapped down to a multiple of 8
     for bucket in (16, 32, 64, 128):  # powers of two: decode uses shifts
@@ -186,6 +186,41 @@ def plan_bp_config(
         tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
         flip=flip,
     )
+
+
+
+
+def _group_positions(s, e, bbox, bins, perm, S, ngrp):
+    """Lateral cell positions of every ray at every group boundary, clamped
+    to the ray's own dominant span. Returns (pa, pb): (N, ngrp+1) arrays."""
+    d0 = (s[:, perm[0]] - bbox[perm[0]]) / bins[0]
+    d1 = (e[:, perm[0]] - bbox[perm[0]]) / bins[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / np.maximum(d1 - d0, 1e-9)
+    gb = np.arange(ngrp + 1)[None, :] * 8.0  # group boundaries in slices
+    t = np.clip((gb - d0[:, None]) * inv[:, None], 0.0, 1.0)
+
+    def lerp_cells(axis, bin_):
+        a0 = (s[:, axis] - bbox[axis]) / bin_
+        a1 = (e[:, axis] - bbox[axis]) / bin_
+        return a0[:, None] + t * (a1 - a0)[:, None]
+
+    return lerp_cells(perm[1], bins[1]), lerp_cells(perm[2], bins[2])
+
+
+def _group_spans(s, e, bbox, bins, perm, S, ngrp):
+    """Max per-(block, group) lateral spans in cells (planner side)."""
+    pa, pb = _group_positions(s, e, bbox, bins, perm, S, ngrp)
+    nb = len(s) // RAYS
+
+    def span_of(p):
+        lo = np.minimum(p[:, :-1], p[:, 1:])  # (N, ngrp)
+        hi = np.maximum(p[:, :-1], p[:, 1:])
+        lo = np.floor(lo).astype(int).reshape(nb, RAYS, ngrp).min(axis=1)
+        hi = np.floor(hi).astype(int).reshape(nb, RAYS, ngrp).max(axis=1)
+        return int((hi - lo).max())
+
+    return span_of(pa), span_of(pb)
 
 
 # --------------------------------------------------------------------- #
@@ -222,8 +257,15 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     bins = cfg.bins
     ba_shift = BA.bit_length() - 1  # BA is a power of two
     b = pl.program_id(0)
-    a0 = pl.multiple_of(origins_ref[b * 2], 8)
-    bg0 = origins_ref[b * 2 + 1]
+    NG = S // 8
+
+    def grp_origin(g):
+        base = (b * NG + g) * 2
+        return (
+            pl.multiple_of(origins_ref[base], 8),
+            origins_ref[base + 1],
+        )
+
     del zeros_ref  # aliased to out_grid_ref; only the alias is touched
 
     def row(i):
@@ -273,7 +315,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             acc = term if acc is None else acc + term
         return acc * inv_len2
 
-    def local_cell(c1, c2):
+    def local_cell(c1, c2, a0, bg0):
         la = c1 - a0
         lb = c2 - bg0 * 128
         cell = (((lb >> 7) << ba_shift) + la) * 128 + (lb & 127)
@@ -284,6 +326,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     def march_group(g, carry):
         c0, c1, c2, t0, t1, t2, alive_i, steps, overflow = carry
         alive = alive_i > 0  # i1 vectors cannot be carried through scf.for
+        a0_g, bg0_g = grp_origin(g)
         cell_rows, t_rows = [], []
         for u in range(8):
             s = g * 8 + u
@@ -311,7 +354,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                     alive = alive & ~dead
                     in_slice = in_slice & adv
                     emit = in_slice & (steps < cfg.max_voxels)
-                cell = local_cell(c1, c2)
+                cell = local_cell(c1, c2, a0_g, bg0_g)
                 overflow = overflow + (emit & (cell < 0)).astype(jnp.int32)
                 cell_rows.append(jnp.where(emit, cell, -1))
                 t_rows.append(
@@ -371,9 +414,10 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
 
     # ------------------------------------------------------------ gather
     def grid_dma(g, slot):
+        a0_g, bg0_g = grp_origin(g)
         return pltpu.make_async_copy(
             grid_ref.at[
-                _ds8(g * 8, 8), pl.ds(bg0, NS), pl.ds(a0, BA)
+                _ds8(g * 8, 8), pl.ds(bg0_g, NS), pl.ds(a0_g, BA)
             ],
             gbuf.at[slot],
             gsem.at[slot],
@@ -461,15 +505,17 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, RAYS), 0)
 
     def out_dma(g, direction):
+        a0_g, bg0_g = grp_origin(g)
         region = out_grid_ref.at[
-            _ds8(g * 8, 8), pl.ds(bg0, NS), pl.ds(a0, BA)
+            _ds8(g * 8, 8), pl.ds(bg0_g, NS), pl.ds(a0_g, BA)
         ]
         if direction == "read":
             return pltpu.make_async_copy(region, dstage, dsem)
         return pltpu.make_async_copy(dstage, region, dsem)
 
     def r2_group(g, carry):
-        ep, cse, best_v, best_cell, best_s = carry
+        ep, cse, best_v, best_cell, best_s, best_a0, best_bg0 = carry
+        a0_g, bg0_g = grp_origin(g)
         n_rows = 8 * K
         cells = cell_scr[_ds8(g * n_rows, n_rows)]
         mu8 = mu_scr[_ds8(g * n_rows, n_rows)]
@@ -497,6 +543,8 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                     )
                     best_cell = jnp.where(better, cid, best_cell)
                     best_s = jnp.where(better, s, best_s)
+                    best_a0 = jnp.where(better, a0_g, best_a0)
+                    best_bg0 = jnp.where(better, bg0_g, best_bg0)
                 else:
                     pos = cse + ep * Sr
                     neg = cse + (total - cse - contrib) / om
@@ -535,14 +583,14 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             out_msg_ref[0, _ds8(g * n_rows, n_rows)] = jnp.concatenate(
                 out_rows, axis=0
             )
-        return ep, cse, best_v, best_cell, best_s
+        return ep, cse, best_v, best_cell, best_s, best_a0, best_bg0
 
     init = (
         ones, jnp.zeros((1, RAYS), jnp.float32),
-        jnp.full((1, RAYS), -1.0, jnp.float32), zero, zero,
+        jnp.full((1, RAYS), -1.0, jnp.float32), zero, zero, zero, zero,
     )
-    _, _, best_v, best_cell, best_s = jax.lax.fori_loop(
-        0, S // 8, r2_group, init
+    (_, _, best_v, best_cell, best_s, best_a0, best_bg0) = (
+        jax.lax.fori_loop(0, S // 8, r2_group, init)
     )
 
     # ------------------------------------------------------------- misc
@@ -551,8 +599,8 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         lo = best_cell & 127
         stripe = rowpair >> ba_shift
         la = rowpair - (stripe << ba_shift)
-        c1 = la + a0
-        c2 = stripe * 128 + lo + bg0 * 128
+        c1 = la + best_a0
+        c2 = stripe * 128 + lo + best_bg0 * 128
         w0 = (best_s.astype(jnp.float32) + 0.5) * bins[0]
         w1 = (c1.astype(jnp.float32) + 0.5) * bins[1]
         w2 = (c2.astype(jnp.float32) + 0.5) * bins[2]
@@ -667,13 +715,30 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
     sp = S_planes.reshape(nb, RAYS, -1).transpose(0, 2, 1)
     msgs = messages_slot.reshape(nb, RAYS, cfg.slots).transpose(0, 2, 1)
 
+    # Per-(block, 8-slice group) DRIFTING beam origins: lateral positions
+    # of each ray at every group boundary (clamped lerp along the dominant
+    # span), then block-group minima.
     bins = jnp.asarray(cfg.bins, jnp.float32)
-    ca = jnp.floor(st[1] / bins[1]).astype(jnp.int32)
-    cae = jnp.floor(en[1] / bins[1]).astype(jnp.int32)
-    cb = jnp.floor(st[2] / bins[2]).astype(jnp.int32)
-    cbe = jnp.floor(en[2] / bins[2]).astype(jnp.int32)
-    a_min = jnp.minimum(ca, cae).reshape(nb, RAYS).min(axis=1) - 1
-    b_min = jnp.minimum(cb, cbe).reshape(nb, RAYS).min(axis=1) - 1
+    ngrp = cfg.S // 8
+    d0 = st[0] / bins[0]
+    d1 = en[0] / bins[0]
+    inv = 1.0 / jnp.maximum(d1 - d0, 1e-9)
+    gb = jnp.arange(ngrp + 1, dtype=jnp.float32)[None, :] * 8.0
+    t = jnp.clip((gb - d0[:, None]) * inv[:, None], 0.0, 1.0)  # (N, G+1)
+
+    pa0 = st[1] / bins[1]
+    pa1 = en[1] / bins[1]
+    pa = pa0[:, None] + t * (pa1 - pa0)[:, None]  # (N, G+1)
+    pb0 = st[2] / bins[2]
+    pb1 = en[2] / bins[2]
+    pb = pb0[:, None] + t * (pb1 - pb0)[:, None]
+
+    def group_min(p):
+        lo = jnp.floor(jnp.minimum(p[:, :-1], p[:, 1:])).astype(jnp.int32)
+        return lo.reshape(nb, RAYS, ngrp).min(axis=1) - 1  # (NB, G)
+
+    a_min = group_min(pa)
+    b_min = group_min(pb)
     ap = -(-(cfg.A + cfg.BA) // 8) * 8
     bgp = cfg.Bg + cfg.nstripe
     a0 = jnp.clip((a_min // 8) * 8, 0, ap - cfg.BA)
