@@ -122,7 +122,10 @@ def main():
     ys = np.arange(n_rays) % h
     tile_ids = (xs // 16) * ((h + 7) // 8) + ys // 8
     order = np.argsort(tile_ids, kind="stable").astype(np.int32)
-    sweep_batch = n_rays if n_rays % 128 == 0 else rays_batch
+    # 65k launches: the exactness cond keeps BOTH the banded and the XLA
+    # fallback branches' buffers alive, and the fallback's (N, D, V, F)
+    # gather intermediates blow HBM at larger launches.
+    sweep_batch = rays_batch
     batches = [
         jnp.asarray(
             order[np.arange(off, off + sweep_batch) % n_rays]
