@@ -364,6 +364,9 @@ class RayNetForwardPass(ForwardPass):
             self.bp_beam == "off"
             or not _use_pallas()
             or self.rays_batch % 256 != 0
+            # filtered ray sets break the planner's complete-tile block
+            # assumption (beam boxes are planned from full-image blocks)
+            or self._filter_out_rays
         ):
             return None
         if not hasattr(self, "_bp_cfg_cache"):
@@ -540,6 +543,7 @@ class RayNetForwardPass(ForwardPass):
             }
         try:
             grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
+            overflow_total = jnp.float32(0.0)
 
             for iteration in range(self.bp_iterations):
                 scatter_total = jnp.full(
@@ -570,7 +574,7 @@ class RayNetForwardPass(ForwardPass):
                                     jnp.int32(n_valid),
                                 )
                             elif cfg is not None:
-                                new_msgs, scatter, _ = (
+                                new_msgs, scatter, overflow = (
                                     fused.raynet_beam_message_step(
                                         chunk, features, P, P_pinv,
                                         center, bbox,
@@ -594,12 +598,23 @@ class RayNetForwardPass(ForwardPass):
                                     band_specs=band_specs[ref_idx],
                                     tile_ordered=True,
                                 )
+                            if cfg is not None:
+                                overflow_total = overflow_total + overflow
                             self._store_msgs(
                                 messages, ref_idx, off, n_valid,
                                 new_msgs, msgs_on_device,
                             )
                             scatter_total = scatter_total + scatter
                 grid_acc = scatter_total  # swap accumulators
+
+            # One host sync for the whole scene: the kernel's overflow flag
+            # guards the planner's static K/box invariants.
+            if float(overflow_total):
+                raise RuntimeError(
+                    "BP beam planner invariant violated (%d slot "
+                    "overflows); the planned K/box did not cover this "
+                    "scene's rays" % int(float(overflow_total))
+                )
 
             for ref_idx in ref_indices:
                 ray_idxs = ray_idxs_per_image[ref_idx]
