@@ -39,19 +39,6 @@ def _segments(ray_idxs, P_pinv, camera_center, bbox, height):
     return rays_entry_exit_bbox(directions, camera_center, bbox[:3], bbox[3:])
 
 
-def _tile_perm(ray_idxs, height, tile_ordered):
-    """(perm, inv) for the banded kernel's pixel-tile blocking; identity
-    when the caller already passes tile-ordered rays (the forward passes
-    and bench pre-sort on the host — the in-graph argsort costs ~8 ms per
-    65k rays on v5e). bands_fit still guards exactness either way."""
-    if tile_ordered:
-        identity = jnp.arange(ray_idxs.shape[0], dtype=jnp.int32)
-        return identity, identity
-    from .pallas.planesweep import tile_order
-
-    return tile_order(ray_idxs, height)
-
-
 def _similarities(
     features, P, points, padding, height, width, band_specs
 ):
