@@ -185,7 +185,7 @@ def main():
         @jax.jit
         def message_step(idxs, features, P, P_pinv, center, bbox, msgs,
                          acc):
-            new_msgs, scatter, _ = fused.raynet_beam_message_step(
+            new_msgs, scatter, _, _ = fused.raynet_beam_message_step(
                 idxs, features, P, P_pinv, center, bbox, msgs, acc,
                 jnp.int32(rays_batch), h, w, padding, depth_planes,
                 bp_cfg, band_specs=bands,
@@ -197,7 +197,7 @@ def main():
         @jax.jit
         def message_step(idxs, features, P, P_pinv, center, bbox, msgs,
                          acc):
-            new_msgs, scatter = fused.raynet_message_step(
+            new_msgs, scatter, _ = fused.raynet_message_step(
                 idxs, features, P, P_pinv, center, bbox, msgs, acc,
                 jnp.int32(rays_batch), h, w, padding, depth_planes,
                 grid_shape, max_voxels,

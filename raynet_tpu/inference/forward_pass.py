@@ -357,16 +357,15 @@ class RayNetForwardPass(ForwardPass):
     # admits it (26x the XLA sweep on v5e); "off": XLA BP path.
     bp_beam = "auto"
 
-    def _bp_cfg(self, scene, ref_idx):
+    def _bp_cfg(self, scene, ref_idx, ray_idxs=None):
         """Plan (and cache) the BP beam kernel config for a reference view;
-        None -> XLA path for that image."""
+        None -> XLA path for that image. For GT-filtered ray sets the plan
+        walks the ACTUAL tile-sorted blocks (``ray_idxs``) instead of
+        sampling full-image blocks, so the beam boxes stay exact."""
         if (
             self.bp_beam == "off"
             or not _use_pallas()
             or self.rays_batch % 256 != 0
-            # filtered ray sets break the planner's complete-tile block
-            # assumption (beam boxes are planned from full-image blocks)
-            or self._filter_out_rays
         ):
             return None
         if not hasattr(self, "_bp_cfg_cache"):
@@ -383,6 +382,7 @@ class RayNetForwardPass(ForwardPass):
                 scene.bbox.reshape(-1), gp.grid_shape, H, W,
                 gp.depth_planes, gp.max_number_of_marched_voxels,
                 gamma=gamma,
+                ray_idxs=ray_idxs if self._filter_out_rays else None,
             )
         return self._bp_cfg_cache[ref_idx]
 
@@ -423,9 +423,13 @@ class RayNetForwardPass(ForwardPass):
     # then memmap spill.
     messages_device_budget = 4 << 30
 
-    def _messages_on_device(self, ray_idxs_per_image, cols_per_image):
+    def _messages_on_device(self, ray_idxs_per_image, cols_per_image,
+                            extra_cols=0):
+        """True when the scene's per-image state (messages + optionally the
+        cached plane scores, ``extra_cols`` more columns per ray) fits the
+        device budget."""
         total = sum(
-            len(ray_idxs_per_image[i]) * cols_per_image[i] * 4
+            len(ray_idxs_per_image[i]) * (cols_per_image[i] + extra_cols) * 4
             for i in cols_per_image
         )
         return _use_pallas() and total <= self.messages_device_budget
@@ -512,7 +516,9 @@ class RayNetForwardPass(ForwardPass):
         for i in ref_indices:
             if sharded is None:
                 features_i, *_ = self._features_and_cameras(scene, i)
-                bp_cfgs[i] = self._bp_cfg(scene, i)
+                bp_cfgs[i] = self._bp_cfg(
+                    scene, i, ray_idxs=ray_idxs_per_image[i]
+                )
                 band_specs[i] = self._band_specs(scene, i, features_i)
             else:
                 bp_cfgs[i] = None
@@ -525,6 +531,30 @@ class RayNetForwardPass(ForwardPass):
         }
         msgs_on_device = self._messages_on_device(
             ray_idxs_per_image, cols_per_image
+        )
+        # Plane-sweep scores are message-INDEPENDENT: compute them once per
+        # image (first sweep) and reuse across the remaining 3 sweeps when
+        # they fit the device budget alongside the messages. (Recompute on
+        # the fly otherwise: the plane sweep is cheaper than a host
+        # round-trip of the score block.)
+        cache_scores = (
+            sharded is None
+            and msgs_on_device
+            and self._messages_on_device(
+                ray_idxs_per_image, cols_per_image,
+                extra_cols=gp.depth_planes,
+            )
+        )
+        scores = (
+            {
+                i: jnp.zeros(
+                    (len(ray_idxs_per_image[i]), gp.depth_planes),
+                    jnp.float32,
+                )
+                for i in ref_indices
+            }
+            if cache_scores
+            else None
         )
         if msgs_on_device:
             messages = {
@@ -564,6 +594,14 @@ class RayNetForwardPass(ForwardPass):
                                 messages, ref_idx, off, n_valid, cols,
                                 msgs_on_device,
                             )
+                            S_in = (
+                                self._load_msgs(
+                                    scores, ref_idx, off, n_valid,
+                                    gp.depth_planes, True,
+                                )
+                                if cache_scores and iteration > 0
+                                else None
+                            )
                             if sharded is not None:
                                 step = sharded[
                                     "first" if iteration == 0 else "rest"
@@ -573,8 +611,9 @@ class RayNetForwardPass(ForwardPass):
                                     bbox, msg_in, grid_acc,
                                     jnp.int32(n_valid),
                                 )
+                                S_out = None
                             elif cfg is not None:
-                                new_msgs, scatter, overflow = (
+                                new_msgs, scatter, overflow, S_out = (
                                     fused.raynet_beam_message_step(
                                         chunk, features, P, P_pinv,
                                         center, bbox,
@@ -584,19 +623,23 @@ class RayNetForwardPass(ForwardPass):
                                         gp.depth_planes, cfg,
                                         band_specs=band_specs[ref_idx],
                                         first_iteration=(iteration == 0),
+                                        S_planes=S_in,
                                     )
                                 )
                             else:
-                                new_msgs, scatter = fused.raynet_message_step(
-                                    chunk, features, P, P_pinv, center, bbox,
-                                    msg_in, grid_acc,
-                                    jnp.int32(n_valid),
-                                    H, W, gp.padding, gp.depth_planes,
-                                    grid_shape, M,
-                                    use_pallas=_use_pallas(),
-                                    first_iteration=(iteration == 0),
-                                    band_specs=band_specs[ref_idx],
-                                    tile_ordered=True,
+                                new_msgs, scatter, S_out = (
+                                    fused.raynet_message_step(
+                                        chunk, features, P, P_pinv, center,
+                                        bbox, msg_in, grid_acc,
+                                        jnp.int32(n_valid),
+                                        H, W, gp.padding, gp.depth_planes,
+                                        grid_shape, M,
+                                        use_pallas=_use_pallas(),
+                                        first_iteration=(iteration == 0),
+                                        band_specs=band_specs[ref_idx],
+                                        tile_ordered=True,
+                                        S_planes=S_in,
+                                    )
                                 )
                             if cfg is not None:
                                 overflow_total = overflow_total + overflow
@@ -604,6 +647,15 @@ class RayNetForwardPass(ForwardPass):
                                 messages, ref_idx, off, n_valid,
                                 new_msgs, msgs_on_device,
                             )
+                            if (
+                                cache_scores
+                                and iteration == 0
+                                and S_out is not None
+                            ):
+                                self._store_msgs(
+                                    scores, ref_idx, off, n_valid,
+                                    S_out, True,
+                                )
                             scatter_total = scatter_total + scatter
                 grid_acc = scatter_total  # swap accumulators
 
@@ -629,6 +681,14 @@ class RayNetForwardPass(ForwardPass):
                         messages, ref_idx, off, n_valid, cols,
                         msgs_on_device,
                     )
+                    S_in = (
+                        self._load_msgs(
+                            scores, ref_idx, off, n_valid,
+                            gp.depth_planes, True,
+                        )
+                        if cache_scores
+                        else None
+                    )
                     if sharded is not None:
                         _, depth = sharded["depth"](
                             chunk, features, P, P_pinv, center, bbox,
@@ -640,6 +700,7 @@ class RayNetForwardPass(ForwardPass):
                             msg_in, grid_acc,
                             H, W, gp.padding, gp.depth_planes, cfg,
                             band_specs=band_specs[ref_idx],
+                            S_planes=S_in,
                         )
                     else:
                         _, depth = fused.raynet_depth_step(
@@ -649,6 +710,7 @@ class RayNetForwardPass(ForwardPass):
                             use_pallas=_use_pallas(),
                             band_specs=band_specs[ref_idx],
                             tile_ordered=True,
+                            S_planes=S_in,
                         )
                     depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                         depth

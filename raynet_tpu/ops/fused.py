@@ -44,7 +44,12 @@ def _similarities(
 ):
     """Plane-sweep scores: banded Pallas kernel when ``band_specs`` is set
     (points must then be in ray-tile order), with an in-graph fallback to
-    the XLA gather path if this batch's bands overflow the static boxes."""
+    the XLA gather path if this batch's bands overflow the static boxes.
+
+    The scores depend only on (features, geometry) — NOT on BP messages —
+    so callers running several BP sweeps per image pass the first sweep's
+    scores back in (``S_planes=...``) instead of recomputing them.
+    """
     if band_specs is None:
         return compute_similarities(
             features, P, points, padding, height, width
@@ -231,11 +236,14 @@ def raynet_message_step(
     first_iteration=False,
     band_specs=None,
     tile_ordered=False,
+    S_planes=None,
 ):
     """Front half of RayNet + one BP message update for this ray batch.
 
-    Returns (new_messages (N, M), scatter (G,)) where scatter is this batch's
-    additive contribution to the NEXT iteration's accumulator grid.
+    Returns (new_messages (N, M), scatter (G,), S_planes (N, D)) where
+    scatter is this batch's additive contribution to the NEXT iteration's
+    accumulator grid and S_planes are the (message-independent) plane-sweep
+    scores — pass them back in on later sweeps to skip the plane sweep.
 
     ``n_valid`` (dynamic scalar): rows >= n_valid are padding (the batch
     iterator repeats ray 0 to keep shapes static); their counts are zeroed so
@@ -254,16 +262,21 @@ def raynet_message_step(
         perm, inv = tile_order(ray_idxs, height)
         ray_idxs = ray_idxs[perm]
         messages_pon = messages_pon[perm]
+        if S_planes is not None:
+            S_planes = S_planes[perm]
         valid = perm < n_valid
     else:
         valid = jnp.arange(ray_idxs.shape[0]) < n_valid
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
-    points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = _similarities(
-        features, P, points, padding, height, width, band_specs
-    )
+    if S_planes is None:
+        points = sample_points_along_segments(
+            ray_start, ray_end, depth_planes
+        )
+        S_planes = _similarities(
+            features, P, points, padding, height, width, band_specs
+        )
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
@@ -286,7 +299,8 @@ def raynet_message_step(
         )
     if reorder:
         new_msgs = new_msgs[inv]
-    return new_msgs, scatter
+        S_planes = S_planes[inv]
+    return new_msgs, scatter, S_planes
 
 
 @partial(
@@ -314,6 +328,7 @@ def raynet_beam_message_step(
     band_specs=None,
     first_iteration=False,
     interpret=False,
+    S_planes=None,
 ):
     """Fully fused RayNet message sweep: banded plane-sweep similarities +
     the BP beam kernel (traversal, hat mapping, gather, recurrences,
@@ -322,23 +337,31 @@ def raynet_beam_message_step(
     Rays MUST be tile-ordered and N a multiple of 256; messages are stored
     in the kernel's slot layout ((N, bp_cfg.slots)).
 
-    Returns (new_messages_slot, scatter (G,), overflow scalar).
+    ``S_planes`` (optional, (N, D)): precomputed plane-sweep scores. The
+    scores are message-independent, so the orchestrator computes them once
+    per image (first sweep) and reuses them for the remaining sweeps.
+
+    Returns (new_messages_slot, scatter (G,), overflow scalar, S_planes).
     """
     from .pallas.bp_beam import bp_beam_message_step
 
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
-    points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = _similarities(
-        features, P, points, padding, height, width, band_specs
-    )
+    if S_planes is None:
+        points = sample_points_along_segments(
+            ray_start, ray_end, depth_planes
+        )
+        S_planes = _similarities(
+            features, P, points, padding, height, width, band_specs
+        )
     valid = (jnp.arange(ray_idxs.shape[0]) < n_valid).astype(jnp.int32)
-    return bp_beam_message_step(
+    new_msgs, scatter, overflow = bp_beam_message_step(
         ray_start, ray_end, valid, S_planes, messages_slot,
         grid_acc_flat, camera_center, bbox, bp_cfg,
         first_iteration=first_iteration, interpret=interpret,
     )
+    return new_msgs, scatter, overflow, S_planes
 
 
 @partial(
@@ -364,6 +387,7 @@ def raynet_beam_depth_step(
     bp_cfg,
     band_specs=None,
     interpret=False,
+    S_planes=None,
 ):
     """Fused posterior-depth sweep via the BP beam kernel.
 
@@ -373,10 +397,13 @@ def raynet_beam_depth_step(
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
-    points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = _similarities(
-        features, P, points, padding, height, width, band_specs
-    )
+    if S_planes is None:
+        points = sample_points_along_segments(
+            ray_start, ray_end, depth_planes
+        )
+        S_planes = _similarities(
+            features, P, points, padding, height, width, band_specs
+        )
     valid = jnp.ones((ray_idxs.shape[0],), jnp.int32)
     return bp_beam_depth_step(
         ray_start, ray_end, valid, S_planes, messages_slot,
@@ -416,6 +443,7 @@ def raynet_depth_step(
     use_pallas=False,
     band_specs=None,
     tile_ordered=False,
+    S_planes=None,
 ):
     """Final RayNet sweep: occlusion-aware posterior depth per ray.
 
@@ -428,13 +456,18 @@ def raynet_depth_step(
         perm, inv = tile_order(ray_idxs, height)
         ray_idxs = ray_idxs[perm]
         messages_pon = messages_pon[perm]
+        if S_planes is not None:
+            S_planes = S_planes[perm]
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
-    points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = _similarities(
-        features, P, points, padding, height, width, band_specs
-    )
+    if S_planes is None:
+        points = sample_points_along_segments(
+            ray_start, ray_end, depth_planes
+        )
+        S_planes = _similarities(
+            features, P, points, padding, height, width, band_specs
+        )
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas

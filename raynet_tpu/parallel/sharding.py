@@ -99,7 +99,7 @@ def sharded_raynet_message_step(
         local_n = ray_idxs.shape[0]
         shard = jax.lax.axis_index(RAY_AXIS)
         local_valid = jnp.clip(n_valid - shard * local_n, 0, local_n)
-        new_msgs, scatter = fused.raynet_message_step(
+        new_msgs, scatter, _ = fused.raynet_message_step(
             ray_idxs, features, Pm, P_pinv, center, bbox, messages,
             grid_acc, local_valid, height, width, padding, depth_planes,
             grid_shape, max_voxels, use_pallas=use_pallas,
@@ -172,7 +172,7 @@ def sharded_beam_message_step(
         local_n = ray_idxs.shape[0]
         shard = jax.lax.axis_index(RAY_AXIS)
         local_valid = jnp.clip(n_valid - shard * local_n, 0, local_n)
-        new_msgs, scatter, overflow = fused.raynet_beam_message_step(
+        new_msgs, scatter, overflow, _ = fused.raynet_beam_message_step(
             ray_idxs, features, Pm, P_pinv, center, bbox, messages,
             grid_acc, local_valid, height, width, padding, depth_planes,
             bp_cfg, band_specs=band_specs,

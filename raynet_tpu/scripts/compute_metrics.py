@@ -100,6 +100,7 @@ def main(argv=None):
         consistency_threshold=args.consistency_threshold,
         n_neighbors=args.n_neighbors,
     )
+    os.makedirs(args.output_directory, exist_ok=True)
     predicted_pc.save_ply(
         os.path.join(
             args.output_directory, "predicted_pc_s_%d.ply" % (args.scene_idx,)

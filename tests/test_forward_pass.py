@@ -126,6 +126,23 @@ def test_raynet_float16_messages(setup):
         assert close.mean() > 0.995, close.mean()
 
 
+def test_raynet_cached_scores_match(setup):
+    """The per-image plane-score cache (computed on sweep 1, reused by
+    sweeps 2..4) must reproduce the recompute-every-sweep depth maps
+    exactly: the scores are message-independent by construction."""
+    ref = _run("raynet", setup, rays_batch=700)
+
+    scene, gp, model, scheme = setup
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, 700
+    )
+    # The budget check requires a TPU backend; force the cache on CPU.
+    fp._messages_on_device = lambda *a, **k: True
+    maps = list(fp.forward_pass(scene, (0, 2, 1)))
+    for a, b in zip(maps, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_filter_out_rays(setup, mock_scene_dir):
     """filter_out_rays restricts prediction to nonzero-GT pixels."""
     scene, gp, model, scheme = setup

@@ -138,13 +138,13 @@ def test_fused_raynet_step_banded_matches(rng):
     msgs = jnp.asarray(rng.randn(n, m) * 0.1, jnp.float32)
     grid_acc = jnp.asarray(rng.randn(512) * 0.3, jnp.float32)
 
-    m0, s0 = fused.raynet_message_step(
+    m0, s0, _ = fused.raynet_message_step(
         idxs, feats, P, P_pinv, center, bbox, msgs, grid_acc, n_valid,
         h, w, padding, d, grid_shape, m,
     )
     specs = plan_band_specs(P, P_pinv, center, bbox, h, w, padding, d)
     with pltpu.force_tpu_interpret_mode():
-        m1, s1 = fused.raynet_message_step(
+        m1, s1, _ = fused.raynet_message_step(
             idxs, feats, P, P_pinv, center, bbox, msgs, grid_acc, n_valid,
             h, w, padding, d, grid_shape, m, band_specs=specs,
         )

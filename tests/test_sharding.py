@@ -91,7 +91,7 @@ def test_sharded_raynet_message_step(rng):
     msgs = jnp.asarray(rng.randn(n, m) * 0.1, jnp.float32)
     grid_acc = jnp.asarray(rng.randn(g) * 0.3, jnp.float32)
 
-    ref_msgs, ref_scatter = fused.raynet_message_step(
+    ref_msgs, ref_scatter, _ = fused.raynet_message_step(
         idxs, feats, P, P_pinv, center, bbox, msgs, grid_acc,
         jnp.int32(n), h, w, padding, d, grid_shape, m,
     )
@@ -168,7 +168,7 @@ def test_sharded_beam_message_step(rng):
     acc = jnp.full((g,), cfg.prior, jnp.float32)
     n_valid = jnp.int32(n - 300)  # padded tail spans the last shards
 
-    ref_msgs, ref_scatter, ref_ov = fused.raynet_beam_message_step(
+    ref_msgs, ref_scatter, ref_ov, _ = fused.raynet_beam_message_step(
         idxs, feats, P, P_pinv, center, bbox, msgs, acc, n_valid,
         h, w, padding, d, cfg, first_iteration=True, interpret=True,
     )
