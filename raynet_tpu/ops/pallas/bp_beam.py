@@ -90,25 +90,42 @@ class BpBeamConfig:
 def plan_bp_config(
     P_pinv, camera_center, bbox, grid_shape, height, width,
     depth_planes, max_voxels, gamma=0.05, k_cap=8, ba_cap=128,
-    sample_stride=7,
+    sample_stride=7, ray_idxs=None,
 ):
     """Host-side planning. Returns a BpBeamConfig, or None when the kernel
-    cannot cover this image exactly (caller keeps the XLA path)."""
+    cannot cover this image exactly (caller keeps the XLA path).
+
+    ``ray_idxs`` (optional): plan for THIS tile-sorted ray list (e.g. a
+    GT-masked subset from ``filter_out_rays``) instead of the full image.
+    The planner then walks every 256-ray block exactly as the runtime will
+    form them (``sample_stride`` is ignored: filtered blocks can span
+    distant tiles, so sampling could miss the widest block)."""
     from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
     from .planesweep import tile_order
 
     bbox = np.asarray(bbox, np.float64).reshape(6)
     grid_shape = tuple(int(g) for g in grid_shape)
     n = height * width
-    # Sample whole 256-ray TILE-ORDERED blocks (strided single rays would
-    # fake blocks spanning many tiles and blow the box estimates).
-    all_idxs = jnp.arange(n, dtype=jnp.int32)
-    perm_t, _ = tile_order(all_idxs, height)
-    nblk = max(n // RAYS, 1)
-    blocks = np.arange(0, nblk, sample_stride)
-    keep = (blocks[:, None] * RAYS + np.arange(RAYS)[None]).reshape(-1)
-    keep = keep[keep < n]
-    idxs = perm_t[jnp.asarray(keep, jnp.int32)]
+    if ray_idxs is not None:
+        keep_idxs = np.asarray(ray_idxs, np.int32)
+        if len(keep_idxs) == 0:
+            return None
+        pad = (-len(keep_idxs)) % RAYS
+        if pad:  # runtime pads partial blocks by repeating the last ray
+            keep_idxs = np.concatenate(
+                [keep_idxs, np.full(pad, keep_idxs[-1], np.int32)]
+            )
+        idxs = jnp.asarray(keep_idxs)
+    else:
+        # Sample whole 256-ray TILE-ORDERED blocks (strided single rays
+        # would fake blocks spanning many tiles and blow the box estimates).
+        all_idxs = jnp.arange(n, dtype=jnp.int32)
+        perm_t, _ = tile_order(all_idxs, height)
+        nblk = max(n // RAYS, 1)
+        blocks = np.arange(0, nblk, sample_stride)
+        keep = (blocks[:, None] * RAYS + np.arange(RAYS)[None]).reshape(-1)
+        keep = keep[keep < n]
+        idxs = perm_t[jnp.asarray(keep, jnp.int32)]
 
     @jax.jit
     def seg_of(P_pinv, center, bbox_):
@@ -208,19 +225,27 @@ def _group_positions(s, e, bbox, bins, perm, S, ngrp):
     return lerp_cells(perm[1], bins[1]), lerp_cells(perm[2], bins[2])
 
 
-def _group_spans(s, e, bbox, bins, perm, S, ngrp):
-    """Max per-(block, group) lateral spans in cells (planner side)."""
-    pa, pb = _group_positions(s, e, bbox, bins, perm, S, ngrp)
+def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048):
+    """Max per-(block, group) lateral spans in cells (planner side).
+    Chunked over blocks: exact DTU-scale plans walk ~2M rays and the
+    (N, ngrp+1) position arrays would otherwise peak at several GB."""
     nb = len(s) // RAYS
 
-    def span_of(p):
-        lo = np.minimum(p[:, :-1], p[:, 1:])  # (N, ngrp)
+    def span_of(p, nbc):
+        lo = np.minimum(p[:, :-1], p[:, 1:])  # (Nc, ngrp)
         hi = np.maximum(p[:, :-1], p[:, 1:])
-        lo = np.floor(lo).astype(int).reshape(nb, RAYS, ngrp).min(axis=1)
-        hi = np.floor(hi).astype(int).reshape(nb, RAYS, ngrp).max(axis=1)
+        lo = np.floor(lo).astype(int).reshape(nbc, RAYS, ngrp).min(axis=1)
+        hi = np.floor(hi).astype(int).reshape(nbc, RAYS, ngrp).max(axis=1)
         return int((hi - lo).max())
 
-    return span_of(pa), span_of(pb)
+    best_a = best_b = 0
+    for b0 in range(0, nb, chunk_blocks):
+        nbc = min(chunk_blocks, nb - b0)
+        sl = slice(b0 * RAYS, (b0 + nbc) * RAYS)
+        pa, pb = _group_positions(s[sl], e[sl], bbox, bins, perm, S, ngrp)
+        best_a = max(best_a, span_of(pa, nbc))
+        best_b = max(best_b, span_of(pb, nbc))
+    return best_a, best_b
 
 
 # --------------------------------------------------------------------- #

@@ -242,6 +242,89 @@ def test_bp_beam_negative_dominant_sign_flip(rng):
     )
 
 
+def test_bp_beam_filtered_ray_plan(geo):
+    """Planning from an explicit (GT-filtered) tile-sorted ray subset: the
+    blocks can span distant tiles, so the planner walks the actual blocks;
+    the sweep must still match the XLA reference on those rays exactly."""
+    rng = np.random.RandomState(7)
+    n_full = H * W
+    idxs = jnp.arange(n_full, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, H)
+    tile_sorted = np.asarray(idxs[perm])
+    # keep a random ~55% of rays (in tile order), like a GT mask would
+    mask = rng.rand(n_full) < 0.55
+    kept = tile_sorted[mask[tile_sorted]]
+
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c = np.array([0.5, -0.3, -10.0])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    t = -R @ c.reshape(3, 1)
+    P = K @ np.hstack([R, t])
+    P_pinv = np.linalg.pinv(P)
+    bbox = np.asarray(geo["bbox"], np.float32)
+
+    cfg = plan_bp_config(
+        P_pinv, c, bbox, GRID, H, W, D, M, gamma=GAMMA, ray_idxs=kept
+    )
+    assert cfg is not None
+
+    # pad the runtime batch the way the orchestrator does (repeat last ray)
+    from raynet_tpu.ops.geometry import (
+        rays_from_pixel_idxs as _rays, rays_entry_exit_bbox as _seg,
+    )
+
+    n_valid = len(kept)
+    pad = (-n_valid) % 256
+    batch = np.concatenate([kept, np.full(pad, kept[-1], np.int32)])
+    dirs = _rays(
+        jnp.asarray(batch), jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(c, jnp.float32), H,
+    )
+    s, e = _seg(
+        dirs, jnp.asarray(c, jnp.float32),
+        jnp.asarray(bbox[:3]), jnp.asarray(bbox[3:]),
+    )
+    n = len(batch)
+    S_planes = jnp.asarray(
+        np.random.RandomState(3).dirichlet(np.ones(D), size=n), jnp.float32
+    )
+    g = int(np.prod(GRID))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    valid = (jnp.arange(n) < n_valid).astype(jnp.int32)
+
+    geo2 = dict(start=s, end=e, S_planes=S_planes, bbox=jnp.asarray(bbox))
+    x_msgs, x_scatter, S_vox, flat_idx, counts = _xla_sweep(
+        geo2, None, acc0, True
+    )
+    # XLA path masks padded rays via counts
+    counts_np = np.array(counts)
+    counts_np[n_valid:] = 0
+
+    k_msgs, k_scatter, overflow = bp_beam_message_step(
+        s, e, valid, S_planes, jnp.zeros((n, cfg.slots), jnp.float32),
+        acc0, jnp.asarray(c, jnp.float32), jnp.asarray(bbox), cfg,
+        first_iteration=True, interpret=True,
+    )
+    assert float(overflow) == 0.0
+    # compare only the valid rays' messages; scatter needs the XLA run
+    # re-masked, so recompute it with zeroed padded counts
+    x_msgs2, x_scatter2 = mrf.bp_update_first(
+        S_vox, flat_idx, jnp.asarray(counts_np), acc0[0], g
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_scatter), np.asarray(x_scatter2), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        _sorted_rows(k_msgs[:n_valid]), _sorted_rows(x_msgs2[:n_valid]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_bp_beam_padded_rays_masked(geo):
     """Invalid (padded) rays must contribute nothing to the scatter."""
     g = int(np.prod(GRID))
