@@ -226,6 +226,11 @@ class ForwardPass:
                     features = jnp.asarray(
                         upsample_features(features, cnn_name)
                     )
+            # COMMIT the big feature stack to the device: on axon a
+            # host-backed array argument is re-shipped on every dispatch
+            # (~70 ms per ~30 MB); device_put is a no-op for arrays that
+            # are already device-resident.
+            features = jax.device_put(features)
             P = jnp.asarray(
                 np.stack([im.camera.P for im in images]), dtype=jnp.float32
             )
@@ -255,7 +260,11 @@ class ForwardPass:
                 chunk = np.concatenate(
                     [chunk, np.full(pad, chunk[-1], np.int32)]
                 )
-            yield i, len(ray_idxs[i : i + b]), jnp.asarray(chunk)
+            # device_put COMMITS the array (a host-backed jnp.asarray is
+            # re-shipped through the axon tunnel on every dispatch)
+            yield i, len(ray_idxs[i : i + b]), jax.device_put(
+                np.ascontiguousarray(chunk)
+            )
 
     def forward_pass(self, scene, images_range):
         raise NotImplementedError()
@@ -545,6 +554,21 @@ class RayNetForwardPass(ForwardPass):
                 extra_cols=gp.depth_planes,
             )
         )
+        # With cached scores the features tensor is UNUSED by sweeps 2..4
+        # and the depth sweep — and on the axon platform every dispatch
+        # pays ~70 ms just for carrying the ~30 MB array as an argument
+        # (measured: dummy features 16 ms vs real 88 ms per step). Pass a
+        # tiny placeholder on those calls.
+        _dummy_cache = {}
+
+        def _dummy_features(features):
+            key = (features.shape[0], features.shape[-1], features.dtype)
+            if key not in _dummy_cache:
+                _dummy_cache[key] = jnp.zeros(
+                    (features.shape[0], 1, 1, features.shape[-1]),
+                    features.dtype,
+                )
+            return _dummy_cache[key]
         scores = (
             {
                 i: jnp.zeros(
@@ -571,36 +595,79 @@ class RayNetForwardPass(ForwardPass):
                 )
                 for i in ref_indices
             }
+        # Pre-materialize (and device-commit) the per-image batch chunks
+        # ONCE: the same index arrays are reused by all 4 sweeps, and a
+        # host-backed array is re-shipped through the axon tunnel on every
+        # dispatch that carries it.
+        batches_per_image = {
+            i: list(self._ray_batches(ray_idxs_per_image[i]))
+            for i in ref_indices
+        }
+        # Device-resident fast path: one fused dispatch per batch
+        # (slice + sweep + write-back + scatter accumulate, donated
+        # buffers). The host/memmap and sharded paths keep per-stage calls.
+        device_fast = msgs_on_device and sharded is None
+        score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
+
         try:
             grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
             overflow_total = jnp.float32(0.0)
+            overflows = []
 
             for iteration in range(self.bp_iterations):
                 scatter_total = jnp.full(
                     (grid_size,), prior, dtype=jnp.float32
                 )
                 for ref_idx in ref_indices:
-                    ray_idxs = ray_idxs_per_image[ref_idx]
                     features, P, P_pinv, center = self._features_and_cameras(
                         scene, ref_idx
                     )
                     cfg = bp_cfgs[ref_idx]
                     cols = cols_per_image[ref_idx]
                     with self.timer.phase("Message passing"):
-                        for off, n_valid, chunk in self._ray_batches(
-                            ray_idxs
-                        ):
+                        for off, n_valid, chunk in batches_per_image[
+                            ref_idx
+                        ]:
+                            use_S = cache_scores and iteration > 0
+                            feats_arg = (
+                                _dummy_features(features) if use_S
+                                else features
+                            )
+                            if device_fast:
+                                (
+                                    messages[ref_idx],
+                                    s_full,
+                                    scatter_total,
+                                    overflow,
+                                ) = fused.raynet_batch_update(
+                                    messages[ref_idx],
+                                    (
+                                        scores[ref_idx]
+                                        if cache_scores
+                                        else score_dummy
+                                    ),
+                                    scatter_total, grid_acc, chunk,
+                                    feats_arg, P, P_pinv, center, bbox,
+                                    off=off, n_valid=n_valid,
+                                    batch=self.rays_batch,
+                                    height=H, width=W,
+                                    padding=gp.padding,
+                                    depth_planes=gp.depth_planes,
+                                    grid_shape=grid_shape, max_voxels=M,
+                                    bp_cfg=cfg,
+                                    band_specs=band_specs[ref_idx],
+                                    first_iteration=(iteration == 0),
+                                    use_scores=cache_scores,
+                                    use_pallas=_use_pallas(),
+                                )
+                                if cache_scores:
+                                    scores[ref_idx] = s_full
+                                if cfg is not None:
+                                    overflows.append(overflow)
+                                continue
                             msg_in = self._load_msgs(
                                 messages, ref_idx, off, n_valid, cols,
                                 msgs_on_device,
-                            )
-                            S_in = (
-                                self._load_msgs(
-                                    scores, ref_idx, off, n_valid,
-                                    gp.depth_planes, True,
-                                )
-                                if cache_scores and iteration > 0
-                                else None
                             )
                             if sharded is not None:
                                 step = sharded[
@@ -611,23 +678,21 @@ class RayNetForwardPass(ForwardPass):
                                     bbox, msg_in, grid_acc,
                                     jnp.int32(n_valid),
                                 )
-                                S_out = None
                             elif cfg is not None:
-                                new_msgs, scatter, overflow, S_out = (
+                                new_msgs, scatter, overflow, _ = (
                                     fused.raynet_beam_message_step(
                                         chunk, features, P, P_pinv,
-                                        center, bbox,
-                                        msg_in, grid_acc,
+                                        center, bbox, msg_in, grid_acc,
                                         jnp.int32(n_valid),
                                         H, W, gp.padding,
                                         gp.depth_planes, cfg,
                                         band_specs=band_specs[ref_idx],
                                         first_iteration=(iteration == 0),
-                                        S_planes=S_in,
                                     )
                                 )
+                                overflows.append(overflow)
                             else:
-                                new_msgs, scatter, S_out = (
+                                new_msgs, scatter, _ = (
                                     fused.raynet_message_step(
                                         chunk, features, P, P_pinv, center,
                                         bbox, msg_in, grid_acc,
@@ -638,26 +703,16 @@ class RayNetForwardPass(ForwardPass):
                                         first_iteration=(iteration == 0),
                                         band_specs=band_specs[ref_idx],
                                         tile_ordered=True,
-                                        S_planes=S_in,
                                     )
                                 )
-                            if cfg is not None:
-                                overflow_total = overflow_total + overflow
                             self._store_msgs(
                                 messages, ref_idx, off, n_valid,
                                 new_msgs, msgs_on_device,
                             )
-                            if (
-                                cache_scores
-                                and iteration == 0
-                                and S_out is not None
-                            ):
-                                self._store_msgs(
-                                    scores, ref_idx, off, n_valid,
-                                    S_out, True,
-                                )
                             scatter_total = scatter_total + scatter
                 grid_acc = scatter_total  # swap accumulators
+            if overflows:
+                overflow_total = jnp.stack(overflows).sum()
 
             # One host sync for the whole scene: the kernel's overflow flag
             # guards the planner's static K/box invariants.
@@ -676,18 +731,34 @@ class RayNetForwardPass(ForwardPass):
                 cfg = bp_cfgs[ref_idx]
                 cols = cols_per_image[ref_idx]
                 depth_map = np.zeros(H * W, dtype=np.float32)
-                for off, n_valid, chunk in self._ray_batches(ray_idxs):
+                for off, n_valid, chunk in batches_per_image[ref_idx]:
+                    feats_arg = (
+                        _dummy_features(features) if cache_scores
+                        else features
+                    )
+                    if device_fast:
+                        depth = fused.raynet_batch_depth(
+                            messages[ref_idx],
+                            scores[ref_idx] if cache_scores
+                            else score_dummy,
+                            grid_acc, chunk, feats_arg, P, P_pinv,
+                            center, bbox,
+                            off=off, n_valid=n_valid,
+                            batch=self.rays_batch,
+                            height=H, width=W, padding=gp.padding,
+                            depth_planes=gp.depth_planes,
+                            grid_shape=grid_shape, max_voxels=M,
+                            bp_cfg=cfg, band_specs=band_specs[ref_idx],
+                            use_scores=cache_scores,
+                            use_pallas=_use_pallas(),
+                        )
+                        depth_map[
+                            ray_idxs[off : off + n_valid]
+                        ] = np.asarray(depth)[:n_valid]
+                        continue
                     msg_in = self._load_msgs(
                         messages, ref_idx, off, n_valid, cols,
                         msgs_on_device,
-                    )
-                    S_in = (
-                        self._load_msgs(
-                            scores, ref_idx, off, n_valid,
-                            gp.depth_planes, True,
-                        )
-                        if cache_scores
-                        else None
                     )
                     if sharded is not None:
                         _, depth = sharded["depth"](
@@ -700,7 +771,6 @@ class RayNetForwardPass(ForwardPass):
                             msg_in, grid_acc,
                             H, W, gp.padding, gp.depth_planes, cfg,
                             band_specs=band_specs[ref_idx],
-                            S_planes=S_in,
                         )
                     else:
                         _, depth = fused.raynet_depth_step(
@@ -710,7 +780,6 @@ class RayNetForwardPass(ForwardPass):
                             use_pallas=_use_pallas(),
                             band_specs=band_specs[ref_idx],
                             tile_ordered=True,
-                            S_planes=S_in,
                         )
                     depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
                         depth

@@ -414,6 +414,131 @@ def raynet_beam_depth_step(
 @partial(
     jax.jit,
     static_argnames=(
+        "off", "n_valid", "batch", "height", "width", "padding",
+        "depth_planes", "grid_shape", "max_voxels", "bp_cfg", "band_specs",
+        "first_iteration", "use_scores", "use_pallas",
+    ),
+    donate_argnums=(0, 2),
+)
+def raynet_batch_update(
+    msgs_full,      # (N_img, cols) per-image message store — DONATED
+    scores_full,    # (N_img, D) cached plane scores (or a dummy)
+    scatter_total,  # (G,) accumulating scatter — DONATED
+    grid_acc,       # (G,) this iteration's read-only accumulator
+    chunk,          # (B,) ray indices of this batch
+    features, P, P_pinv, camera_center, bbox,
+    *,
+    off, n_valid, batch, height, width, padding, depth_planes,
+    grid_shape, max_voxels, bp_cfg, band_specs, first_iteration,
+    use_scores, use_pallas,
+):
+    """ONE dispatch per ray batch for the device-resident orchestrator:
+    slice the message block out of the per-image store, run the fused BP
+    message sweep (beam kernel when ``bp_cfg`` is set, XLA otherwise),
+    write the block back, and accumulate the grid scatter — all in a
+    single XLA program. The per-batch glue (dynamic_slice / update /
+    add) used to be 5-7 separate dispatches; on the axon tunnel each
+    dispatch costs ~5-15 ms of host latency, which dominated the 16 ms
+    device step.
+
+    Returns (msgs_full, scores_full, scatter_total, overflow).
+    """
+    cols = msgs_full.shape[1]
+    msg_block = jax.lax.dynamic_slice_in_dim(msgs_full, off, n_valid)
+    if n_valid < batch:
+        msg_block = (
+            jnp.zeros((batch, cols), msgs_full.dtype).at[:n_valid]
+            .set(msg_block)
+        )
+    msg_block = msg_block.astype(jnp.float32)
+    S_in = None
+    if use_scores and not first_iteration:
+        S_in = jax.lax.dynamic_slice_in_dim(scores_full, off, n_valid)
+        if n_valid < batch:
+            S_in = (
+                jnp.zeros((batch, depth_planes), scores_full.dtype)
+                .at[:n_valid].set(S_in)
+            )
+    if bp_cfg is not None:
+        new_msgs, scatter, overflow, S_out = raynet_beam_message_step(
+            chunk, features, P, P_pinv, camera_center, bbox,
+            msg_block, grid_acc, jnp.int32(n_valid),
+            height, width, padding, depth_planes, bp_cfg,
+            band_specs=band_specs, first_iteration=first_iteration,
+            S_planes=S_in,
+        )
+    else:
+        new_msgs, scatter, S_out = raynet_message_step(
+            chunk, features, P, P_pinv, camera_center, bbox,
+            msg_block, grid_acc, jnp.int32(n_valid),
+            height, width, padding, depth_planes, grid_shape, max_voxels,
+            use_pallas=use_pallas, first_iteration=first_iteration,
+            band_specs=band_specs, tile_ordered=True, S_planes=S_in,
+        )
+        overflow = jnp.float32(0.0)
+    msgs_full = jax.lax.dynamic_update_slice_in_dim(
+        msgs_full, new_msgs[:n_valid].astype(msgs_full.dtype), off, 0
+    )
+    if use_scores and first_iteration:
+        scores_full = jax.lax.dynamic_update_slice_in_dim(
+            scores_full, S_out[:n_valid].astype(scores_full.dtype), off, 0
+        )
+    scatter_total = scatter_total + scatter
+    return msgs_full, scores_full, scatter_total, overflow
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "off", "n_valid", "batch", "height", "width", "padding",
+        "depth_planes", "grid_shape", "max_voxels", "bp_cfg", "band_specs",
+        "use_scores", "use_pallas",
+    ),
+)
+def raynet_batch_depth(
+    msgs_full, scores_full, grid_acc, chunk,
+    features, P, P_pinv, camera_center, bbox,
+    *,
+    off, n_valid, batch, height, width, padding, depth_planes,
+    grid_shape, max_voxels, bp_cfg, band_specs, use_scores, use_pallas,
+):
+    """Single-dispatch final depth sweep for one ray batch (see
+    :func:`raynet_batch_update`). Returns depth (B,)."""
+    cols = msgs_full.shape[1]
+    msg_block = jax.lax.dynamic_slice_in_dim(msgs_full, off, n_valid)
+    if n_valid < batch:
+        msg_block = (
+            jnp.zeros((batch, cols), msgs_full.dtype).at[:n_valid]
+            .set(msg_block)
+        )
+    msg_block = msg_block.astype(jnp.float32)
+    S_in = None
+    if use_scores:
+        S_in = jax.lax.dynamic_slice_in_dim(scores_full, off, n_valid)
+        if n_valid < batch:
+            S_in = (
+                jnp.zeros((batch, depth_planes), scores_full.dtype)
+                .at[:n_valid].set(S_in)
+            )
+    if bp_cfg is not None:
+        depth, _ = raynet_beam_depth_step(
+            chunk, features, P, P_pinv, camera_center, bbox,
+            msg_block, grid_acc, height, width, padding, depth_planes,
+            bp_cfg, band_specs=band_specs, S_planes=S_in,
+        )
+    else:
+        _, depth = raynet_depth_step(
+            chunk, features, P, P_pinv, camera_center, bbox,
+            msg_block, grid_acc, height, width, padding, depth_planes,
+            grid_shape, max_voxels, use_pallas=use_pallas,
+            band_specs=band_specs, tile_ordered=True, S_planes=S_in,
+        )
+    return depth
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "height",
         "width",
         "padding",

@@ -340,6 +340,14 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             acc = term if acc is None else acc + term
         return acc * inv_len2
 
+    # The t parameter moves by a per-ray CONSTANT when an axis steps one
+    # cell (the cell center moves by step*bin): carrying t incrementally
+    # replaces the 18-op closed form with one select-add per substep.
+    t_step = [
+        f * bn * (e - s_) * inv_len2
+        for f, bn, s_, e in zip(stepf, bins, start, end)
+    ]
+
     def local_cell(c1, c2, a0, bg0):
         la = c1 - a0
         lb = c2 - bg0 * 128
@@ -349,7 +357,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
 
     # ------------------------------------------------------------ march
     def march_group(g, carry):
-        c0, c1, c2, t0, t1, t2, alive_i, steps, overflow = carry
+        c0, c1, c2, t0, t1, t2, tp, alive_i, steps, overflow = carry
         alive = alive_i > 0  # i1 vectors cannot be carried through scf.for
         a0_g, bg0_g = grp_origin(g)
         cell_rows, t_rows = [], []
@@ -376,15 +384,17 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                     c2 = jnp.where(adv, n2, c2)
                     t1 = jnp.where(adv & m1, t1 + t_delta[1], t1)
                     t2 = jnp.where(adv & m2, t2 + t_delta[2], t2)
+                    tp = tp + jnp.where(
+                        adv & m1, t_step[1],
+                        jnp.where(adv & m2, t_step[2], 0.0),
+                    )
                     alive = alive & ~dead
                     in_slice = in_slice & adv
                     emit = in_slice & (steps < cfg.max_voxels)
                 cell = local_cell(c1, c2, a0_g, bg0_g)
                 overflow = overflow + (emit & (cell < 0)).astype(jnp.int32)
                 cell_rows.append(jnp.where(emit, cell, -1))
-                t_rows.append(
-                    jnp.clip(t_param(c0, c1, c2), _EPS_T, 1.0 - _EPS_T)
-                )
+                t_rows.append(jnp.clip(tp, _EPS_T, 1.0 - _EPS_T))
                 steps = steps + emit.astype(jnp.int32)
             pending = alive & (c0 == s)
             at_last = (c0 == last[0]) & (c1 == last[1]) & (c2 == last[2])
@@ -398,19 +408,21 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             adv0 = stepping & (n0 < S)
             c0 = jnp.where(adv0, n0, c0)
             t0 = jnp.where(adv0, t0 + t_delta[0], t0)
+            tp = tp + jnp.where(adv0, t_step[0], 0.0)
             alive = alive & ~dead0 & ~(pending & at_last)
         cell_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(
             cell_rows, axis=0
         )
         t_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(t_rows, axis=0)
-        return (c0, c1, c2, t0, t1, t2, alive.astype(jnp.int32), steps,
-                overflow)
+        return (c0, c1, c2, t0, t1, t2, tp, alive.astype(jnp.int32),
+                steps, overflow)
 
     zero = jnp.zeros((1, RAYS), jnp.int32)
     *_, steps_f, overflow = jax.lax.fori_loop(
         0, S // 8, march_group,
         (cur[0], cur[1], cur[2], t_max[0], t_max[1], t_max[2],
-         inside0.astype(jnp.int32), zero, zero),
+         t_param(cur[0], cur[1], cur[2]), inside0.astype(jnp.int32),
+         zero, zero),
     )
     count = steps_f  # (1, RAYS)
 
