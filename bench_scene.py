@@ -103,9 +103,12 @@ def run_scene_benchmark(
     # coalescing makes the static configs depend on the image set
     _ = list(fp.forward_pass(scene, (0, args.images, 1)))
 
-    t0 = time.perf_counter()
-    maps = list(fp.forward_pass(scene, (0, args.images, 1)))
-    elapsed = time.perf_counter() - t0
+    # best-of-3: axon tunnel dispatch latency varies ~20% run to run
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        maps = list(fp.forward_pass(scene, (0, args.images, 1)))
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     rays = args.images * h * w
     sweeps = 4  # 3 BP iterations + depth sweep

@@ -56,7 +56,8 @@ class BpBeamConfig:
     """Static per-image-geometry kernel configuration (hashable)."""
 
     def __init__(self, perm, S, A, B, K, BA, nstripe, depth_planes,
-                 max_voxels, bins, prior, grid_shape, flip=False):
+                 max_voxels, bins, prior, grid_shape, flip=False,
+                 rays=RAYS):
         self.perm = perm  # permuted axis order, perm[0] = dominant
         self.flip = flip  # dominant axis mirrored (negative ray sign)
         self.S, self.A, self.B = S, A, B
@@ -66,6 +67,7 @@ class BpBeamConfig:
         self.bins = bins  # per PERMUTED axis, python floats
         self.prior = prior
         self.grid_shape = grid_shape  # original order
+        self.rays = rays  # rays per kernel block
         self.slots = S * K
         self.Bg = -(-B // 128)
         self.rows = BA * nstripe  # one-hot rows per slice box
@@ -73,7 +75,8 @@ class BpBeamConfig:
     def _key(self):
         return (self.perm, self.S, self.A, self.B, self.K, self.BA,
                 self.nstripe, self.depth_planes, self.max_voxels,
-                self.bins, self.prior, self.grid_shape, self.flip)
+                self.bins, self.prior, self.grid_shape, self.flip,
+                self.rays)
 
     def __hash__(self):
         return hash(self._key())
@@ -90,7 +93,7 @@ class BpBeamConfig:
 def plan_bp_config(
     P_pinv, camera_center, bbox, grid_shape, height, width,
     depth_planes, max_voxels, gamma=0.05, k_cap=8, ba_cap=128,
-    sample_stride=7, ray_idxs=None,
+    sample_stride=7, ray_idxs=None, rays=RAYS,
 ):
     """Host-side planning. Returns a BpBeamConfig, or None when the kernel
     cannot cover this image exactly (caller keeps the XLA path).
@@ -110,7 +113,7 @@ def plan_bp_config(
         keep_idxs = np.asarray(ray_idxs, np.int32)
         if len(keep_idxs) == 0:
             return None
-        pad = (-len(keep_idxs)) % RAYS
+        pad = (-len(keep_idxs)) % rays
         if pad:  # runtime pads partial blocks by repeating the last ray
             keep_idxs = np.concatenate(
                 [keep_idxs, np.full(pad, keep_idxs[-1], np.int32)]
@@ -121,9 +124,9 @@ def plan_bp_config(
         # would fake blocks spanning many tiles and blow the box estimates).
         all_idxs = jnp.arange(n, dtype=jnp.int32)
         perm_t, _ = tile_order(all_idxs, height)
-        nblk = max(n // RAYS, 1)
+        nblk = max(n // rays, 1)
         blocks = np.arange(0, nblk, sample_stride)
-        keep = (blocks[:, None] * RAYS + np.arange(RAYS)[None]).reshape(-1)
+        keep = (blocks[:, None] * rays + np.arange(rays)[None]).reshape(-1)
         keep = keep[keep < n]
         idxs = perm_t[jnp.asarray(keep, jnp.int32)]
 
@@ -171,13 +174,13 @@ def plan_bp_config(
     # slice group, so the static box only has to cover a group's footprint
     # (tile + divergence + in-group drift), not the whole path's lateral
     # travel — typically 8-16 cells instead of 50-130.
-    nb = len(s) // RAYS
+    nb = len(s) // rays
     if nb == 0:
         return None
-    trim = nb * RAYS
+    trim = nb * rays
     ngrp = S // 8
     span_a, span_b = _group_spans(
-        s[:trim], e[:trim], bbox, bins, perm, S, ngrp
+        s[:trim], e[:trim], bbox, bins, perm, S, ngrp, rays=rays
     )
 
     def span(axis):
@@ -201,7 +204,7 @@ def plan_bp_config(
     return BpBeamConfig(
         perm, S, A, B, k, ba, nstripe, int(depth_planes), int(max_voxels),
         tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
-        flip=flip,
+        flip=flip, rays=rays,
     )
 
 
@@ -225,23 +228,24 @@ def _group_positions(s, e, bbox, bins, perm, S, ngrp):
     return lerp_cells(perm[1], bins[1]), lerp_cells(perm[2], bins[2])
 
 
-def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048):
+def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,
+                 rays=RAYS):
     """Max per-(block, group) lateral spans in cells (planner side).
     Chunked over blocks: exact DTU-scale plans walk ~2M rays and the
     (N, ngrp+1) position arrays would otherwise peak at several GB."""
-    nb = len(s) // RAYS
+    nb = len(s) // rays
 
     def span_of(p, nbc):
         lo = np.minimum(p[:, :-1], p[:, 1:])  # (Nc, ngrp)
         hi = np.maximum(p[:, :-1], p[:, 1:])
-        lo = np.floor(lo).astype(int).reshape(nbc, RAYS, ngrp).min(axis=1)
-        hi = np.floor(hi).astype(int).reshape(nbc, RAYS, ngrp).max(axis=1)
+        lo = np.floor(lo).astype(int).reshape(nbc, rays, ngrp).min(axis=1)
+        hi = np.floor(hi).astype(int).reshape(nbc, rays, ngrp).max(axis=1)
         return int((hi - lo).max())
 
     best_a = best_b = 0
     for b0 in range(0, nb, chunk_blocks):
         nbc = min(chunk_blocks, nb - b0)
-        sl = slice(b0 * RAYS, (b0 + nbc) * RAYS)
+        sl = slice(b0 * rays, (b0 + nbc) * rays)
         pa, pb = _group_positions(s[sl], e[sl], bbox, bins, perm, S, ngrp)
         best_a = max(best_a, span_of(pa, nbc))
         best_b = max(best_b, span_of(pb, nbc))
@@ -277,6 +281,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                cell_scr, t_scr, mu_scr, sv_scr,
                gbuf, dstage, dacc, gsem, dsem):
     S, K, BA, NS, D = cfg.S, cfg.K, cfg.BA, cfg.nstripe, cfg.depth_planes
+    RAYS = cfg.rays
     ROWS = cfg.rows
     perm = cfg.perm
     bins = cfg.bins
@@ -486,7 +491,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             grid_dma(g, slot).wait()
             cells = cell_scr[_ds8(g * 8 * K, 8 * K)]
             msgs = msg_ref[0, _ds8(g * 8 * K, 8 * K)]
-            mu_rows = []
+            val_rows = []
             for u in range(8):
                 table = gbuf[slot, u].reshape(ROWS, 128)
                 for k in range(K):
@@ -501,25 +506,32 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                         table, eq, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (128, RAYS)
-                    val = jnp.where(
-                        iota_sub == jnp.broadcast_to(lo, (128, RAYS)),
-                        rows_T, 0.0,
-                    ).sum(axis=0, keepdims=True)
-                    pon = val - msgs[r : r + 1]
-                    mx = jnp.maximum(0.0, pon)
-                    mu = jnp.exp(pon - mx) / (
-                        jnp.exp(0.0 - mx) + jnp.exp(pon - mx)
+                    val_rows.append(
+                        jnp.where(
+                            iota_sub == jnp.broadcast_to(lo, (128, RAYS)),
+                            rows_T, 0.0,
+                        ).sum(axis=0, keepdims=True)
                     )
-                    mu = jnp.clip(mu, _CLIP_MU, 1.0 - _CLIP_MU)
-                    mu_rows.append(jnp.where(cid >= 0, mu, 0.0))
-            mu_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(
-                mu_rows, axis=0
+            # stable sigmoid of (val - msg), VECTORIZED over the whole
+            # group (8K wide rows) instead of ~8 serial ops per substep
+            val = jnp.concatenate(val_rows, axis=0)  # (8K, RAYS)
+            pon = val - msgs
+            mx = jnp.maximum(0.0, pon)
+            mu = jnp.exp(pon - mx) / (jnp.exp(0.0 - mx) + jnp.exp(pon - mx))
+            mu = jnp.clip(mu, _CLIP_MU, 1.0 - _CLIP_MU)
+            mu_scr[_ds8(g * 8 * K, 8 * K)] = jnp.where(
+                cells >= 0, mu, 0.0
             )
             return 0
 
         jax.lax.fori_loop(0, S // 8, gather_group, 0)
 
     # --------------------------------------------- pass R1: total contrib
+    ones = jnp.ones((1, RAYS), jnp.float32)
+
+    # NOTE a Hillis-Steele masked-roll scan was tried here and measured
+    # SLOWER than the serial chain (pltpu.roll ~6 ops/step on v5e); the
+    # serial 8-row recurrence stays.
     def r1_chunk(c, carry):
         ep, tot = carry
         mu8 = mu_scr[_ds8(c * 8, 8)]
@@ -530,7 +542,6 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             e = e * (1.0 - mu8[i : i + 1])
         return e, tot
 
-    ones = jnp.ones((1, RAYS), jnp.float32)
     _, total_raw = jax.lax.fori_loop(
         0, cfg.slots // 8, r1_chunk,
         (ones, jnp.zeros((1, RAYS), jnp.float32)),
@@ -671,6 +682,7 @@ def bp_beam_call(
 ):
     nb = seg.shape[0]
     S, K, BA, NS = cfg.S, cfg.K, cfg.BA, cfg.nstripe
+    RAYS = cfg.rays
     slots = cfg.slots
     gshape = zeros_grid.shape
 
@@ -730,7 +742,7 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
                  camera_center, bbox, cfg):
     perm = list(cfg.perm)
     n = ray_start.shape[0]
-    nb = n // RAYS
+    nb = n // cfg.rays
     bmin = bbox[:3][jnp.asarray(perm)]
     st = (ray_start[:, perm] - bmin[None]).T  # (3, N)
     en = (ray_end[:, perm] - bmin[None]).T
@@ -747,10 +759,10 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
     seg = seg.at[0:3].set(st).at[3:6].set(en)
     seg = seg.at[6].set(valid.astype(jnp.float32))
     seg = seg.at[8:11].set(jnp.broadcast_to(cam[:, None], (3, n)))
-    seg = seg.reshape(16, nb, RAYS).transpose(1, 0, 2)
+    seg = seg.reshape(16, nb, cfg.rays).transpose(1, 0, 2)
 
-    sp = S_planes.reshape(nb, RAYS, -1).transpose(0, 2, 1)
-    msgs = messages_slot.reshape(nb, RAYS, cfg.slots).transpose(0, 2, 1)
+    sp = S_planes.reshape(nb, cfg.rays, -1).transpose(0, 2, 1)
+    msgs = messages_slot.reshape(nb, cfg.rays, cfg.slots).transpose(0, 2, 1)
 
     # Per-(block, 8-slice group) DRIFTING beam origins: lateral positions
     # of each ray at every group boundary (clamped lerp along the dominant
@@ -772,7 +784,7 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
 
     def group_min(p):
         lo = jnp.floor(jnp.minimum(p[:, :-1], p[:, 1:])).astype(jnp.int32)
-        return lo.reshape(nb, RAYS, ngrp).min(axis=1) - 1  # (NB, G)
+        return lo.reshape(nb, cfg.rays, ngrp).min(axis=1) - 1  # (NB, G)
 
     a_min = group_min(pa)
     b_min = group_min(pb)
