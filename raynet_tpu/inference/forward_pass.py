@@ -366,15 +366,19 @@ class RayNetForwardPass(ForwardPass):
     # admits it (26x the XLA sweep on v5e); "off": XLA BP path.
     bp_beam = "auto"
 
-    def _bp_cfg(self, scene, ref_idx, ray_idxs=None):
+    def _bp_cfg(self, scene, ref_idx, ray_idxs=None, shards=1):
         """Plan (and cache) the BP beam kernel config for a reference view;
         None -> XLA path for that image. For GT-filtered ray sets the plan
         walks the ACTUAL tile-sorted blocks (``ray_idxs``) instead of
-        sampling full-image blocks, so the beam boxes stay exact."""
+        sampling full-image blocks, so the beam boxes stay exact.
+        ``shards``: device count the batch will be sharded over — each
+        per-device shard must split into whole kernel blocks."""
+        unit = self.rays_batch // shards
         if (
             self.bp_beam == "off"
             or not _use_pallas()
-            or self.rays_batch % 256 != 0
+            or self.rays_batch % shards != 0
+            or unit % 256 != 0
         ):
             return None
         if not hasattr(self, "_bp_cfg_cache"):
@@ -388,7 +392,7 @@ class RayNetForwardPass(ForwardPass):
             gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
             # 512-ray blocks measured ~13% faster than 256 on v5e (fewer,
             # wider latency chains); use them when the batch divides.
-            rays = 512 if self.rays_batch % 512 == 0 else 256
+            rays = 512 if unit % 512 == 0 else 256
             self._bp_cfg_cache[ref_idx] = plan_bp_config(
                 np.asarray(P_pinv), np.asarray(center),
                 scene.bbox.reshape(-1), gp.grid_shape, H, W,
@@ -416,6 +420,8 @@ class RayNetForwardPass(ForwardPass):
         mesh = make_ray_mesh()
         common = (H, W, gp.padding, gp.depth_planes, grid_shape, M)
         return {
+            "mesh": mesh,
+            "n_dev": n_dev,
             "first": sharded_raynet_message_step(
                 mesh, *common, use_pallas=_use_pallas(),
                 first_iteration=True,
@@ -428,6 +434,34 @@ class RayNetForwardPass(ForwardPass):
                 mesh, *common, use_pallas=_use_pallas()
             ),
         }
+
+    def _beam_sharded_step(self, sharded, cfg, bands, kind, H, W):
+        """Lazily built shard_map'ed BEAM steps (the multi-chip fast path:
+        each device runs the fused Pallas sweep on its ray shard; the grid
+        contributions ride one psum over ICI)."""
+        from ..parallel.sharding import (
+            sharded_beam_message_step,
+            sharded_beam_depth_step,
+        )
+
+        if not hasattr(self, "_beam_sharded_cache"):
+            self._beam_sharded_cache = {}
+        key = (cfg, bands, kind)
+        if key not in self._beam_sharded_cache:
+            gp = self._generation_params
+            if kind == "depth":
+                step = sharded_beam_depth_step(
+                    sharded["mesh"], H, W, gp.padding, gp.depth_planes,
+                    cfg, band_specs=bands,
+                )
+            else:
+                step = sharded_beam_message_step(
+                    sharded["mesh"], H, W, gp.padding, gp.depth_planes,
+                    cfg, band_specs=bands,
+                    first_iteration=(kind == "first"),
+                )
+            self._beam_sharded_cache[key] = step
+        return self._beam_sharded_cache[key]
 
     # Keep per-image message arrays ON DEVICE while the whole scene's set
     # fits this many bytes of HBM — the per-batch host round trip costs
@@ -527,15 +561,12 @@ class RayNetForwardPass(ForwardPass):
         bp_cfgs = {}
         band_specs = {}
         for i in ref_indices:
-            if sharded is None:
-                features_i, *_ = self._features_and_cameras(scene, i)
-                bp_cfgs[i] = self._bp_cfg(
-                    scene, i, ray_idxs=ray_idxs_per_image[i]
-                )
-                band_specs[i] = self._band_specs(scene, i, features_i)
-            else:
-                bp_cfgs[i] = None
-                band_specs[i] = None
+            features_i, *_ = self._features_and_cameras(scene, i)
+            bp_cfgs[i] = self._bp_cfg(
+                scene, i, ray_idxs=ray_idxs_per_image[i],
+                shards=(sharded["n_dev"] if sharded is not None else 1),
+            )
+            band_specs[i] = self._band_specs(scene, i, features_i)
         bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
         band_specs = _coalesce_band_specs(band_specs)
         cols_per_image = {
@@ -673,7 +704,19 @@ class RayNetForwardPass(ForwardPass):
                                 messages, ref_idx, off, n_valid, cols,
                                 msgs_on_device,
                             )
-                            if sharded is not None:
+                            if sharded is not None and cfg is not None:
+                                step = self._beam_sharded_step(
+                                    sharded, cfg, band_specs[ref_idx],
+                                    "first" if iteration == 0 else "rest",
+                                    H, W,
+                                )
+                                new_msgs, scatter, ov = step(
+                                    chunk, features, P, P_pinv, center,
+                                    bbox, msg_in, grid_acc,
+                                    jnp.int32(n_valid),
+                                )
+                                overflows.append(ov.max())
+                            elif sharded is not None:
                                 step = sharded[
                                     "first" if iteration == 0 else "rest"
                                 ]
@@ -764,7 +807,15 @@ class RayNetForwardPass(ForwardPass):
                         messages, ref_idx, off, n_valid, cols,
                         msgs_on_device,
                     )
-                    if sharded is not None:
+                    if sharded is not None and cfg is not None:
+                        depth = self._beam_sharded_step(
+                            sharded, cfg, band_specs[ref_idx], "depth",
+                            H, W,
+                        )(
+                            chunk, features, P, P_pinv, center, bbox,
+                            msg_in, grid_acc,
+                        )
+                    elif sharded is not None:
                         _, depth = sharded["depth"](
                             chunk, features, P, P_pinv, center, bbox,
                             msg_in, grid_acc,
