@@ -266,6 +266,21 @@ class ForwardPass:
                 np.ascontiguousarray(chunk)
             )
 
+    def _stacked_batches(self, ray_idxs):
+        """All batches of an image as one committed (nb, B) tensor plus a
+        (nb,) valid-count vector — the per-(image, sweep) single-dispatch
+        path scans over them on device."""
+        b = self.rays_batch
+        n = len(ray_idxs)
+        nb = max(1, -(-n // b))
+        padded = np.full(nb * b, ray_idxs[-1], np.int32)
+        padded[:n] = ray_idxs
+        n_valids = np.minimum(b, n - np.arange(nb) * b).astype(np.int32)
+        return (
+            jax.device_put(padded.reshape(nb, b)),
+            jax.device_put(n_valids),
+        )
+
     def forward_pass(self, scene, images_range):
         raise NotImplementedError()
 
@@ -604,12 +619,34 @@ class RayNetForwardPass(ForwardPass):
                     features.dtype,
                 )
             return _dummy_cache[key]
+        # Device-resident fast path: ONE fused dispatch per (image, sweep)
+        # — a lax.scan over the image's ray batches with the message store
+        # as a donated carry. Per-batch dispatches cost ~5-15 ms of host
+        # latency each through the axon tunnel (~5,700/scene at DTU
+        # scale). The host/memmap and sharded paths keep per-batch calls
+        # with chunks pre-committed once. Fast-path stores are PADDED to
+        # whole batches so every scan slice is full-size.
+        device_fast = msgs_on_device and sharded is None
+        b = self.rays_batch
+        if device_fast:
+            stacked = {
+                i: self._stacked_batches(ray_idxs_per_image[i])
+                for i in ref_indices
+            }
+            batches_per_image = None
+            rows = {
+                i: int(stacked[i][0].shape[0]) * b for i in ref_indices
+            }
+        else:
+            batches_per_image = {
+                i: list(self._ray_batches(ray_idxs_per_image[i]))
+                for i in ref_indices
+            }
+            rows = {i: len(ray_idxs_per_image[i]) for i in ref_indices}
+        score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
         scores = (
             {
-                i: jnp.zeros(
-                    (len(ray_idxs_per_image[i]), gp.depth_planes),
-                    jnp.float32,
-                )
+                i: jnp.zeros((rows[i], gp.depth_planes), jnp.float32)
                 for i in ref_indices
             }
             if cache_scores
@@ -617,32 +654,14 @@ class RayNetForwardPass(ForwardPass):
         )
         if msgs_on_device:
             messages = {
-                i: jnp.zeros(
-                    (len(ray_idxs_per_image[i]), cols_per_image[i]),
-                    jnp.float32,
-                )
+                i: jnp.zeros((rows[i], cols_per_image[i]), jnp.float32)
                 for i in ref_indices
             }
         else:
             messages = {
-                i: self._alloc_messages(
-                    len(ray_idxs_per_image[i]), cols_per_image[i], i
-                )
+                i: self._alloc_messages(rows[i], cols_per_image[i], i)
                 for i in ref_indices
             }
-        # Pre-materialize (and device-commit) the per-image batch chunks
-        # ONCE: the same index arrays are reused by all 4 sweeps, and a
-        # host-backed array is re-shipped through the axon tunnel on every
-        # dispatch that carries it.
-        batches_per_image = {
-            i: list(self._ray_batches(ray_idxs_per_image[i]))
-            for i in ref_indices
-        }
-        # Device-resident fast path: one fused dispatch per batch
-        # (slice + sweep + write-back + scatter accumulate, donated
-        # buffers). The host/memmap and sharded paths keep per-stage calls.
-        device_fast = msgs_on_device and sharded is None
-        score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
 
         try:
             grid_acc = jnp.full((grid_size,), prior, dtype=jnp.float32)
@@ -660,46 +679,46 @@ class RayNetForwardPass(ForwardPass):
                     cfg = bp_cfgs[ref_idx]
                     cols = cols_per_image[ref_idx]
                     with self.timer.phase("Message passing"):
+                        use_S = cache_scores and iteration > 0
+                        feats_arg = (
+                            _dummy_features(features) if use_S
+                            else features
+                        )
+                        if device_fast:
+                            chunks_arr, n_valids = stacked[ref_idx]
+                            (
+                                messages[ref_idx],
+                                s_full,
+                                scatter_total,
+                                overflow,
+                            ) = fused.raynet_image_update(
+                                messages[ref_idx],
+                                (
+                                    scores[ref_idx]
+                                    if cache_scores
+                                    else score_dummy
+                                ),
+                                scatter_total, grid_acc,
+                                chunks_arr, n_valids,
+                                feats_arg, P, P_pinv, center, bbox,
+                                batch=b, height=H, width=W,
+                                padding=gp.padding,
+                                depth_planes=gp.depth_planes,
+                                grid_shape=grid_shape, max_voxels=M,
+                                bp_cfg=cfg,
+                                band_specs=band_specs[ref_idx],
+                                first_iteration=(iteration == 0),
+                                use_scores=cache_scores,
+                                use_pallas=_use_pallas(),
+                            )
+                            if cache_scores:
+                                scores[ref_idx] = s_full
+                            if cfg is not None:
+                                overflows.append(overflow)
+                            continue
                         for off, n_valid, chunk in batches_per_image[
                             ref_idx
                         ]:
-                            use_S = cache_scores and iteration > 0
-                            feats_arg = (
-                                _dummy_features(features) if use_S
-                                else features
-                            )
-                            if device_fast:
-                                (
-                                    messages[ref_idx],
-                                    s_full,
-                                    scatter_total,
-                                    overflow,
-                                ) = fused.raynet_batch_update(
-                                    messages[ref_idx],
-                                    (
-                                        scores[ref_idx]
-                                        if cache_scores
-                                        else score_dummy
-                                    ),
-                                    scatter_total, grid_acc, chunk,
-                                    feats_arg, P, P_pinv, center, bbox,
-                                    off=off, n_valid=n_valid,
-                                    batch=self.rays_batch,
-                                    height=H, width=W,
-                                    padding=gp.padding,
-                                    depth_planes=gp.depth_planes,
-                                    grid_shape=grid_shape, max_voxels=M,
-                                    bp_cfg=cfg,
-                                    band_specs=band_specs[ref_idx],
-                                    first_iteration=(iteration == 0),
-                                    use_scores=cache_scores,
-                                    use_pallas=_use_pallas(),
-                                )
-                                if cache_scores:
-                                    scores[ref_idx] = s_full
-                                if cfg is not None:
-                                    overflows.append(overflow)
-                                continue
                             msg_in = self._load_msgs(
                                 messages, ref_idx, off, n_valid, cols,
                                 msgs_on_device,
@@ -778,31 +797,29 @@ class RayNetForwardPass(ForwardPass):
                 cfg = bp_cfgs[ref_idx]
                 cols = cols_per_image[ref_idx]
                 depth_map = np.zeros(H * W, dtype=np.float32)
-                for off, n_valid, chunk in batches_per_image[ref_idx]:
-                    feats_arg = (
-                        _dummy_features(features) if cache_scores
-                        else features
+                feats_arg = (
+                    _dummy_features(features) if cache_scores
+                    else features
+                )
+                if device_fast:
+                    chunks_arr, _ = stacked[ref_idx]
+                    depths = fused.raynet_image_depth(
+                        messages[ref_idx],
+                        scores[ref_idx] if cache_scores else score_dummy,
+                        grid_acc, chunks_arr, feats_arg, P, P_pinv,
+                        center, bbox,
+                        batch=b, height=H, width=W, padding=gp.padding,
+                        depth_planes=gp.depth_planes,
+                        grid_shape=grid_shape, max_voxels=M,
+                        bp_cfg=cfg, band_specs=band_specs[ref_idx],
+                        use_scores=cache_scores,
+                        use_pallas=_use_pallas(),
                     )
-                    if device_fast:
-                        depth = fused.raynet_batch_depth(
-                            messages[ref_idx],
-                            scores[ref_idx] if cache_scores
-                            else score_dummy,
-                            grid_acc, chunk, feats_arg, P, P_pinv,
-                            center, bbox,
-                            off=off, n_valid=n_valid,
-                            batch=self.rays_batch,
-                            height=H, width=W, padding=gp.padding,
-                            depth_planes=gp.depth_planes,
-                            grid_shape=grid_shape, max_voxels=M,
-                            bp_cfg=cfg, band_specs=band_specs[ref_idx],
-                            use_scores=cache_scores,
-                            use_pallas=_use_pallas(),
-                        )
-                        depth_map[
-                            ray_idxs[off : off + n_valid]
-                        ] = np.asarray(depth)[:n_valid]
-                        continue
+                    flat = np.asarray(depths).reshape(-1)
+                    depth_map[ray_idxs] = flat[: len(ray_idxs)]
+                    yield depth_map.reshape(W, H).T
+                    continue
+                for off, n_valid, chunk in batches_per_image[ref_idx]:
                     msg_in = self._load_msgs(
                         messages, ref_idx, off, n_valid, cols,
                         msgs_on_device,

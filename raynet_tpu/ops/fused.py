@@ -414,126 +414,132 @@ def raynet_beam_depth_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "off", "n_valid", "batch", "height", "width", "padding",
-        "depth_planes", "grid_shape", "max_voxels", "bp_cfg", "band_specs",
+        "batch", "height", "width", "padding", "depth_planes",
+        "grid_shape", "max_voxels", "bp_cfg", "band_specs",
         "first_iteration", "use_scores", "use_pallas",
     ),
     donate_argnums=(0, 2),
 )
-def raynet_batch_update(
-    msgs_full,      # (N_img, cols) per-image message store — DONATED
-    scores_full,    # (N_img, D) cached plane scores (or a dummy)
+def raynet_image_update(
+    msgs_full,      # (nb*batch, cols) PADDED per-image store — DONATED
+    scores_full,    # (nb*batch, D) cached plane scores (or a dummy)
     scatter_total,  # (G,) accumulating scatter — DONATED
-    grid_acc,       # (G,) this iteration's read-only accumulator
-    chunk,          # (B,) ray indices of this batch
+    grid_acc,       # (G,) read-only accumulator
+    chunks,         # (nb, batch) int32 ray indices (tail padded)
+    n_valids,       # (nb,) int32 valid rows per chunk
     features, P, P_pinv, camera_center, bbox,
     *,
-    off, n_valid, batch, height, width, padding, depth_planes,
-    grid_shape, max_voxels, bp_cfg, band_specs, first_iteration,
-    use_scores, use_pallas,
+    batch, height, width, padding, depth_planes, grid_shape, max_voxels,
+    bp_cfg, band_specs, first_iteration, use_scores, use_pallas,
 ):
-    """ONE dispatch per ray batch for the device-resident orchestrator:
-    slice the message block out of the per-image store, run the fused BP
-    message sweep (beam kernel when ``bp_cfg`` is set, XLA otherwise),
-    write the block back, and accumulate the grid scatter — all in a
-    single XLA program. The per-batch glue (dynamic_slice / update /
-    add) used to be 5-7 separate dispatches; on the axon tunnel each
-    dispatch costs ~5-15 ms of host latency, which dominated the 16 ms
-    device step.
+    """ONE dispatch per (image, sweep): lax.scan over the image's ray
+    batches with the message store as carry. At DTU scale the per-batch
+    dispatch latency (~5-15 ms each through the axon tunnel, ~5,700
+    dispatches per scene) would otherwise rival the device time.
 
-    Returns (msgs_full, scores_full, scatter_total, overflow).
+    The store is padded to whole batches so every slice is full-size;
+    validity is the kernel's dynamic n_valid mask.
+
+    Returns (msgs_full, scores_full, scatter_total, overflow_sum).
     """
     cols = msgs_full.shape[1]
-    msg_block = jax.lax.dynamic_slice_in_dim(msgs_full, off, n_valid)
-    if n_valid < batch:
-        msg_block = (
-            jnp.zeros((batch, cols), msgs_full.dtype).at[:n_valid]
-            .set(msg_block)
-        )
-    msg_block = msg_block.astype(jnp.float32)
-    S_in = None
-    if use_scores and not first_iteration:
-        S_in = jax.lax.dynamic_slice_in_dim(scores_full, off, n_valid)
-        if n_valid < batch:
-            S_in = (
-                jnp.zeros((batch, depth_planes), scores_full.dtype)
-                .at[:n_valid].set(S_in)
+    offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+
+    def body(carry, xs):
+        msgs_full, scores_full, scatter_total = carry
+        chunk, n_valid, off = xs
+        msg_block = jax.lax.dynamic_slice(
+            msgs_full, (off, 0), (batch, cols)
+        ).astype(jnp.float32)
+        S_in = None
+        if use_scores and not first_iteration:
+            S_in = jax.lax.dynamic_slice(
+                scores_full, (off, 0), (batch, depth_planes)
             )
-    if bp_cfg is not None:
-        new_msgs, scatter, overflow, S_out = raynet_beam_message_step(
-            chunk, features, P, P_pinv, camera_center, bbox,
-            msg_block, grid_acc, jnp.int32(n_valid),
-            height, width, padding, depth_planes, bp_cfg,
-            band_specs=band_specs, first_iteration=first_iteration,
-            S_planes=S_in,
+        if bp_cfg is not None:
+            new_msgs, scatter, overflow, S_out = raynet_beam_message_step(
+                chunk, features, P, P_pinv, camera_center, bbox,
+                msg_block, grid_acc, n_valid,
+                height, width, padding, depth_planes, bp_cfg,
+                band_specs=band_specs, first_iteration=first_iteration,
+                S_planes=S_in,
+            )
+        else:
+            new_msgs, scatter, S_out = raynet_message_step(
+                chunk, features, P, P_pinv, camera_center, bbox,
+                msg_block, grid_acc, n_valid,
+                height, width, padding, depth_planes, grid_shape,
+                max_voxels, use_pallas=use_pallas,
+                first_iteration=first_iteration,
+                band_specs=band_specs, tile_ordered=True, S_planes=S_in,
+            )
+            overflow = jnp.float32(0.0)
+        msgs_full = jax.lax.dynamic_update_slice(
+            msgs_full, new_msgs.astype(msgs_full.dtype), (off, 0)
         )
-    else:
-        new_msgs, scatter, S_out = raynet_message_step(
-            chunk, features, P, P_pinv, camera_center, bbox,
-            msg_block, grid_acc, jnp.int32(n_valid),
-            height, width, padding, depth_planes, grid_shape, max_voxels,
-            use_pallas=use_pallas, first_iteration=first_iteration,
-            band_specs=band_specs, tile_ordered=True, S_planes=S_in,
-        )
-        overflow = jnp.float32(0.0)
-    msgs_full = jax.lax.dynamic_update_slice_in_dim(
-        msgs_full, new_msgs[:n_valid].astype(msgs_full.dtype), off, 0
+        if use_scores and first_iteration:
+            scores_full = jax.lax.dynamic_update_slice(
+                scores_full, S_out.astype(scores_full.dtype), (off, 0)
+            )
+        scatter_total = scatter_total + scatter
+        return (msgs_full, scores_full, scatter_total), overflow
+
+    (msgs_full, scores_full, scatter_total), ovs = jax.lax.scan(
+        body, (msgs_full, scores_full, scatter_total),
+        (chunks, n_valids, offs),
     )
-    if use_scores and first_iteration:
-        scores_full = jax.lax.dynamic_update_slice_in_dim(
-            scores_full, S_out[:n_valid].astype(scores_full.dtype), off, 0
-        )
-    scatter_total = scatter_total + scatter
-    return msgs_full, scores_full, scatter_total, overflow
+    return msgs_full, scores_full, scatter_total, ovs.sum()
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "off", "n_valid", "batch", "height", "width", "padding",
-        "depth_planes", "grid_shape", "max_voxels", "bp_cfg", "band_specs",
+        "batch", "height", "width", "padding", "depth_planes",
+        "grid_shape", "max_voxels", "bp_cfg", "band_specs",
         "use_scores", "use_pallas",
     ),
 )
-def raynet_batch_depth(
-    msgs_full, scores_full, grid_acc, chunk,
+def raynet_image_depth(
+    msgs_full, scores_full, grid_acc, chunks,
     features, P, P_pinv, camera_center, bbox,
     *,
-    off, n_valid, batch, height, width, padding, depth_planes,
-    grid_shape, max_voxels, bp_cfg, band_specs, use_scores, use_pallas,
+    batch, height, width, padding, depth_planes, grid_shape, max_voxels,
+    bp_cfg, band_specs, use_scores, use_pallas,
 ):
-    """Single-dispatch final depth sweep for one ray batch (see
-    :func:`raynet_batch_update`). Returns depth (B,)."""
+    """Single-dispatch final depth sweep over a whole image (see
+    :func:`raynet_image_update`). Returns (nb, batch) depths."""
     cols = msgs_full.shape[1]
-    msg_block = jax.lax.dynamic_slice_in_dim(msgs_full, off, n_valid)
-    if n_valid < batch:
-        msg_block = (
-            jnp.zeros((batch, cols), msgs_full.dtype).at[:n_valid]
-            .set(msg_block)
-        )
-    msg_block = msg_block.astype(jnp.float32)
-    S_in = None
-    if use_scores:
-        S_in = jax.lax.dynamic_slice_in_dim(scores_full, off, n_valid)
-        if n_valid < batch:
-            S_in = (
-                jnp.zeros((batch, depth_planes), scores_full.dtype)
-                .at[:n_valid].set(S_in)
+    offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+
+    def body(_, xs):
+        chunk, off = xs
+        msg_block = jax.lax.dynamic_slice(
+            msgs_full, (off, 0), (batch, cols)
+        ).astype(jnp.float32)
+        S_in = None
+        if use_scores:
+            S_in = jax.lax.dynamic_slice(
+                scores_full, (off, 0), (batch, depth_planes)
             )
-    if bp_cfg is not None:
-        depth, _ = raynet_beam_depth_step(
-            chunk, features, P, P_pinv, camera_center, bbox,
-            msg_block, grid_acc, height, width, padding, depth_planes,
-            bp_cfg, band_specs=band_specs, S_planes=S_in,
-        )
-    else:
-        _, depth = raynet_depth_step(
-            chunk, features, P, P_pinv, camera_center, bbox,
-            msg_block, grid_acc, height, width, padding, depth_planes,
-            grid_shape, max_voxels, use_pallas=use_pallas,
-            band_specs=band_specs, tile_ordered=True, S_planes=S_in,
-        )
-    return depth
+        if bp_cfg is not None:
+            depth, _ = raynet_beam_depth_step(
+                chunk, features, P, P_pinv, camera_center, bbox,
+                msg_block, grid_acc, height, width, padding,
+                depth_planes, bp_cfg, band_specs=band_specs,
+                S_planes=S_in,
+            )
+        else:
+            _, depth = raynet_depth_step(
+                chunk, features, P, P_pinv, camera_center, bbox,
+                msg_block, grid_acc, height, width, padding,
+                depth_planes, grid_shape, max_voxels,
+                use_pallas=use_pallas, band_specs=band_specs,
+                tile_ordered=True, S_planes=S_in,
+            )
+        return 0, depth
+
+    _, depths = jax.lax.scan(body, 0, (chunks, offs))
+    return depths
 
 
 @partial(
