@@ -20,7 +20,7 @@ import numpy as np
 
 def run_scene_benchmark(
     images=4, height=180, width=320, depth_planes=32,
-    grid=(128, 128, 64), max_voxels=384, rays_batch=65536,
+    grid=(128, 128, 64), max_voxels=384, rays_batch=65536, focal=400.0,
 ):
     """Build a synthetic ring scene and reconstruct it through the REAL
     orchestration path (RayNetForwardPass). Returns the metrics dict."""
@@ -39,7 +39,7 @@ def run_scene_benchmark(
     # the CPU backend with 8 virtual devices as a side effect.
     def _make_ring_camera(angle, h, w, radius=20.0):
         K = np.array(
-            [[400.0, 0, w / 2], [0, 400.0, h / 2], [0, 0, 1]],
+            [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
             dtype=np.float32,
         )
         c = np.array([radius * np.sin(angle), 0.0, -radius * np.cos(angle)])
@@ -137,10 +137,13 @@ def main():
                    default="128,128,64")
     p.add_argument("--max_voxels", type=int, default=384)
     p.add_argument("--rays_batch", type=int, default=65536)
+    # DTU cameras are ~2.2x the image width in focal length; the default
+    # 400 keeps historical comparability of the 180x320 tracking number
+    p.add_argument("--focal", type=float, default=400.0)
     a = p.parse_args()
     print(json.dumps(run_scene_benchmark(
         a.images, a.height, a.width, a.depth_planes, tuple(a.grid),
-        a.max_voxels, a.rays_batch,
+        a.max_voxels, a.rays_batch, a.focal,
     )))
 
 

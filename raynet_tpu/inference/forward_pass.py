@@ -713,8 +713,10 @@ class RayNetForwardPass(ForwardPass):
                             )
                             if cache_scores:
                                 scores[ref_idx] = s_full
-                            if cfg is not None:
-                                overflows.append(overflow)
+                            # beam slot overflows AND banded-box overflows
+                            # both ride this flag (scores are garbage on
+                            # violation; abort rather than fall back)
+                            overflows.append(overflow)
                             continue
                         for off, n_valid, chunk in batches_per_image[
                             ref_idx
@@ -784,9 +786,10 @@ class RayNetForwardPass(ForwardPass):
             # guards the planner's static K/box invariants.
             if float(overflow_total):
                 raise RuntimeError(
-                    "BP beam planner invariant violated (%d slot "
-                    "overflows); the planned K/box did not cover this "
-                    "scene's rays" % int(float(overflow_total))
+                    "kernel planner invariant violated (%d beam-slot or "
+                    "banded-box overflows); the planned static shapes did "
+                    "not cover this scene's rays"
+                    % int(float(overflow_total))
                 )
 
             for ref_idx in ref_indices:
@@ -803,7 +806,7 @@ class RayNetForwardPass(ForwardPass):
                 )
                 if device_fast:
                     chunks_arr, _ = stacked[ref_idx]
-                    depths = fused.raynet_image_depth(
+                    depths, bad = fused.raynet_image_depth(
                         messages[ref_idx],
                         scores[ref_idx] if cache_scores else score_dummy,
                         grid_acc, chunks_arr, feats_arg, P, P_pinv,
@@ -816,6 +819,11 @@ class RayNetForwardPass(ForwardPass):
                         use_pallas=_use_pallas(),
                     )
                     flat = np.asarray(depths).reshape(-1)
+                    if float(bad):
+                        raise RuntimeError(
+                            "banded plane-sweep boxes overflowed in the "
+                            "depth sweep of image %d" % (ref_idx,)
+                        )
                     depth_map[ray_idxs] = flat[: len(ray_idxs)]
                     yield depth_map.reshape(W, H).T
                     continue

@@ -10,7 +10,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .ray_marching import voxel_traversal
-from .planes_voxels import planes_to_voxels_mapping
 
 
 def get_ray_voxel_indices(bbox, grid_shape, ray_starts, ray_ends, max_voxels):

@@ -40,20 +40,29 @@ def _segments(ray_idxs, P_pinv, camera_center, bbox, height):
 
 
 def _similarities(
-    features, P, points, padding, height, width, band_specs
+    features, P, points, padding, height, width, band_specs, strict=False
 ):
     """Plane-sweep scores: banded Pallas kernel when ``band_specs`` is set
     (points must then be in ray-tile order), with an in-graph fallback to
     the XLA gather path if this batch's bands overflow the static boxes.
+
+    ``strict=True`` drops the fallback branch and instead returns
+    ``(S, bad)`` where ``bad`` > 0 flags a band overflow (the scores are
+    then garbage and the caller must abort). The lax.cond keeps BOTH
+    branches' buffers alive — the XLA branch's padded (N, D, V, F) gather
+    intermediate alone is ~8 GB at 65k rays — so memory-tight callers
+    (the per-image scan) use strict mode and ride the same
+    planner-invariant error path as the beam kernel's overflow flag.
 
     The scores depend only on (features, geometry) — NOT on BP messages —
     so callers running several BP sweeps per image pass the first sweep's
     scores back in (``S_planes=...``) instead of recomputing them.
     """
     if band_specs is None:
-        return compute_similarities(
+        S = compute_similarities(
             features, P, points, padding, height, width
         )
+        return (S, jnp.float32(0.0)) if strict else S
     from .pallas.planesweep import banded_similarities
 
     n_views = features.shape[0]
@@ -67,6 +76,10 @@ def _similarities(
             features, fidx, band_specs, height, width, points.shape[1]
         )
         return jax.nn.softmax(pair / n_pairs, axis=-1)
+
+    if strict:
+        bad = 1.0 - bands_fit(fidx, band_specs).astype(jnp.float32)
+        return banded(None), bad
 
     def fallback(_):
         return compute_similarities(
@@ -214,6 +227,7 @@ def mvcnn_voxel_depth_step(
         "first_iteration",
         "band_specs",
         "tile_ordered",
+        "strict_bands",
     ),
 )
 def raynet_message_step(
@@ -237,8 +251,13 @@ def raynet_message_step(
     band_specs=None,
     tile_ordered=False,
     S_planes=None,
+    strict_bands=False,
 ):
     """Front half of RayNet + one BP message update for this ray batch.
+
+    ``strict_bands``: compute the banded similarities WITHOUT the XLA
+    fallback branch (see _similarities) and return a 4th element ``bad``
+    flagging a band overflow.
 
     Returns (new_messages (N, M), scatter (G,), S_planes (N, D)) where
     scatter is this batch's additive contribution to the NEXT iteration's
@@ -270,13 +289,20 @@ def raynet_message_step(
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
+    bad = jnp.float32(0.0)
     if S_planes is None:
         points = sample_points_along_segments(
             ray_start, ray_end, depth_planes
         )
-        S_planes = _similarities(
-            features, P, points, padding, height, width, band_specs
-        )
+        if strict_bands:
+            S_planes, bad = _similarities(
+                features, P, points, padding, height, width, band_specs,
+                strict=True,
+            )
+        else:
+            S_planes = _similarities(
+                features, P, points, padding, height, width, band_specs
+            )
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
@@ -300,6 +326,8 @@ def raynet_message_step(
     if reorder:
         new_msgs = new_msgs[inv]
         S_planes = S_planes[inv]
+    if strict_bands:
+        return new_msgs, scatter, S_planes, bad
     return new_msgs, scatter, S_planes
 
 
@@ -307,7 +335,7 @@ def raynet_message_step(
     jax.jit,
     static_argnames=(
         "height", "width", "padding", "depth_planes", "bp_cfg",
-        "band_specs", "first_iteration", "interpret",
+        "band_specs", "first_iteration", "interpret", "strict_bands",
     ),
 )
 def raynet_beam_message_step(
@@ -329,6 +357,7 @@ def raynet_beam_message_step(
     first_iteration=False,
     interpret=False,
     S_planes=None,
+    strict_bands=False,
 ):
     """Fully fused RayNet message sweep: banded plane-sweep similarities +
     the BP beam kernel (traversal, hat mapping, gather, recurrences,
@@ -348,27 +377,34 @@ def raynet_beam_message_step(
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
+    bad = jnp.float32(0.0)
     if S_planes is None:
         points = sample_points_along_segments(
             ray_start, ray_end, depth_planes
         )
-        S_planes = _similarities(
-            features, P, points, padding, height, width, band_specs
-        )
+        if strict_bands:
+            S_planes, bad = _similarities(
+                features, P, points, padding, height, width, band_specs,
+                strict=True,
+            )
+        else:
+            S_planes = _similarities(
+                features, P, points, padding, height, width, band_specs
+            )
     valid = (jnp.arange(ray_idxs.shape[0]) < n_valid).astype(jnp.int32)
     new_msgs, scatter, overflow = bp_beam_message_step(
         ray_start, ray_end, valid, S_planes, messages_slot,
         grid_acc_flat, camera_center, bbox, bp_cfg,
         first_iteration=first_iteration, interpret=interpret,
     )
-    return new_msgs, scatter, overflow, S_planes
+    return new_msgs, scatter, overflow + bad, S_planes
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "height", "width", "padding", "depth_planes", "bp_cfg",
-        "band_specs", "interpret",
+        "band_specs", "interpret", "strict_bands",
     ),
 )
 def raynet_beam_depth_step(
@@ -388,6 +424,7 @@ def raynet_beam_depth_step(
     band_specs=None,
     interpret=False,
     S_planes=None,
+    strict_bands=False,
 ):
     """Fused posterior-depth sweep via the BP beam kernel.
 
@@ -397,18 +434,26 @@ def raynet_beam_depth_step(
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
+    bad = jnp.float32(0.0)
     if S_planes is None:
         points = sample_points_along_segments(
             ray_start, ray_end, depth_planes
         )
-        S_planes = _similarities(
-            features, P, points, padding, height, width, band_specs
-        )
+        if strict_bands:
+            S_planes, bad = _similarities(
+                features, P, points, padding, height, width, band_specs,
+                strict=True,
+            )
+        else:
+            S_planes = _similarities(
+                features, P, points, padding, height, width, band_specs
+            )
     valid = jnp.ones((ray_idxs.shape[0],), jnp.int32)
-    return bp_beam_depth_step(
+    depth, overflow = bp_beam_depth_step(
         ray_start, ray_end, valid, S_planes, messages_slot,
         grid_acc_flat, camera_center, bbox, bp_cfg, interpret=interpret,
     )
+    return depth, overflow + bad
 
 
 @partial(
@@ -456,24 +501,28 @@ def raynet_image_update(
             S_in = jax.lax.dynamic_slice(
                 scores_full, (off, 0), (batch, depth_planes)
             )
+        # strict band mode: no XLA fallback branch (its padded
+        # (N, D, V, F) gather temp alone is ~8 GB at 65k rays and the
+        # lax.cond keeps both branches' buffers alive inside the scan);
+        # a band overflow rides the planner-invariant error path instead.
         if bp_cfg is not None:
             new_msgs, scatter, overflow, S_out = raynet_beam_message_step(
                 chunk, features, P, P_pinv, camera_center, bbox,
                 msg_block, grid_acc, n_valid,
                 height, width, padding, depth_planes, bp_cfg,
                 band_specs=band_specs, first_iteration=first_iteration,
-                S_planes=S_in,
+                S_planes=S_in, strict_bands=True,
             )
         else:
-            new_msgs, scatter, S_out = raynet_message_step(
+            new_msgs, scatter, S_out, overflow = raynet_message_step(
                 chunk, features, P, P_pinv, camera_center, bbox,
                 msg_block, grid_acc, n_valid,
                 height, width, padding, depth_planes, grid_shape,
                 max_voxels, use_pallas=use_pallas,
                 first_iteration=first_iteration,
                 band_specs=band_specs, tile_ordered=True, S_planes=S_in,
+                strict_bands=True,
             )
-            overflow = jnp.float32(0.0)
         msgs_full = jax.lax.dynamic_update_slice(
             msgs_full, new_msgs.astype(msgs_full.dtype), (off, 0)
         )
@@ -522,24 +571,24 @@ def raynet_image_depth(
                 scores_full, (off, 0), (batch, depth_planes)
             )
         if bp_cfg is not None:
-            depth, _ = raynet_beam_depth_step(
+            depth, bad = raynet_beam_depth_step(
                 chunk, features, P, P_pinv, camera_center, bbox,
                 msg_block, grid_acc, height, width, padding,
                 depth_planes, bp_cfg, band_specs=band_specs,
-                S_planes=S_in,
+                S_planes=S_in, strict_bands=True,
             )
         else:
-            _, depth = raynet_depth_step(
+            _, depth, bad = raynet_depth_step(
                 chunk, features, P, P_pinv, camera_center, bbox,
                 msg_block, grid_acc, height, width, padding,
                 depth_planes, grid_shape, max_voxels,
                 use_pallas=use_pallas, band_specs=band_specs,
-                tile_ordered=True, S_planes=S_in,
+                tile_ordered=True, S_planes=S_in, strict_bands=True,
             )
-        return 0, depth
+        return 0, (depth, bad)
 
-    _, depths = jax.lax.scan(body, 0, (chunks, offs))
-    return depths
+    _, (depths, bads) = jax.lax.scan(body, 0, (chunks, offs))
+    return depths, bads.sum()
 
 
 @partial(
@@ -554,6 +603,7 @@ def raynet_image_depth(
         "use_pallas",
         "band_specs",
         "tile_ordered",
+        "strict_bands",
     ),
 )
 def raynet_depth_step(
@@ -575,10 +625,12 @@ def raynet_depth_step(
     band_specs=None,
     tile_ordered=False,
     S_planes=None,
+    strict_bands=False,
 ):
     """Final RayNet sweep: occlusion-aware posterior depth per ray.
 
-    Returns (S_new (N, M), depth (N,)).
+    Returns (S_new (N, M), depth (N,)); with ``strict_bands`` a third
+    element flags a banded-kernel box overflow (see _similarities).
     """
     reorder = band_specs is not None and not tile_ordered
     if reorder:
@@ -592,13 +644,20 @@ def raynet_depth_step(
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
+    bad = jnp.float32(0.0)
     if S_planes is None:
         points = sample_points_along_segments(
             ray_start, ray_end, depth_planes
         )
-        S_planes = _similarities(
-            features, P, points, padding, height, width, band_specs
-        )
+        if strict_bands:
+            S_planes, bad = _similarities(
+                features, P, points, padding, height, width, band_specs,
+                strict=True,
+            )
+        else:
+            S_planes = _similarities(
+                features, P, points, padding, height, width, band_specs
+            )
 
     flat_idx, counts = voxel_traversal_flat(
         bbox, ray_start, ray_end, grid_shape, max_voxels, use_pallas
@@ -623,4 +682,6 @@ def raynet_depth_step(
     depth = jnp.where(counts > 0, depth, 0.0)
     if reorder:
         S_new, depth = S_new[inv], depth[inv]
+    if strict_bands:
+        return S_new, depth, bad
     return S_new, depth

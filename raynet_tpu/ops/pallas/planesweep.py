@@ -244,14 +244,15 @@ def _bucket(x, ladder):
 
 def plan_band_specs(
     P, P_pinv, camera_center, bbox, height, width, padding, depth_planes,
-    max_tiles=512, pad=4,
+    chunk_tiles=512, pad=4,
 ):
     """Host-side band planning for one reference view set.
 
-    Projects (a sample of) the full image's rays, groups them into pixel
-    tiles, and returns the static per-view box specs that cover every
-    sampled block (plus margin). The in-graph ``bands_fit`` check guards
-    exactness at runtime; this just has to be a good static guess.
+    Projects EVERY pixel tile of the image (chunked to bound memory) and
+    returns the static per-view box specs that cover the widest block
+    (plus margin). Exactness matters: the strict-band callers abort on a
+    box overflow instead of falling back, so a sampled plan that misses
+    the widest tile is a runtime error, not a slowdown.
     """
     from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
     from ..sampling import sample_points_along_segments
@@ -261,24 +262,17 @@ def plan_band_specs(
     idxs = jnp.arange(n, dtype=jnp.int32)
     perm, _ = tile_order(idxs, height)
     if n % RAYS_PER_BLOCK:  # pad the planning list to whole blocks
-        pad = RAYS_PER_BLOCK - n % RAYS_PER_BLOCK
-        perm = jnp.concatenate([perm, jnp.repeat(perm[-1:], pad)])
+        tail = RAYS_PER_BLOCK - n % RAYS_PER_BLOCK
+        perm = jnp.concatenate([perm, jnp.repeat(perm[-1:], tail)])
     n_tiles = perm.shape[0] // RAYS_PER_BLOCK
-    if n_tiles > max_tiles:
-        stride = n_tiles // max_tiles
-        keep = (
-            jnp.arange(n_tiles * RAYS_PER_BLOCK).reshape(
-                n_tiles, RAYS_PER_BLOCK
-            )[::stride]
-        ).reshape(-1)
-        perm = perm[keep]
+    perm = np.asarray(perm)
 
     @jax.jit
-    def fidx_of(P, P_pinv, center, bbox):
-        d = rays_from_pixel_idxs(idxs[perm], P_pinv, center, height)
+    def fidx_of(chunk_idxs, P, P_pinv, center, bbox):
+        d = rays_from_pixel_idxs(chunk_idxs, P_pinv, center, height)
         s, e = rays_entry_exit_bbox(d, center, bbox[:3], bbox[3:])
         pts = sample_points_along_segments(s, e, depth_planes)
-        # only the projection geometry matters; a 1-channel dummy feature
+        # only the projection geometry matters; a dummy feature
         # stack keeps this cheap
         dummy = jnp.zeros(
             (P.shape[0], height + padding + 1, width + padding + 1, 32),
@@ -288,8 +282,41 @@ def plan_band_specs(
             dummy, P, pts, padding, height, width
         )
 
-    fidx = np.asarray(fidx_of(P, P_pinv, camera_center, bbox))
-    return measure_box_specs(fidx, depth_planes, pad=pad)
+    specs = None
+    chunk_rays = chunk_tiles * RAYS_PER_BLOCK
+    for t0 in range(0, n_tiles, chunk_tiles):
+        sl = perm[t0 * RAYS_PER_BLOCK:(t0 + chunk_tiles) * RAYS_PER_BLOCK]
+        if len(sl) < chunk_rays:  # fixed chunk shape: one trace total
+            sl = np.concatenate(
+                [sl, np.repeat(sl[-1:], chunk_rays - len(sl))]
+            )
+        fidx = np.asarray(
+            fidx_of(jnp.asarray(sl), P, P_pinv, camera_center, bbox)
+        )
+        chunk_specs = measure_box_specs(fidx, depth_planes, pad=pad)
+        if specs is None:
+            specs = list(chunk_specs)
+        else:
+            specs = [
+                (max(a[0], b[0]), max(a[1], b[1]))
+                for a, b in zip(specs, chunk_specs)
+            ]
+    if _specs_vmem_bytes(specs, depth_planes) > _VMEM_BUDGET:
+        # wide-FOV geometry: the exact band boxes exceed the kernel's
+        # scoped VMEM — this view keeps the XLA gather path
+        return None
+    return tuple(specs)
+
+
+_VMEM_BUDGET = 14 << 20  # bytes of scoped VMEM the banded kernel may plan
+
+
+def _specs_vmem_bytes(box_specs, depth_planes):
+    """Scoped-VMEM estimate of _banded_pair_sums at these box specs."""
+    T = RAYS_PER_BLOCK * depth_planes
+    boxes = sum(bh * bwg * 128 * 2 for bh, bwg in box_specs)  # bf16
+    fixed = 2 * 32 * T * 4 + (len(box_specs) + 1) * T * 4
+    return boxes + fixed
 
 
 def banded_similarities(
@@ -328,10 +355,18 @@ def banded_similarities(
     hfp = max(hf, -(-hf // 8) * 8 + max(s[0] for s in box_specs))
     wgp = wg + max(s[1] for s in box_specs)  # room for the clamped origin
     feats = features.astype(jnp.bfloat16)
-    feats = jnp.pad(
-        feats, ((0, 0), (0, hfp - hf), (0, wgp * 4 - wf), (0, 0))
+    # Pack BEFORE the big pad: padding the (..., 32)-minor tensor lets
+    # XLA's layout assignment pick a V-minor layout for the temp (measured
+    # 25.6x = 128/V tile expansion, 12.7 GB at 720p). Pad x to a multiple
+    # of 4 (cheap), reshape so the minor dim is the full 128-lane packed
+    # row, then pad the OUTER dims in packed space.
+    wf4 = -(-wf // 4) * 4
+    feats = jnp.pad(feats, ((0, 0), (0, 0), (0, wf4 - wf), (0, 0)))
+    feats_packed = feats.reshape(v, hf, wf4 // 4, 128)
+    feats_packed = jnp.pad(
+        feats_packed,
+        ((0, 0), (0, hfp - hf), (0, wgp - wf4 // 4), (0, 0)),
     )
-    feats_packed = feats.reshape(v, hfp, wgp, 128)
 
     mins, _ = compute_band_boxes(fidx, d)  # (NB, V, 2)
     bhs = jnp.asarray([s[0] for s in box_specs], jnp.int32)
