@@ -499,17 +499,21 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                     cid = cells[r : r + 1]
                     rowid = cid >> 7
                     lo = cid & 127
-                    eq = (iota_row == jnp.broadcast_to(
-                        rowid, (ROWS, RAYS)
+                    # lane-pick FIRST (full 128-wide MXU contraction),
+                    # then the masked reduce runs over ROWS (<=128) rows
+                    e2 = (iota_sub == jnp.broadcast_to(
+                        lo, (128, RAYS)
                     )).astype(jnp.float32)
-                    rows_T = jax.lax.dot_general(
-                        table, eq, (((0,), (0,)), ((), ())),
+                    cols = jax.lax.dot_general(
+                        table, e2, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (128, RAYS)
+                    )  # (ROWS, RAYS)
                     val_rows.append(
                         jnp.where(
-                            iota_sub == jnp.broadcast_to(lo, (128, RAYS)),
-                            rows_T, 0.0,
+                            iota_row == jnp.broadcast_to(
+                                rowid, (ROWS, RAYS)
+                            ),
+                            cols, 0.0,
                         ).sum(axis=0, keepdims=True)
                     )
             # stable sigmoid of (val - msg), VECTORIZED over the whole
