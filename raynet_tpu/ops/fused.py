@@ -489,9 +489,19 @@ def raynet_image_update(
     """
     cols = msgs_full.shape[1]
     offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+    if bp_cfg is not None:
+        from .pallas.bp_beam import (
+            bp_beam_message_step_perm, grid_to_perm, grid_from_perm,
+        )
+
+        # Grid layouts convert ONCE per image-sweep; the kernel's aliased
+        # RMW scatter accumulates straight into the PERM-layout carry (no
+        # per-batch zeros grid, flat add, or transpose pair).
+        grid_perm = grid_to_perm(grid_acc, bp_cfg)
+        scatter_perm = grid_to_perm(scatter_total, bp_cfg)
 
     def body(carry, xs):
-        msgs_full, scores_full, scatter_total = carry
+        msgs_full, scores_full, acc = carry
         chunk, n_valid, off = xs
         msg_block = jax.lax.dynamic_slice(
             msgs_full, (off, 0), (batch, cols)
@@ -506,13 +516,26 @@ def raynet_image_update(
         # lax.cond keeps both branches' buffers alive inside the scan);
         # a band overflow rides the planner-invariant error path instead.
         if bp_cfg is not None:
-            new_msgs, scatter, overflow, S_out = raynet_beam_message_step(
-                chunk, features, P, P_pinv, camera_center, bbox,
-                msg_block, grid_acc, n_valid,
-                height, width, padding, depth_planes, bp_cfg,
-                band_specs=band_specs, first_iteration=first_iteration,
-                S_planes=S_in, strict_bands=True,
+            ray_start, ray_end = _segments(
+                chunk, P_pinv, camera_center, bbox, height
             )
+            bad = jnp.float32(0.0)
+            if S_in is None:
+                points = sample_points_along_segments(
+                    ray_start, ray_end, depth_planes
+                )
+                S_in, bad = _similarities(
+                    features, P, points, padding, height, width,
+                    band_specs, strict=True,
+                )
+            valid = (jnp.arange(batch) < n_valid).astype(jnp.int32)
+            new_msgs, acc, overflow = bp_beam_message_step_perm(
+                ray_start, ray_end, valid, S_in, msg_block, grid_perm,
+                acc, camera_center, bbox, bp_cfg,
+                first_iteration=first_iteration,
+            )
+            overflow = overflow + bad
+            S_out = S_in
         else:
             new_msgs, scatter, S_out, overflow = raynet_message_step(
                 chunk, features, P, P_pinv, camera_center, bbox,
@@ -523,6 +546,7 @@ def raynet_image_update(
                 band_specs=band_specs, tile_ordered=True, S_planes=S_in,
                 strict_bands=True,
             )
+            acc = acc + scatter
         msgs_full = jax.lax.dynamic_update_slice(
             msgs_full, new_msgs.astype(msgs_full.dtype), (off, 0)
         )
@@ -530,13 +554,17 @@ def raynet_image_update(
             scores_full = jax.lax.dynamic_update_slice(
                 scores_full, S_out.astype(scores_full.dtype), (off, 0)
             )
-        scatter_total = scatter_total + scatter
-        return (msgs_full, scores_full, scatter_total), overflow
+        return (msgs_full, scores_full, acc), overflow
 
-    (msgs_full, scores_full, scatter_total), ovs = jax.lax.scan(
-        body, (msgs_full, scores_full, scatter_total),
+    acc0 = scatter_perm if bp_cfg is not None else scatter_total
+    (msgs_full, scores_full, acc), ovs = jax.lax.scan(
+        body, (msgs_full, scores_full, acc0),
         (chunks, n_valids, offs),
     )
+    if bp_cfg is not None:
+        scatter_total = grid_from_perm(acc, bp_cfg)
+    else:
+        scatter_total = acc
     return msgs_full, scores_full, scatter_total, ovs.sum()
 
 
@@ -559,8 +587,13 @@ def raynet_image_depth(
     :func:`raynet_image_update`). Returns (nb, batch) depths."""
     cols = msgs_full.shape[1]
     offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+    if bp_cfg is not None:
+        from .pallas.bp_beam import bp_beam_depth_step_perm, grid_to_perm
 
-    def body(_, xs):
+        grid_perm = grid_to_perm(grid_acc, bp_cfg)
+        scratch0 = jnp.zeros_like(grid_perm)  # dead aliased buffer
+
+    def body(carry, xs):
         chunk, off = xs
         msg_block = jax.lax.dynamic_slice(
             msgs_full, (off, 0), (batch, cols)
@@ -571,12 +604,24 @@ def raynet_image_depth(
                 scores_full, (off, 0), (batch, depth_planes)
             )
         if bp_cfg is not None:
-            depth, bad = raynet_beam_depth_step(
-                chunk, features, P, P_pinv, camera_center, bbox,
-                msg_block, grid_acc, height, width, padding,
-                depth_planes, bp_cfg, band_specs=band_specs,
-                S_planes=S_in, strict_bands=True,
+            ray_start, ray_end = _segments(
+                chunk, P_pinv, camera_center, bbox, height
             )
+            bad = jnp.float32(0.0)
+            if S_in is None:
+                points = sample_points_along_segments(
+                    ray_start, ray_end, depth_planes
+                )
+                S_in, bad = _similarities(
+                    features, P, points, padding, height, width,
+                    band_specs, strict=True,
+                )
+            valid = jnp.ones((batch,), jnp.int32)
+            depth, carry, overflow = bp_beam_depth_step_perm(
+                ray_start, ray_end, valid, S_in, msg_block, grid_perm,
+                carry, camera_center, bbox, bp_cfg,
+            )
+            bad = bad + overflow
         else:
             _, depth, bad = raynet_depth_step(
                 chunk, features, P, P_pinv, camera_center, bbox,
@@ -585,9 +630,10 @@ def raynet_image_depth(
                 use_pallas=use_pallas, band_specs=band_specs,
                 tile_ordered=True, S_planes=S_in, strict_bands=True,
             )
-        return 0, (depth, bad)
+        return carry, (depth, bad)
 
-    _, (depths, bads) = jax.lax.scan(body, 0, (chunks, offs))
+    carry0 = scratch0 if bp_cfg is not None else 0
+    _, (depths, bads) = jax.lax.scan(body, carry0, (chunks, offs))
     return depths, bads.sum()
 
 

@@ -821,6 +821,49 @@ def _grid_from_perm(grid_perm, cfg, pads):
     return g.transpose(inv).reshape(-1)
 
 
+def grid_pads(cfg):
+    """Padded lateral extents of the PERM-layout grid (see _prep_inputs)."""
+    ap = -(-(cfg.A + cfg.BA) // 8) * 8
+    bgp = cfg.Bg + cfg.nstripe
+    return ap, bgp
+
+
+def bp_beam_message_step_perm(
+    ray_start, ray_end, valid, S_planes, messages_slot, grid_perm,
+    scatter_perm, camera_center, bbox, cfg, first_iteration=False,
+    interpret=False,
+):
+    """Like :func:`bp_beam_message_step` but the grids stay in the
+    kernel's PERM layout: ``grid_perm`` is the read-only accumulator
+    (from :func:`grid_to_perm`) and ``scatter_perm`` is accumulated IN
+    PLACE via the kernel's aliased RMW scatter — callers scanning over
+    many batches convert layouts once per image instead of per batch.
+
+    Returns (new_messages_slot (N, SLOTS), scatter_perm, overflow).
+    """
+    seg, sp, msgs, origins, _ = _prep_inputs(
+        ray_start, ray_end, valid, S_planes, messages_slot,
+        camera_center, bbox, cfg,
+    )
+    out_msgs, grid_out, misc = bp_beam_call(
+        seg, sp, msgs, grid_perm, scatter_perm, origins, cfg,
+        first_iteration=first_iteration, depth_mode=False,
+        interpret=interpret,
+    )
+    n = ray_start.shape[0]
+    new_msgs = out_msgs.transpose(0, 2, 1).reshape(n, cfg.slots)
+    overflow = misc[:, 0].sum()
+    return new_msgs, grid_out, overflow
+
+
+def grid_to_perm(grid_flat, cfg):
+    return _grid_to_perm(grid_flat, cfg, grid_pads(cfg))
+
+
+def grid_from_perm(grid_perm, cfg):
+    return _grid_from_perm(grid_perm, cfg, grid_pads(cfg))
+
+
 def bp_beam_message_step(
     ray_start, ray_end, valid, S_planes, messages_slot, grid_acc_flat,
     camera_center, bbox, cfg, first_iteration=False, interpret=False,
@@ -846,6 +889,28 @@ def bp_beam_message_step(
     scatter = _grid_from_perm(grid_out, cfg, pads)
     overflow = misc[:, 0].sum()
     return new_msgs, scatter, overflow
+
+
+def bp_beam_depth_step_perm(
+    ray_start, ray_end, valid, S_planes, messages_slot, grid_perm,
+    scratch_perm, camera_center, bbox, cfg, interpret=False,
+):
+    """PERM-layout final depth sweep (see bp_beam_message_step_perm).
+    ``scratch_perm`` is a dead aliased buffer threaded through scans
+    (depth mode never writes the scatter output).
+
+    Returns (depth (N,), scratch_perm, overflow)."""
+    seg, sp, msgs, origins, _ = _prep_inputs(
+        ray_start, ray_end, valid, S_planes, messages_slot,
+        camera_center, bbox, cfg,
+    )
+    _, scratch_out, misc = bp_beam_call(
+        seg, sp, msgs, grid_perm, scratch_perm, origins, cfg,
+        first_iteration=False, depth_mode=True, interpret=interpret,
+    )
+    depth = misc[:, 1].reshape(-1)
+    overflow = misc[:, 0].sum()
+    return depth, scratch_out, overflow
 
 
 def bp_beam_depth_step(
