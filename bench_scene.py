@@ -21,6 +21,7 @@ import numpy as np
 def run_scene_benchmark(
     images=4, height=180, width=320, depth_planes=32,
     grid=(128, 128, 64), max_voxels=384, rays_batch=65536, focal=400.0,
+    filter_rays=False,
 ):
     """Build a synthetic ring scene and reconstruct it through the REAL
     orchestration path (RayNetForwardPass). Returns the metrics dict."""
@@ -82,6 +83,14 @@ def run_scene_benchmark(
         '  <bbox minx="-3" miny="-3" minz="-3" maxx="3" maxy="3" maxz="3"/>\n'
         "</info>\n"
     )
+    if filter_rays:
+        # GT quad at z=0 covering the bbox footprint: like DTU's
+        # ObsMask/GT filter, only rays with ground truth are predicted
+        open(root + "/gt_mesh.obj", "w").write(
+            "v -3 -3 0\nv 3 -3 0\nv 3 3 0\nv -3 3 0\n"
+            "vn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\n"
+            "f 1//1 2//2 3//3\nf 1//1 3//3 4//4\n"
+        )
 
     scene = RestrepoScene(root)
     gp = GenerationParameters(
@@ -96,7 +105,7 @@ def run_scene_benchmark(
     model = FeatureExtractor("simple_cnn", output_dtype=jnp.bfloat16)
     fp = get_forward_pass_factory("raynet")(
         model, gp, get_sampling_scheme("sample_in_bbox")(gp),
-        scene.image_shape, args.rays_batch,
+        scene.image_shape, args.rays_batch, filter_out_rays=filter_rays,
     )
 
     # warmup (compiles) over the SAME image range: the scene-level plan
@@ -110,19 +119,31 @@ def run_scene_benchmark(
         maps = list(fp.forward_pass(scene, (0, args.images, 1)))
         elapsed = min(elapsed, time.perf_counter() - t0)
 
-    rays = args.images * h * w
+    rays_full = args.images * h * w
+    valid = (
+        sum(
+            len(fp.get_valid_rays_per_image(scene, i))
+            for i in range(args.images)
+        )
+        if filter_rays
+        else rays_full
+    )
     sweeps = 4  # 3 BP iterations + depth sweep
     dtu_rays = 49 * 1600 * 1200
-    est_dtu = elapsed / rays * dtu_rays
+    # with filtering: "a DTU scene whose GT mask keeps the same fraction"
+    est_dtu = elapsed / rays_full * dtu_rays
 
     print("phase totals:", fp.timer.summary(), file=sys.stderr)
     assert all(np.isfinite(m).all() for m in maps)
     return {
         "metric": "raynet_scene_seconds",
         "images": args.images,
-        "rays": rays,
+        "rays": valid,
+        "valid_fraction": round(valid / rays_full, 3),
         "value": round(elapsed, 2),
-        "rays_per_second_full_pipeline": round(rays * sweeps / elapsed, 1),
+        "rays_per_second_full_pipeline": round(
+            valid * sweeps / elapsed, 1
+        ),
         "extrapolated_full_dtu_seconds": round(est_dtu, 1),
     }
 
@@ -140,10 +161,12 @@ def main():
     # DTU cameras are ~2.2x the image width in focal length; the default
     # 400 keeps historical comparability of the 180x320 tracking number
     p.add_argument("--focal", type=float, default=400.0)
+    p.add_argument("--filter", action="store_true",
+                   help="GT-mask the rays (DTU filter_out_rays analog)")
     a = p.parse_args()
     print(json.dumps(run_scene_benchmark(
         a.images, a.height, a.width, a.depth_planes, tuple(a.grid),
-        a.max_voxels, a.rays_batch, a.focal,
+        a.max_voxels, a.rays_batch, a.focal, a.filter,
     )))
 
 

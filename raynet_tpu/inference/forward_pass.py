@@ -105,10 +105,12 @@ class ForwardPass:
         self._band_cache = {}
         self.timer = PhaseTimer(verbose=False)
 
-    def _band_specs(self, scene, ref_idx, features):
+    def _band_specs(self, scene, ref_idx, features, ray_idxs=None):
         """Static epipolar-band boxes for the banded plane-sweep kernel
         (None -> XLA gather path). Planned once per reference view on the
-        host; bucketed so nearby views reuse one compiled kernel."""
+        host; bucketed so nearby views reuse one compiled kernel. With
+        ``filter_out_rays`` the plan walks the ACTUAL filtered blocks
+        (they can span several pixel tiles)."""
         if (
             not _use_pallas()
             or self.rays_batch % 128 != 0
@@ -125,6 +127,7 @@ class ForwardPass:
                 P, P_pinv, center,
                 jnp.asarray(scene.bbox.reshape(-1), dtype=jnp.float32),
                 H, W, gp.padding, gp.depth_planes,
+                ray_idxs=ray_idxs if self._filter_out_rays else None,
             )
         return self._band_cache[ref_idx]
 
@@ -134,7 +137,10 @@ class ForwardPass:
         specs = {}
         for i in ref_indices:
             features_i, *_ = self._features_and_cameras(scene, i)
-            specs[i] = self._band_specs(scene, i, features_i)
+            specs[i] = self._band_specs(
+                scene, i, features_i,
+                ray_idxs=self.get_valid_rays_per_image(scene, i),
+            )
         return _coalesce_band_specs(specs)
 
     # -- depth-map converters (parity: forward_pass.py:51-139) ----------
@@ -192,6 +198,39 @@ class ForwardPass:
             G = scene.get_depth_map(i)
             idxs = grid[G != 0].ravel()
         return self._tile_sort(idxs, H)
+
+    @staticmethod
+    def _pad_tile_runs(idxs, height):
+        """Pad a filtered, tile-sorted ray list at tile DISCONTINUITIES so
+        every 128-ray kernel block stays spatially tight (a GT mask makes
+        consecutive kept rays jump across the image at run boundaries,
+        which blows the static band/beam boxes). Pad entries duplicate
+        the preceding ray's geometry but are encoded as ``-(ray+1)`` so
+        the kernels mask them out of every scatter — a plain duplicate
+        would be double-counted (the round-1 padded-scatter bug)."""
+        from ..ops.pallas.planesweep import TILE_W, TILE_H
+
+        x = idxs // height
+        y = idxs % height
+        tile = (x // TILE_W) * ((height + TILE_H - 1) // TILE_H) + (
+            y // TILE_H
+        )
+        breaks = np.nonzero(np.diff(tile) > 1)[0]
+        if len(breaks) == 0:
+            return idxs
+        out = []
+        total = 0
+        start = 0
+        for b in list(breaks) + [len(idxs) - 1]:
+            seg = idxs[start : b + 1]
+            out.append(seg)
+            total += len(seg)
+            pad = (-total) % 128
+            if pad:
+                out.append(np.full(pad, -int(seg[-1]) - 1, np.int32))
+                total += pad
+            start = b + 1
+        return np.concatenate(out).astype(np.int32)
 
     def _tile_sort(self, idxs, height):
         """Pre-sort rays by pixel tile so the banded plane-sweep kernel's
@@ -568,6 +607,17 @@ class RayNetForwardPass(ForwardPass):
             i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
         }
         sharded = self._sharded_steps(H, W, gp, grid_shape, M)
+        if (
+            self._filter_out_rays
+            and sharded is None
+            and _use_pallas()
+            and self.rays_batch % 128 == 0
+        ):
+            # keep kernel blocks spatially tight across GT-mask gaps
+            ray_idxs_per_image = {
+                i: self._pad_tile_runs(v, H)
+                for i, v in ray_idxs_per_image.items()
+            }
         # Per-image BP beam plans (the fused Pallas sweep); images the
         # planner rejects keep the XLA path. Beam messages live in the
         # kernel's slot layout, so the per-image column count differs.
@@ -581,7 +631,9 @@ class RayNetForwardPass(ForwardPass):
                 scene, i, ray_idxs=ray_idxs_per_image[i],
                 shards=(sharded["n_dev"] if sharded is not None else 1),
             )
-            band_specs[i] = self._band_specs(scene, i, features_i)
+            band_specs[i] = self._band_specs(
+                scene, i, features_i, ray_idxs=ray_idxs_per_image[i]
+            )
         bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
         band_specs = _coalesce_band_specs(band_specs)
         cols_per_image = {
@@ -824,7 +876,8 @@ class RayNetForwardPass(ForwardPass):
                             "banded plane-sweep boxes overflowed in the "
                             "depth sweep of image %d" % (ref_idx,)
                         )
-                    depth_map[ray_idxs] = flat[: len(ray_idxs)]
+                    keep = ray_idxs >= 0  # drop tile-run pad entries
+                    depth_map[ray_idxs[keep]] = flat[: len(ray_idxs)][keep]
                     yield depth_map.reshape(W, H).T
                     continue
                 for off, n_valid, chunk in batches_per_image[ref_idx]:
@@ -861,9 +914,9 @@ class RayNetForwardPass(ForwardPass):
                             band_specs=band_specs[ref_idx],
                             tile_ordered=True,
                         )
-                    depth_map[ray_idxs[off : off + n_valid]] = np.asarray(
-                        depth
-                    )[:n_valid]
+                    sl = ray_idxs[off : off + n_valid]
+                    keep = sl >= 0  # drop tile-run pad entries
+                    depth_map[sl[keep]] = np.asarray(depth)[:n_valid][keep]
                 yield depth_map.reshape(W, H).T
         finally:
             self._cleanup_messages(messages)

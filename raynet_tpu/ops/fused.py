@@ -274,6 +274,9 @@ def raynet_message_step(
     the incoming messages are zero, so the specialized first sweep skips the
     42M-element grid gather entirely (ops/mrf.bp_update_first).
     """
+    # pad rays arrive as -(ray+1): duplicate geometry, masked from scatters
+    pad_rows = ray_idxs < 0
+    ray_idxs = jnp.where(pad_rows, -ray_idxs - 1, ray_idxs)
     reorder = band_specs is not None and not tile_ordered
     if reorder:
         from .pallas.planesweep import tile_order
@@ -281,11 +284,12 @@ def raynet_message_step(
         perm, inv = tile_order(ray_idxs, height)
         ray_idxs = ray_idxs[perm]
         messages_pon = messages_pon[perm]
+        pad_rows = pad_rows[perm]
         if S_planes is not None:
             S_planes = S_planes[perm]
-        valid = perm < n_valid
+        valid = (perm < n_valid) & ~pad_rows
     else:
-        valid = jnp.arange(ray_idxs.shape[0]) < n_valid
+        valid = (jnp.arange(ray_idxs.shape[0]) < n_valid) & ~pad_rows
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
@@ -374,6 +378,8 @@ def raynet_beam_message_step(
     """
     from .pallas.bp_beam import bp_beam_message_step
 
+    pad_rows = ray_idxs < 0
+    ray_idxs = jnp.where(pad_rows, -ray_idxs - 1, ray_idxs)
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
@@ -391,7 +397,9 @@ def raynet_beam_message_step(
             S_planes = _similarities(
                 features, P, points, padding, height, width, band_specs
             )
-    valid = (jnp.arange(ray_idxs.shape[0]) < n_valid).astype(jnp.int32)
+    valid = (
+        (jnp.arange(ray_idxs.shape[0]) < n_valid) & ~pad_rows
+    ).astype(jnp.int32)
     new_msgs, scatter, overflow = bp_beam_message_step(
         ray_start, ray_end, valid, S_planes, messages_slot,
         grid_acc_flat, camera_center, bbox, bp_cfg,
@@ -431,6 +439,7 @@ def raynet_beam_depth_step(
     Returns (depth (N,), overflow scalar)."""
     from .pallas.bp_beam import bp_beam_depth_step
 
+    ray_idxs = jnp.where(ray_idxs < 0, -ray_idxs - 1, ray_idxs)
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
@@ -516,6 +525,8 @@ def raynet_image_update(
         # lax.cond keeps both branches' buffers alive inside the scan);
         # a band overflow rides the planner-invariant error path instead.
         if bp_cfg is not None:
+            pad_rows = chunk < 0
+            chunk = jnp.where(pad_rows, -chunk - 1, chunk)
             ray_start, ray_end = _segments(
                 chunk, P_pinv, camera_center, bbox, height
             )
@@ -528,7 +539,9 @@ def raynet_image_update(
                     features, P, points, padding, height, width,
                     band_specs, strict=True,
                 )
-            valid = (jnp.arange(batch) < n_valid).astype(jnp.int32)
+            valid = (
+                (jnp.arange(batch) < n_valid) & ~pad_rows
+            ).astype(jnp.int32)
             new_msgs, acc, overflow = bp_beam_message_step_perm(
                 ray_start, ray_end, valid, S_in, msg_block, grid_perm,
                 acc, camera_center, bbox, bp_cfg,
@@ -604,6 +617,7 @@ def raynet_image_depth(
                 scores_full, (off, 0), (batch, depth_planes)
             )
         if bp_cfg is not None:
+            chunk = jnp.where(chunk < 0, -chunk - 1, chunk)
             ray_start, ray_end = _segments(
                 chunk, P_pinv, camera_center, bbox, height
             )
@@ -678,6 +692,7 @@ def raynet_depth_step(
     Returns (S_new (N, M), depth (N,)); with ``strict_bands`` a third
     element flags a banded-kernel box overflow (see _similarities).
     """
+    ray_idxs = jnp.where(ray_idxs < 0, -ray_idxs - 1, ray_idxs)
     reorder = band_specs is not None and not tile_ordered
     if reorder:
         from .pallas.planesweep import tile_order

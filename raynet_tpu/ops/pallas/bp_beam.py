@@ -111,6 +111,8 @@ def plan_bp_config(
     n = height * width
     if ray_idxs is not None:
         keep_idxs = np.asarray(ray_idxs, np.int32)
+        # negative-encoded pad entries duplicate the preceding ray
+        keep_idxs = np.where(keep_idxs < 0, -keep_idxs - 1, keep_idxs)
         if len(keep_idxs) == 0:
             return None
         pad = (-len(keep_idxs)) % rays

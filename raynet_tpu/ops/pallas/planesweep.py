@@ -61,6 +61,7 @@ def _kernel(
     bands = scratch[:n_views]
     sumf_scr, sumsq_scr = scratch[n_views], scratch[n_views + 1]
     sems = scratch[n_views + 2]
+    out_scr, out_sem = scratch[n_views + 3], scratch[n_views + 4]
 
     # Kick off all band DMAs up front; they overlap with compute.
     copies = []
@@ -121,7 +122,13 @@ def _kernel(
         (sumf * sumf).sum(axis=0, keepdims=True)
         - sumsq_scr[:].sum(axis=0, keepdims=True)
     )  # (1, T)
-    out_ref[0] = pair
+    # DMA the result out of a scratch row: with a VMEM out_spec XLA may
+    # place the WHOLE (NB, 1, T) result in scoped VMEM (8.4 MB at 65k
+    # rays), blowing the 16 MB scoped limit on top of the band boxes.
+    out_scr[:] = pair
+    cp = pltpu.make_async_copy(out_scr, out_ref.at[b], out_sem)
+    cp.start()
+    cp.wait()
 
 
 @functools.partial(
@@ -153,9 +160,7 @@ def _banded_pair_sums(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # f00 (full)
             pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, T), lambda b, _: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((bh, bwg, 128), jnp.bfloat16) for bh, bwg in box_specs
         ]
@@ -163,6 +168,8 @@ def _banded_pair_sums(
             pltpu.VMEM((32, T), jnp.float32),
             pltpu.VMEM((32, T), jnp.float32),
             pltpu.SemaphoreType.DMA((n_views,)),
+            pltpu.VMEM((1, T), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
 
@@ -244,7 +251,7 @@ def _bucket(x, ladder):
 
 def plan_band_specs(
     P, P_pinv, camera_center, bbox, height, width, padding, depth_planes,
-    chunk_tiles=512, pad=4,
+    chunk_tiles=512, pad=4, ray_idxs=None,
 ):
     """Host-side band planning for one reference view set.
 
@@ -253,6 +260,10 @@ def plan_band_specs(
     (plus margin). Exactness matters: the strict-band callers abort on a
     box overflow instead of falling back, so a sampled plan that misses
     the widest tile is a runtime error, not a slowdown.
+
+    ``ray_idxs``: plan for THIS tile-sorted ray list (a GT-masked subset
+    from ``filter_out_rays``) — filtered 128-ray blocks can span several
+    pixel tiles, so full-image tile planning under-covers them.
     """
     from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
     from ..sampling import sample_points_along_segments
@@ -260,9 +271,14 @@ def plan_band_specs(
 
     n = height * width
     idxs = jnp.arange(n, dtype=jnp.int32)
-    perm, _ = tile_order(idxs, height)
-    if n % RAYS_PER_BLOCK:  # pad the planning list to whole blocks
-        tail = RAYS_PER_BLOCK - n % RAYS_PER_BLOCK
+    if ray_idxs is not None:
+        arr = np.asarray(ray_idxs, np.int32)
+        # negative-encoded pad entries duplicate the preceding ray
+        perm = jnp.asarray(np.where(arr < 0, -arr - 1, arr))
+    else:
+        perm, _ = tile_order(idxs, height)
+    if perm.shape[0] % RAYS_PER_BLOCK:  # pad to whole blocks
+        tail = RAYS_PER_BLOCK - perm.shape[0] % RAYS_PER_BLOCK
         perm = jnp.concatenate([perm, jnp.repeat(perm[-1:], tail)])
     n_tiles = perm.shape[0] // RAYS_PER_BLOCK
     perm = np.asarray(perm)
