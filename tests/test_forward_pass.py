@@ -143,6 +143,90 @@ def test_raynet_cached_scores_match(setup):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_negative_encoded_pad_rays_masked(setup):
+    """Tile-run pad entries (-(ray+1)) must contribute NOTHING to the BP
+    scatter and produce zero messages — a plain duplicate ray would be
+    double-counted (the round-1 padded-scatter bug class)."""
+    import jax.numpy as jnp
+    from raynet_tpu.ops import fused
+
+    scene, gp, model, scheme = setup
+    im = scene.get_image(0)
+    feats = model.predict(
+        np.zeros((5, H + 2 * gp.padding, W + 2 * gp.padding, 3), np.float32)
+    )
+    P = jnp.asarray(np.stack([im.camera.P] * 5), jnp.float32)
+    P_pinv = jnp.asarray(im.camera.P_pinv, jnp.float32)
+    center = jnp.asarray(im.camera.center[:3, 0], jnp.float32)
+    bbox = jnp.asarray(scene.bbox.reshape(-1), jnp.float32)
+    grid_shape = (16, 16, 16)
+    m = 32
+    g = int(np.prod(grid_shape))
+    n = 256
+
+    base = np.arange(n, dtype=np.int32)
+    msgs = jnp.zeros((n, m), jnp.float32)
+    acc = jnp.full((g,), -3.0, jnp.float32)
+
+    # reference: half the rays valid via n_valid
+    ref_msgs, ref_scatter, _ = fused.raynet_message_step(
+        jnp.asarray(base), feats, P, P_pinv, center, bbox, msgs, acc,
+        jnp.int32(128), H, W, gp.padding, gp.depth_planes, grid_shape, m,
+    )
+    # same rays, but rows 128.. are negative-encoded pads (all "valid"
+    # by count): scatter and messages must match the n_valid reference
+    enc = base.copy()
+    enc[128:] = -enc[128:] - 1
+    out_msgs, out_scatter, _ = fused.raynet_message_step(
+        jnp.asarray(enc), feats, P, P_pinv, center, bbox, msgs, acc,
+        jnp.int32(n), H, W, gp.padding, gp.depth_planes, grid_shape, m,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scatter), np.asarray(ref_scatter),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_msgs), np.asarray(ref_msgs), rtol=1e-6, atol=1e-7
+    )
+    assert np.all(np.asarray(out_msgs)[128:] == 0)
+
+
+def test_pad_tile_runs_blocks_tight(setup):
+    """_pad_tile_runs: every 128-block of the padded list touches only
+    adjacent tiles, pads decode to the preceding ray, inflation is small."""
+    from raynet_tpu.inference.forward_pass import ForwardPass
+    from raynet_tpu.ops.pallas.planesweep import TILE_W, TILE_H
+
+    h = 64
+    rng = np.random.RandomState(0)
+    idxs = np.arange(h * 96, dtype=np.int32)
+    # synthetic mask with a hole -> tile discontinuities
+    x = idxs // h
+    y = idxs % h
+    keep = ~((x > 30) & (x < 60) & (y > 10) & (y < 50))
+    kept = idxs[keep]
+    # tile-sort
+    tile = (x[kept] // TILE_W) * ((h + TILE_H - 1) // TILE_H) + (
+        y[kept] // TILE_H
+    )
+    kept = kept[np.argsort(tile, kind="stable")]
+
+    padded = ForwardPass._pad_tile_runs(kept, h)
+    assert len(padded) < len(kept) * 1.35, "pad inflation too large"
+    dec = np.where(padded < 0, -padded - 1, padded)
+    # valid entries preserved in order
+    np.testing.assert_array_equal(dec[padded >= 0], kept)
+    # per 128-block: decoded rays walk CONSECUTIVE tiles (no gaps — a
+    # gap is exactly what blows the static band/beam boxes)
+    nb = len(padded) // 128
+    for b in range(nb):
+        blk = dec[b * 128 : (b + 1) * 128]
+        t = (blk // h // TILE_W) * ((h + TILE_H - 1) // TILE_H) + (
+            blk % h
+        ) // TILE_H
+        assert np.all(np.diff(t) <= 1), (b, t.min(), t.max())
+
+
 def test_filter_out_rays(setup, mock_scene_dir):
     """filter_out_rays restricts prediction to nonzero-GT pixels."""
     scene, gp, model, scheme = setup
