@@ -208,13 +208,9 @@ class ForwardPass:
         the preceding ray's geometry but are encoded as ``-(ray+1)`` so
         the kernels mask them out of every scatter — a plain duplicate
         would be double-counted (the round-1 padded-scatter bug)."""
-        from ..ops.pallas.planesweep import TILE_W, TILE_H
+        from ..ops.pallas.planesweep import tile_ids
 
-        x = idxs // height
-        y = idxs % height
-        tile = (x // TILE_W) * ((height + TILE_H - 1) // TILE_H) + (
-            y // TILE_H
-        )
+        tile = tile_ids(idxs, height)
         breaks = np.nonzero(np.diff(tile) > 1)[0]
         if len(breaks) == 0:
             return idxs
@@ -240,14 +236,9 @@ class ForwardPass:
         so any fixed order is fine."""
         if not _use_pallas() or self.rays_batch % 128 != 0:
             return idxs
-        from ..ops.pallas.planesweep import TILE_W, TILE_H
+        from ..ops.pallas.planesweep import tile_ids
 
-        x = idxs // height
-        y = idxs % height
-        tile = (x // TILE_W) * ((height + TILE_H - 1) // TILE_H) + (
-            y // TILE_H
-        )
-        return idxs[np.argsort(tile, kind="stable")]
+        return idxs[np.argsort(tile_ids(idxs, height), kind="stable")]
 
     def _features_and_cameras(self, scene, ref_idx):
         """CNN features + camera tensors for a reference view set, cached."""
@@ -312,7 +303,9 @@ class ForwardPass:
         b = self.rays_batch
         n = len(ray_idxs)
         nb = max(1, -(-n // b))
-        padded = np.full(nb * b, ray_idxs[-1], np.int32)
+        # an image with no valid rays still gets one fully-masked batch
+        fill = ray_idxs[-1] if n else 0
+        padded = np.full(nb * b, fill, np.int32)
         padded[:n] = ray_idxs
         n_valids = np.minimum(b, n - np.arange(nb) * b).astype(np.int32)
         return (
@@ -528,9 +521,12 @@ class RayNetForwardPass(ForwardPass):
                             extra_cols=0):
         """True when the scene's per-image state (messages + optionally the
         cached plane scores, ``extra_cols`` more columns per ray) fits the
-        device budget."""
+        device budget. Rows are counted PADDED to whole batches — that is
+        what the device-fast path allocates."""
+        b = self.rays_batch
         total = sum(
-            len(ray_idxs_per_image[i]) * (cols_per_image[i] + extra_cols) * 4
+            (-(-max(len(ray_idxs_per_image[i]), 1) // b) * b)
+            * (cols_per_image[i] + extra_cols) * 4
             for i in cols_per_image
         )
         return _use_pallas() and total <= self.messages_device_budget
@@ -788,7 +784,13 @@ class RayNetForwardPass(ForwardPass):
                                     bbox, msg_in, grid_acc,
                                     jnp.int32(n_valid),
                                 )
-                                overflows.append(ov.max())
+                                # ov is the per-shard count broadcast over
+                                # that shard's rows: one element per shard
+                                overflows.append(
+                                    ov.reshape(
+                                        sharded["n_dev"], -1
+                                    )[:, 0].sum()
+                                )
                             elif sharded is not None:
                                 step = sharded[
                                     "first" if iteration == 0 else "rest"

@@ -465,6 +465,29 @@ def raynet_beam_depth_step(
     return depth, overflow + bad
 
 
+def _strict_front(chunk, features, P, P_pinv, camera_center, bbox, S_in,
+                  height, width, padding, depth_planes, band_specs):
+    """Shared front half of the per-image scan bodies: decode -(ray+1)
+    pad entries, compute ray segments, and (when not cached) the strict
+    banded plane scores. Returns (ray_start, ray_end, pad_rows, S, bad).
+    """
+    pad_rows = chunk < 0
+    chunk = jnp.where(pad_rows, -chunk - 1, chunk)
+    ray_start, ray_end = _segments(
+        chunk, P_pinv, camera_center, bbox, height
+    )
+    bad = jnp.float32(0.0)
+    if S_in is None:
+        points = sample_points_along_segments(
+            ray_start, ray_end, depth_planes
+        )
+        S_in, bad = _similarities(
+            features, P, points, padding, height, width, band_specs,
+            strict=True,
+        )
+    return ray_start, ray_end, pad_rows, S_in, bad
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -525,20 +548,10 @@ def raynet_image_update(
         # lax.cond keeps both branches' buffers alive inside the scan);
         # a band overflow rides the planner-invariant error path instead.
         if bp_cfg is not None:
-            pad_rows = chunk < 0
-            chunk = jnp.where(pad_rows, -chunk - 1, chunk)
-            ray_start, ray_end = _segments(
-                chunk, P_pinv, camera_center, bbox, height
+            ray_start, ray_end, pad_rows, S_in, bad = _strict_front(
+                chunk, features, P, P_pinv, camera_center, bbox, S_in,
+                height, width, padding, depth_planes, band_specs,
             )
-            bad = jnp.float32(0.0)
-            if S_in is None:
-                points = sample_points_along_segments(
-                    ray_start, ray_end, depth_planes
-                )
-                S_in, bad = _similarities(
-                    features, P, points, padding, height, width,
-                    band_specs, strict=True,
-                )
             valid = (
                 (jnp.arange(batch) < n_valid) & ~pad_rows
             ).astype(jnp.int32)
@@ -617,19 +630,10 @@ def raynet_image_depth(
                 scores_full, (off, 0), (batch, depth_planes)
             )
         if bp_cfg is not None:
-            chunk = jnp.where(chunk < 0, -chunk - 1, chunk)
-            ray_start, ray_end = _segments(
-                chunk, P_pinv, camera_center, bbox, height
+            ray_start, ray_end, _, S_in, bad = _strict_front(
+                chunk, features, P, P_pinv, camera_center, bbox, S_in,
+                height, width, padding, depth_planes, band_specs,
             )
-            bad = jnp.float32(0.0)
-            if S_in is None:
-                points = sample_points_along_segments(
-                    ray_start, ray_end, depth_planes
-                )
-                S_in, bad = _similarities(
-                    features, P, points, padding, height, width,
-                    band_specs, strict=True,
-                )
             valid = jnp.ones((batch,), jnp.int32)
             depth, carry, overflow = bp_beam_depth_step_perm(
                 ray_start, ray_end, valid, S_in, msg_block, grid_perm,

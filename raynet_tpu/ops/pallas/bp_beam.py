@@ -214,14 +214,17 @@ def plan_bp_config(
 
 
 def _exact_k(s, e, bbox, bins, perm, grid_shape, flip, chunk=16384,
-             slack=1e-6):
+             slack=1e-4):
     """Max DDA emissions in any single dominant slice, counted exactly.
 
     Mirrors the kernel's march arithmetic (eps nudging, crossing-time
     sequences) in float64 with a conservative +-``slack`` on every slice
-    boundary, so a float32 crossing landing within slack of a boundary is
-    counted in BOTH slices. The runtime overflow guard remains the
-    backstop for anything this over-approximation could still miss.
+    boundary, so a crossing landing near a boundary is counted in BOTH
+    slices. The slack must cover the kernel's float32 SERIALLY
+    ACCUMULATED crossing times (t += t_delta drifts up to ~1e-5 absolute
+    over several hundred steps) — an undercounted K is a hard scene
+    abort in strict mode, not a fallback. The runtime overflow guard
+    remains the backstop.
     """
     bmin = bbox[:3]
     S = grid_shape[perm[0]]

@@ -181,12 +181,18 @@ def _banded_pair_sums(
     )(origins, cellids, f00, feats_packed)
 
 
-def tile_order(ray_idxs, height, tile_w=TILE_W, tile_h=TILE_H):
-    """Permutation putting rays into pixel-tile order (column-major pixel
-    convention: x = r // H, y = r % H). Returns (perm, inv_perm)."""
+def tile_ids(ray_idxs, height, tile_w=TILE_W, tile_h=TILE_H):
+    """Pixel-tile id per ray (column-major pixel convention: x = r // H,
+    y = r % H). Works on numpy and jax arrays."""
     x = ray_idxs // height
     y = ray_idxs % height
-    tile = (x // tile_w) * ((height + tile_h - 1) // tile_h) + y // tile_h
+    return (x // tile_w) * ((height + tile_h - 1) // tile_h) + y // tile_h
+
+
+def tile_order(ray_idxs, height, tile_w=TILE_W, tile_h=TILE_H):
+    """Permutation putting rays into pixel-tile order.
+    Returns (perm, inv_perm)."""
+    tile = tile_ids(ray_idxs, height, tile_w, tile_h)
     perm = jnp.argsort(tile, stable=True)
     inv = jnp.argsort(perm, stable=True)
     return perm, inv
@@ -273,6 +279,8 @@ def plan_band_specs(
     idxs = jnp.arange(n, dtype=jnp.int32)
     if ray_idxs is not None:
         arr = np.asarray(ray_idxs, np.int32)
+        if len(arr) == 0:  # image with no valid rays: no banded kernel
+            return None
         # negative-encoded pad entries duplicate the preceding ray
         perm = jnp.asarray(np.where(arr < 0, -arr - 1, arr))
     else:

@@ -227,6 +227,29 @@ def test_pad_tile_runs_blocks_tight(setup):
         assert np.all(np.diff(t) <= 1), (b, t.min(), t.max())
 
 
+def test_filter_with_empty_gt_image(setup, monkeypatch):
+    """An image whose GT depth map is all zero has NO valid rays under
+    filter_out_rays; the forward pass must yield an all-zero map for it
+    (and not crash in batch/band planning — review finding r2)."""
+    scene, gp, model, scheme = setup
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, 700, filter_out_rays=True
+    )
+    fp._messages_on_device = lambda *a, **k: True  # force device path
+    orig = scene.get_depth_map
+
+    def fake(i):
+        if i == 1:
+            return np.zeros(scene.image_shape, np.float32)
+        return orig(i)
+
+    monkeypatch.setattr(scene, "get_depth_map", fake)
+    maps = list(fp.forward_pass(scene, (0, 2, 1)))
+    assert np.all(maps[1] == 0)
+    assert np.isfinite(maps[0]).all()
+    assert (maps[0] > 0).any()
+
+
 def test_filter_out_rays(setup, mock_scene_dir):
     """filter_out_rays restricts prediction to nonzero-GT pixels."""
     scene, gp, model, scheme = setup
