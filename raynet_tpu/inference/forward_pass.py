@@ -410,8 +410,10 @@ class RayNetForwardPass(ForwardPass):
     # capability the single-GPU reference lacks); "off": single device.
     multichip = "auto"
     # "auto": use the fused BP beam kernel when the per-image geometry
-    # admits it (26x the XLA sweep on v5e); "off": XLA BP path.
+    # admits it (82x the XLA sweep on v5e); "off": XLA BP path.
     bp_beam = "auto"
+    # Tests force the host-staged (upload/scan/download) path on CPU.
+    force_host_staging = False
 
     def _bp_cfg(self, scene, ref_idx, ray_idxs=None, shards=1):
         """Plan (and cache) the BP beam kernel config for a reference view;
@@ -675,8 +677,19 @@ class RayNetForwardPass(ForwardPass):
         # with chunks pre-committed once. Fast-path stores are PADDED to
         # whole batches so every scan slice is full-size.
         device_fast = msgs_on_device and sharded is None
+        # When the scene's message set exceeds the device budget, STAGE
+        # each image's store through the device per (image, sweep): one
+        # upload + one download (in messages_dtype, f16 halves the bytes)
+        # bracketing the same single-dispatch scan — instead of per-batch
+        # host round trips. This is the full-DTU single-chip story: the
+        # store streams sequentially, 2 transfers per image-sweep.
+        host_staged = (
+            not msgs_on_device
+            and sharded is None
+            and (_use_pallas() or self.force_host_staging)
+        )
         b = self.rays_batch
-        if device_fast:
+        if device_fast or host_staged:
             stacked = {
                 i: self._stacked_batches(ray_idxs_per_image[i])
                 for i in ref_indices
@@ -732,15 +745,20 @@ class RayNetForwardPass(ForwardPass):
                             _dummy_features(features) if use_S
                             else features
                         )
-                        if device_fast:
+                        if device_fast or host_staged:
                             chunks_arr, n_valids = stacked[ref_idx]
+                            msgs_in = (
+                                jax.device_put(messages[ref_idx])
+                                if host_staged
+                                else messages[ref_idx]
+                            )
                             (
-                                messages[ref_idx],
+                                msgs_out,
                                 s_full,
                                 scatter_total,
                                 overflow,
                             ) = fused.raynet_image_update(
-                                messages[ref_idx],
+                                msgs_in,
                                 (
                                     scores[ref_idx]
                                     if cache_scores
@@ -759,6 +777,12 @@ class RayNetForwardPass(ForwardPass):
                                 use_scores=cache_scores,
                                 use_pallas=_use_pallas(),
                             )
+                            if host_staged:
+                                messages[ref_idx][...] = np.asarray(
+                                    msgs_out
+                                )
+                            else:
+                                messages[ref_idx] = msgs_out
                             if cache_scores:
                                 scores[ref_idx] = s_full
                             # beam slot overflows AND banded-box overflows
@@ -858,10 +882,15 @@ class RayNetForwardPass(ForwardPass):
                     _dummy_features(features) if cache_scores
                     else features
                 )
-                if device_fast:
+                if device_fast or host_staged:
                     chunks_arr, _ = stacked[ref_idx]
+                    msgs_in = (
+                        jax.device_put(messages[ref_idx])
+                        if host_staged
+                        else messages[ref_idx]
+                    )
                     depths, bad = fused.raynet_image_depth(
-                        messages[ref_idx],
+                        msgs_in,
                         scores[ref_idx] if cache_scores else score_dummy,
                         grid_acc, chunks_arr, feats_arg, P, P_pinv,
                         center, bbox,

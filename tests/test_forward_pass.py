@@ -227,6 +227,22 @@ def test_pad_tile_runs_blocks_tight(setup):
         assert np.all(np.diff(t) <= 1), (b, t.min(), t.max())
 
 
+def test_host_staged_messages_match(setup):
+    """The host-staged path (per-image upload -> single-dispatch scan ->
+    download, the DTU-scale storage plan) must reproduce the per-batch
+    host path's depth maps."""
+    ref = _run("raynet", setup, rays_batch=700)
+
+    scene, gp, model, scheme = setup
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, 700
+    )
+    fp.force_host_staging = True
+    maps = list(fp.forward_pass(scene, (0, 2, 1)))
+    for a, b in zip(maps, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_filter_with_empty_gt_image(setup, monkeypatch):
     """An image whose GT depth map is all zero has NO valid rays under
     filter_out_rays; the forward pass must yield an all-zero map for it
