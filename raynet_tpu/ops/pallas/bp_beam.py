@@ -190,7 +190,7 @@ def plan_bp_config(
         return (span_a if axis == others[0] else span_b) + 3
 
     ba = span(others[0]) + 8  # origin snapped down to a multiple of 8
-    for bucket in (16, 32, 64, 128):  # powers of two: decode uses shifts
+    for bucket in (16, 24, 32, 48, 64, 96, 128):  # multiples of 8
         if ba <= bucket:
             ba = bucket
             break
@@ -355,7 +355,8 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     ROWS = cfg.rows
     perm = cfg.perm
     bins = cfg.bins
-    ba_shift = BA.bit_length() - 1  # BA is a power of two
+    # BA need not be a power of two: encode with a multiply; the
+    # depth-mode decode recovers the stripe with NS-1 compares.
     b = pl.program_id(0)
     NG = S // 8
 
@@ -426,7 +427,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     def local_cell(c1, c2, a0, bg0):
         la = c1 - a0
         lb = c2 - bg0 * 128
-        cell = (((lb >> 7) << ba_shift) + la) * 128 + (lb & 127)
+        cell = (((lb >> 7) * BA) + la) * 128 + (lb & 127)
         inbox = (la >= 0) & (la < BA) & (lb >= 0) & (lb < NS * 128)
         return jnp.where(inbox, cell, -2)
 
@@ -719,8 +720,10 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     if depth_mode:
         rowpair = best_cell >> 7
         lo = best_cell & 127
-        stripe = rowpair >> ba_shift
-        la = rowpair - (stripe << ba_shift)
+        stripe = jnp.zeros_like(rowpair)
+        for si in range(1, NS):
+            stripe = stripe + (rowpair >= si * BA).astype(jnp.int32)
+        la = rowpair - stripe * BA
         c1 = la + best_a0
         c2 = stripe * 128 + lo + best_bg0 * 128
         w0 = (best_s.astype(jnp.float32) + 0.5) * bins[0]
