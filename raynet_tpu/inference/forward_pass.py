@@ -103,7 +103,20 @@ class ForwardPass:
         self._feature_cache = OrderedDict()
         self.max_cached_view_sets = 12
         self._band_cache = {}
+        self._scene_token = None
         self.timer = PhaseTimer(verbose=False)
+
+    def _check_scene(self, scene):
+        """Reset per-scene caches when this ForwardPass is reused on a
+        DIFFERENT scene (features/cameras/plans are keyed by ref_idx
+        only; stale entries would serve the previous scene's geometry)."""
+        token = id(scene)
+        if token != self._scene_token:
+            self._scene_token = token
+            self._feature_cache.clear()
+            self._band_cache.clear()
+            if hasattr(self, "_bp_cfg_cache"):
+                self._bp_cfg_cache.clear()
 
     def _band_specs(self, scene, ref_idx, features, ray_idxs=None):
         """Static epipolar-band boxes for the banded plane-sweep kernel
@@ -208,10 +221,16 @@ class ForwardPass:
         the preceding ray's geometry but are encoded as ``-(ray+1)`` so
         the kernels mask them out of every scatter — a plain duplicate
         would be double-counted (the round-1 padded-scatter bug)."""
-        from ..ops.pallas.planesweep import tile_ids
+        from ..ops.pallas.planesweep import TILE_W, tile_ids
 
         tile = tile_ids(idxs, height)
-        breaks = np.nonzero(np.diff(tile) > 1)[0]
+        # break on tile-id GAPS and on tile-COLUMN wraps: consecutive ids
+        # can still jump from the bottom of one 16-px column to the top
+        # of the next — a spatial jump of the whole image height
+        col = (idxs // height) // TILE_W
+        breaks = np.nonzero(
+            (np.diff(tile) > 1) | (np.diff(col) != 0)
+        )[0]
         if len(breaks) == 0:
             return idxs
         out = []
@@ -322,6 +341,7 @@ class MultiViewCNNForwardPass(ForwardPass):
 
     def forward_pass(self, scene, images_range):
         assert isinstance(images_range, tuple)
+        self._check_scene(scene)
         start, end, skip = images_range
         H, W = scene.image_shape
         gp = self._generation_params
@@ -590,6 +610,7 @@ class RayNetForwardPass(ForwardPass):
 
     def forward_pass(self, scene, images_range):
         assert isinstance(images_range, tuple)
+        self._check_scene(scene)
         start, end, skip = images_range
         H, W = scene.image_shape
         gp = self._generation_params

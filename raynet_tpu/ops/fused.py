@@ -18,8 +18,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
-from .sampling import sample_points_along_segments
+from .sampling import (
+    sample_points_along_segments,
+    segments_in_bbox as _segments,
+)
 from .similarities import (
     compute_similarities,
     project_to_feature_idx,
@@ -32,11 +34,6 @@ from .ray_marching import (
 )
 from .planes_voxels import planes_to_voxels_mapping
 from . import mrf
-
-
-def _segments(ray_idxs, P_pinv, camera_center, bbox, height):
-    directions = rays_from_pixel_idxs(ray_idxs, P_pinv, camera_center, height)
-    return rays_entry_exit_bbox(directions, camera_center, bbox[:3], bbox[3:])
 
 
 def _similarities(

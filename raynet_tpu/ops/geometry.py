@@ -4,9 +4,11 @@ Conventions (identical to the reference device kernels,
 raynet/cuda_implementations/sampling_schemes.cu):
 
 - Ray indices are COLUMN-MAJOR over the image: ``x = r // H``, ``y = r % H``.
-- The back-projection ``P_pinv @ [x, y, 1]`` is evaluated in float64 before
-  dehomogenization (the reference promotes this one dot product to double,
-  sampling_schemes.cu:15-39); everything downstream is float32.
+- The reference promotes the back-projection ``P_pinv @ [x, y, 1]`` to
+  double (sampling_schemes.cu:15-39). On device it runs in float32 (f64 is
+  emulated and slow on TPU); only the host oracle
+  (``host_rays_entry_exit``) keeps the f64 dot product, so device rays
+  match it to ~1e-6 relative, not bitwise.
 - Near/far of the bbox slab test are swapped by |t| so the segment always
   runs away from the camera (sampling_schemes.cu:80-89).
 """

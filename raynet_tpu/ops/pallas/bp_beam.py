@@ -183,7 +183,7 @@ def plan_bp_config(
     trim = nb * rays
     ngrp = S // 8
     span_a, span_b = _group_spans(
-        s[:trim], e[:trim], bbox, bins, perm, S, ngrp, rays=rays
+        s[:trim], e[:trim], bbox, bins, perm, S, ngrp, rays=rays, flip=flip
     )
 
     def span(axis):
@@ -280,11 +280,17 @@ def _exact_k(s, e, bbox, bins, perm, grid_shape, flip, chunk=16384,
     return best
 
 
-def _group_positions(s, e, bbox, bins, perm, S, ngrp):
+def _group_positions(s, e, bbox, bins, perm, S, ngrp, flip=False):
     """Lateral cell positions of every ray at every group boundary, clamped
-    to the ray's own dominant span. Returns (pa, pb): (N, ngrp+1) arrays."""
+    to the ray's own dominant span. Returns (pa, pb): (N, ngrp+1) arrays.
+    ``flip`` mirrors the dominant coordinate exactly like the runtime
+    (_prep_inputs) — without it, mirrored views see d1 < d0 and the lerp
+    degenerates, crediting the whole lateral travel to one group."""
     d0 = (s[:, perm[0]] - bbox[perm[0]]) / bins[0]
     d1 = (e[:, perm[0]] - bbox[perm[0]]) / bins[0]
+    if flip:
+        d0 = S - d0
+        d1 = S - d1
     with np.errstate(divide="ignore", invalid="ignore"):
         inv = 1.0 / np.maximum(d1 - d0, 1e-9)
     gb = np.arange(ngrp + 1)[None, :] * 8.0  # group boundaries in slices
@@ -299,7 +305,7 @@ def _group_positions(s, e, bbox, bins, perm, S, ngrp):
 
 
 def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,
-                 rays=RAYS):
+                 rays=RAYS, flip=False):
     """Max per-(block, group) lateral spans in cells (planner side).
     Chunked over blocks: exact DTU-scale plans walk ~2M rays and the
     (N, ngrp+1) position arrays would otherwise peak at several GB."""
@@ -316,7 +322,9 @@ def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,
     for b0 in range(0, nb, chunk_blocks):
         nbc = min(chunk_blocks, nb - b0)
         sl = slice(b0 * rays, (b0 + nbc) * rays)
-        pa, pb = _group_positions(s[sl], e[sl], bbox, bins, perm, S, ngrp)
+        pa, pb = _group_positions(
+            s[sl], e[sl], bbox, bins, perm, S, ngrp, flip=flip
+        )
         best_a = max(best_a, span_of(pa, nbc))
         best_b = max(best_b, span_of(pb, nbc))
     return best_a, best_b
@@ -506,6 +514,11 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     sp = sp_ref[0]  # (D, RAYS)
     scale = jnp.float32(D - 1)
 
+    # Pass 1: RAW hat values + their sum. Pass 2: normalize, THEN clip,
+    # then renormalize — matching the XLA chain exactly
+    # (planes_to_voxels normalizes raw hats; mrf.clip_and_renorm clips
+    # the NORMALIZED distribution and renormalizes). Clipping the raw
+    # values diverges up to ~total_raw x on low-probability voxels.
     def hat_chunk(c, total):
         tt = t_scr[_ds8(c * 8, 8)]
         cc = cell_scr[_ds8(c * 8, 8)]
@@ -513,13 +526,28 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         for d in range(D):
             w = jnp.maximum(0.0, 1.0 - jnp.abs(tt * scale - d))
             sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
-        sv = jnp.clip(sv, _CLIP_S, 1.0 - _CLIP_S)
         sv = jnp.where(cc >= 0, sv, 0.0)
         sv_scr[_ds8(c * 8, 8)] = sv
         return total + sv.sum(axis=0, keepdims=True)
 
-    total_sv = jax.lax.fori_loop(
+    total_raw = jax.lax.fori_loop(
         0, cfg.slots // 8, hat_chunk, jnp.zeros((1, RAYS), jnp.float32)
+    )
+    inv_raw = jnp.where(total_raw > 1e-30, 1.0 / total_raw, 0.0)
+
+    def clip_chunk(c, total):
+        cc = cell_scr[_ds8(c * 8, 8)]
+        sv = sv_scr[_ds8(c * 8, 8)]
+        svc = jnp.clip(
+            sv * jnp.broadcast_to(inv_raw, (8, RAYS)),
+            _CLIP_S, 1.0 - _CLIP_S,
+        )
+        svc = jnp.where(cc >= 0, svc, 0.0)
+        sv_scr[_ds8(c * 8, 8)] = svc
+        return total + svc.sum(axis=0, keepdims=True)
+
+    total_sv = jax.lax.fori_loop(
+        0, cfg.slots // 8, clip_chunk, jnp.zeros((1, RAYS), jnp.float32)
     )
     inv_total = jnp.where(
         (total_sv > 1e-30) & (count > 1), 1.0 / total_sv, 0.0

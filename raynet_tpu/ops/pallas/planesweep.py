@@ -276,6 +276,10 @@ def plan_band_specs(
     from ..similarities import project_to_feature_idx
 
     n = height * width
+    # the kernel tiles RAYS_PER_BLOCK*D targets in 512-wide chunks; a
+    # D % 4 != 0 config would silently drop the tail targets
+    if (RAYS_PER_BLOCK * depth_planes) % _T_TILE != 0:
+        return None
     idxs = jnp.arange(n, dtype=jnp.int32)
     if ray_idxs is not None:
         arr = np.asarray(ray_idxs, np.int32)

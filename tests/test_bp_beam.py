@@ -60,8 +60,18 @@ def geo():
         jnp.asarray(bbox[:3]), jnp.asarray(bbox[3:]),
     )
     pts = sample_points_along_segments(s, e, D)
+    # half benign, half PEAKED rows: near-one-hot plane distributions
+    # drive normalized hat values under the 1e-5 clip, covering the
+    # normalize->clip->renormalize ordering (reviewed parity bug)
+    n_half = (H * W) // 2
     S_planes = jnp.asarray(
-        rng.dirichlet(np.ones(D), size=H * W), jnp.float32
+        np.concatenate(
+            [
+                rng.dirichlet(np.ones(D), size=n_half),
+                rng.dirichlet(np.full(D, 0.05), size=H * W - n_half),
+            ]
+        ),
+        jnp.float32,
     )
     cfg = plan_bp_config(
         P_pinv, c, bbox, GRID, H, W, D, M, gamma=GAMMA, sample_stride=1
@@ -100,6 +110,17 @@ def _sorted_rows(a):
     return np.sort(np.asarray(a), axis=1)
 
 
+def _assert_mostly_close(a, b, rtol=2e-4, atol=2e-4, frac=0.998,
+                         max_abs=0.05):
+    """All-but-a-tail elementwise agreement: degenerate one-hot plane
+    rows push messages to the +-12 log-odds rails where float32 rounding
+    in a different summation order costs ~1e-2."""
+    a, b = np.asarray(a), np.asarray(b)
+    close = np.isclose(a, b, rtol=rtol, atol=atol)
+    assert close.mean() >= frac, close.mean()
+    assert np.abs(a - b).max() <= max_abs, np.abs(a - b).max()
+
+
 def test_bp_beam_first_sweep_matches(geo):
     g = int(np.prod(GRID))
     n = H * W
@@ -117,14 +138,10 @@ def test_bp_beam_first_sweep_matches(geo):
     )
     assert float(overflow) == 0.0
 
-    np.testing.assert_allclose(
-        np.asarray(k_scatter), np.asarray(xla_scatter),
-        rtol=2e-4, atol=2e-4,
-    )
-    np.testing.assert_allclose(
-        _sorted_rows(k_msgs), _sorted_rows(xla_msgs),
-        rtol=2e-4, atol=2e-4,
-    )
+    # peaked (near-one-hot) rows amplify ~1e-7 hat-parameter rounding to
+    # ~1e-2 in log-odds messages; bound the tail instead of every element
+    _assert_mostly_close(k_scatter, xla_scatter)
+    _assert_mostly_close(_sorted_rows(k_msgs), _sorted_rows(xla_msgs))
 
 
 def test_bp_beam_roundtrip_and_depth_match(geo):
@@ -171,11 +188,10 @@ def test_bp_beam_roundtrip_and_depth_match(geo):
     )
     assert float(ov1) == float(ov2) == float(ov3) == 0.0
 
-    np.testing.assert_allclose(
-        np.asarray(k_s2), np.asarray(x_s2), rtol=1e-3, atol=1e-3
-    )
-    np.testing.assert_allclose(
-        _sorted_rows(k_m2), _sorted_rows(x_m2), rtol=1e-3, atol=1e-3
+    _assert_mostly_close(k_s2, x_s2, rtol=1e-3, atol=1e-3)
+    _assert_mostly_close(
+        _sorted_rows(k_m2), _sorted_rows(x_m2), rtol=1e-3, atol=1e-3,
+        max_abs=0.1,
     )
     close = np.isclose(
         np.asarray(k_depth), x_depth, rtol=1e-4, atol=1e-4

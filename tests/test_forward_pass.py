@@ -227,6 +227,38 @@ def test_pad_tile_runs_blocks_tight(setup):
         assert np.all(np.diff(t) <= 1), (b, t.min(), t.max())
 
 
+def test_forward_pass_reuse_across_scenes(setup, tmp_path):
+    """Reusing one ForwardPass on a DIFFERENT scene must not serve the
+    first scene's cached features/cameras/plans (review finding r2)."""
+    import shutil
+    import imageio.v2 as imageio
+
+    scene, gp, model, scheme = setup
+    fp = get_forward_pass_factory("multi_view_cnn")(
+        model, gp, scheme, scene.image_shape, W * H
+    )
+    m1 = next(iter(fp.forward_pass(scene, (0, 1, 1))))
+
+    # scene B: same directory layout but every camera shifted -> different
+    # geometry; a stale cache would reproduce scene A's map exactly
+    src = scene._basepath
+    dst = tmp_path / "scene_b"
+    shutil.copytree(src, dst)
+    for f in sorted((dst / "cams_krt").iterdir()):
+        rows = f.read_text().strip().split("\n")
+        t = [float(v) for v in rows[-1].split()]
+        t[0] += 1.5  # shift the camera
+        rows[-1] = " ".join("%.9g" % v for v in t)
+        f.write_text("\n".join(rows) + "\n")
+    scene_b = RestrepoScene(str(dst))
+    m2 = next(iter(fp.forward_pass(scene_b, (0, 1, 1))))
+    assert not np.allclose(m1, m2), "stale per-scene caches"
+
+    # and back to scene A: must reproduce the original map
+    m3 = next(iter(fp.forward_pass(scene, (0, 1, 1))))
+    np.testing.assert_allclose(m1, m3, rtol=1e-6)
+
+
 def test_host_staged_messages_match(setup):
     """The host-staged path (per-image upload -> single-dispatch scan ->
     download, the DTU-scale storage plan) must reproduce the per-batch
