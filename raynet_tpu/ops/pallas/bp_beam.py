@@ -535,23 +535,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     )
     inv_raw = jnp.where(total_raw > 1e-30, 1.0 / total_raw, 0.0)
 
-    def clip_chunk(c, total):
-        cc = cell_scr[_ds8(c * 8, 8)]
-        sv = sv_scr[_ds8(c * 8, 8)]
-        svc = jnp.clip(
-            sv * jnp.broadcast_to(inv_raw, (8, RAYS)),
-            _CLIP_S, 1.0 - _CLIP_S,
-        )
-        svc = jnp.where(cc >= 0, svc, 0.0)
-        sv_scr[_ds8(c * 8, 8)] = svc
-        return total + svc.sum(axis=0, keepdims=True)
 
-    total_sv = jax.lax.fori_loop(
-        0, cfg.slots // 8, clip_chunk, jnp.zeros((1, RAYS), jnp.float32)
-    )
-    inv_total = jnp.where(
-        (total_sv > 1e-30) & (count > 1), 1.0 / total_sv, 0.0
-    )
 
     # ------------------------------------------------------------ gather
     def grid_dma(g, slot):
@@ -632,24 +616,43 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     # --------------------------------------------- pass R1: total contrib
     ones = jnp.ones((1, RAYS), jnp.float32)
 
+    # R1 also applies the normalized-then-clipped mapping in place
+    # (svc = clip(sv_raw / total_raw), XLA's clip_and_renorm order) and
+    # accumulates its sum; the second renormalizer divides ONCE at the
+    # end — the contribution sum is linear in svc.
     # NOTE a Hillis-Steele masked-roll scan was tried here and measured
     # SLOWER than the serial chain (pltpu.roll ~6 ops/step on v5e); the
     # serial 8-row recurrence stays.
     def r1_chunk(c, carry):
-        ep, tot = carry
+        ep, tot, t2 = carry
+        cc = cell_scr[_ds8(c * 8, 8)]
         mu8 = mu_scr[_ds8(c * 8, 8)]
         sv8 = sv_scr[_ds8(c * 8, 8)]
+        svc = jnp.where(
+            cc >= 0,
+            jnp.clip(
+                sv8 * jnp.broadcast_to(inv_raw, (8, RAYS)),
+                _CLIP_S, 1.0 - _CLIP_S,
+            ),
+            0.0,
+        )
+        sv_scr[_ds8(c * 8, 8)] = svc
+        t2 = t2 + svc.sum(axis=0, keepdims=True)
         e = ep
         for i in range(8):
-            tot = tot + mu8[i : i + 1] * e * sv8[i : i + 1]
+            tot = tot + mu8[i : i + 1] * e * svc[i : i + 1]
             e = e * (1.0 - mu8[i : i + 1])
-        return e, tot
+        return e, tot, t2
 
-    _, total_raw = jax.lax.fori_loop(
+    _, total_r1, total_sv = jax.lax.fori_loop(
         0, cfg.slots // 8, r1_chunk,
-        (ones, jnp.zeros((1, RAYS), jnp.float32)),
+        (ones, jnp.zeros((1, RAYS), jnp.float32),
+         jnp.zeros((1, RAYS), jnp.float32)),
     )
-    total = total_raw * inv_total
+    inv_total = jnp.where(
+        (total_sv > 1e-30) & (count > 1), 1.0 / total_sv, 0.0
+    )
+    total = total_r1 * inv_total
 
     # ------------------------------- pass R2: messages (+ depth / scatter)
     iota_row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RAYS), 0)
