@@ -314,6 +314,18 @@ def main():
                 res["extrapolated_full_dtu_seconds"], "s",
                 DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
             )
+            # GT-masked variant: only rays with ground truth are
+            # predicted (DTU's ObsMask/GT filter keeps ~50-70%); this is
+            # how the reference pipeline is actually evaluated
+            res = run_scene_benchmark(
+                images=2, height=720, width=1280, focal=2200.0,
+                filter_rays=True,
+            )
+            emit(
+                "dtu_scene_gt_masked_s",
+                res["extrapolated_full_dtu_seconds"], "s",
+                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
+            )
         except Exception as e:  # keep the earlier metrics on any failure
             print("scene benchmark failed: %r" % (e,), file=sys.stderr)
 
