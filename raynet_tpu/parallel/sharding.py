@@ -191,7 +191,11 @@ def sharded_beam_depth_step(
     mesh, height, width, padding, depth_planes, bp_cfg, band_specs=None,
     interpret=False,
 ):
-    """Final beam depth sweep with rays sharded (grid read-only)."""
+    """Final beam depth sweep with rays sharded (grid read-only).
+
+    Returns (depth, overflow) where overflow is the per-shard planner
+    K/box violation count broadcast over that shard's rows — silently
+    dropping it would yield wrong depths with no error (ADVICE r2)."""
 
     @jax.jit
     @partial(
@@ -200,18 +204,18 @@ def sharded_beam_depth_step(
         in_specs=(
             P(RAY_AXIS), P(), P(), P(), P(), P(), P(RAY_AXIS), P(),
         ),
-        out_specs=P(RAY_AXIS),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
         check_vma=False,  # pallas_call out_shapes carry no vma info
     )
     def step(
         ray_idxs, features, Pm, P_pinv, center, bbox, messages, grid_acc
     ):
-        depth, _ = fused.raynet_beam_depth_step(
+        depth, overflow = fused.raynet_beam_depth_step(
             ray_idxs, features, Pm, P_pinv, center, bbox, messages,
             grid_acc, height, width, padding, depth_planes, bp_cfg,
             band_specs=band_specs, interpret=interpret,
         )
-        return depth
+        return depth, jnp.broadcast_to(overflow, (ray_idxs.shape[0],))
 
     return step
 

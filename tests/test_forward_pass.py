@@ -313,3 +313,21 @@ def test_filter_out_rays(setup, mock_scene_dir):
     # pixels without GT stay zero; pixels with GT get predictions
     assert np.all(dm[gt == 0] == 0)
     assert np.all(dm[gt != 0] > 0)
+
+
+def test_coalesce_band_specs_mixed_view_counts():
+    """Edge images with fewer neighbors must still coalesce: one unified
+    spec per (n_views) GROUP instead of bailing scene-wide and
+    reintroducing the per-image recompile hazard (VERDICT r2 #7)."""
+    from raynet_tpu.inference.forward_pass import _coalesce_band_specs
+
+    specs = {
+        0: ((16, 16), (16, 32), (24, 32)),
+        1: ((8, 32), (32, 16), (16, 48)),
+        2: ((16, 16), (8, 64)),  # edge image: one fewer neighbor
+        3: None,  # planner-rejected image keeps the XLA path
+    }
+    out = _coalesce_band_specs(specs)
+    assert out[0] == out[1] == ((16, 32), (32, 32), (24, 48))
+    assert out[2] == ((16, 16), (8, 64))
+    assert out[3] is None
