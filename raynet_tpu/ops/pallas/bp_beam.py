@@ -21,11 +21,25 @@ recurrences, and the grid scatter — with ONE program per 256-ray block:
   grid (Pallas TPU grid steps run sequentially on the core, so there are
   no races); the wrapper gets the accumulated grid back directly.
 - The linear-time message recurrences (cumsum/cumprod of mrf.py, i.e.
-  mrf_bp.cu:88-167) run in-kernel over slot rows in 8-row chunks.
+  mrf_bp.cu:88-167) run in-kernel as per-slice partial products combined
+  by a short serial cross-slice chain per 8-slice group.
 
-Slot order equals DDA step order (the dominant coordinate is monotone
-along a ray), so message semantics match ops/mrf.py exactly; slot storage
-is an internal layout of the per-image message arrays.
+The march is CLOSED FORM (round 3): the DDA's per-axis crossing times are
+arithmetic sequences t_a(n) = t_max_a + n*t_delta_a, so a ray's state at
+the entry of ANY slice (lateral cell positions, crossing counts, emission
+index) is computable directly — no serial slice-to-slice carry. All
+entry-state math runs as (8, RAYS) ops over a whole slice group at once
+(the serial formulation issued ~55 (1, RAYS) ops per substep and was
+issue-bound). Within a slice, the <=K-1 lateral events are replayed with
+the same closed-form times. ops/ray_marching.py, ops/pallas/traversal.py
+and tests/oracles.py use the same closed-form arithmetic, so all four
+implementations order crossings identically (the reference's incremental
+``t += t_delta`` drifts ~1e-5 over hundreds of steps; closed form agrees
+with it everywhere except ties closer than f32 rounding).
+
+Slot storage is k-major within each 8-slice group (slot = g*8K + k*8 + u)
+— an internal layout of the per-image message arrays; DDA-order message
+semantics are preserved exactly by the prefix restructure above.
 
 Wrapper-side planning (host, once per image geometry): dominant axis +
 sign check, K bound, per-block beam boxes. Images the planner cannot
@@ -339,20 +353,6 @@ def _ds8(off, size):
     return pl.ds(pl.multiple_of(off, 8), size)
 
 
-def _tie_break(perm, t):
-    """move flags per PERMUTED axis with the reference's ORIGINAL-axis
-    nested tie-breaking (ray_tracing.pyx:169-194):
-    x<y ? (x<z ? X : Z) : (y<z ? Y : Z)."""
-    tx = t[perm.index(0)]
-    ty = t[perm.index(1)]
-    tz = t[perm.index(2)]
-    move_x = (tx < ty) & (tx < tz)
-    move_y = ~(tx < ty) & (ty < tz)
-    move_z = ~move_x & ~move_y
-    orig = (move_x, move_y, move_z)
-    return tuple(orig[perm[i]] for i in range(3))
-
-
 def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                seg_ref, sp_ref, msg_ref, grid_ref, zeros_ref,
                out_msg_ref, out_grid_ref, out_misc_ref,
@@ -367,6 +367,14 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     # depth-mode decode recovers the stripe with NS-1 compares.
     b = pl.program_id(0)
     NG = S // 8
+    # Crossing precedence (the reference's nested tie-break,
+    # ray_tracing.pyx:169-194, is a strict weak order: sort crossings by
+    # (t, ORIGINAL axis index DESCENDING)). perm = (dom, lo, hi) with
+    # lo < hi, so axis2 always beats axis1 on equal times; whether a
+    # lateral crossing at exactly the dominant's time precedes it depends
+    # on the original indices:
+    le1 = perm[1] > perm[0]  # axis1 vs dominant on equal t
+    le2 = perm[2] > perm[0]  # axis2 vs dominant on equal t
 
     def grp_origin(g):
         base = (b * NG + g) * 2
@@ -412,6 +420,7 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         t_delta.append(
             jnp.where(ray[a] != 0, stepf[a] * bins[a] / ray[a], _FLT_MAX)
         )
+    inv_td = [1.0 / td for td in t_delta]
 
     seglen2 = sum((e - s) * (e - s) for s, e in zip(start, end))
     inv_len2 = 1.0 / jnp.maximum(seglen2, 1e-30)
@@ -425,12 +434,53 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         return acc * inv_len2
 
     # The t parameter moves by a per-ray CONSTANT when an axis steps one
-    # cell (the cell center moves by step*bin): carrying t incrementally
-    # replaces the 18-op closed form with one select-add per substep.
+    # cell (the cell center moves by step*bin).
     t_step = [
         f * bn * (e - s_) * inv_len2
         for f, bn, s_, e in zip(stepf, bins, start, end)
     ]
+    tp0 = t_param(cur[0], cur[1], cur[2])  # (1, RAYS) entry-cell t
+
+    # Emission budget: every crossing emits one cell; IF the path reaches
+    # the last cell it does so after exactly n_total crossings (per-axis
+    # travel is monotone), so slot emission is an INDEX comparison — no
+    # serial at_last tracking. But the eps-nudged endpoints can floor
+    # ``last`` on the NEAR side of a crossing the path actually takes
+    # (~2% of rays at test geometry); the reference march then never
+    # satisfies cell==last and walks on until it leaves the grid.
+    # ``reach`` decides which case holds: the path reaches ``last`` iff
+    # the first EXCESS crossing of every axis orders after every NEEDED
+    # crossing of the other axes (same (t, orig-axis desc) precedence).
+    tgt = [
+        last[0] - cur[0],
+        (last[1] - cur[1]) * step[1],
+        (last[2] - cur[2]) * step[2],
+    ]
+    n_total = tgt[0] + tgt[1] + tgt[2]
+
+    def _t_of(a, nn):
+        return t_max[a] + nn.astype(jnp.float32) * t_delta[a]
+
+    reach = None
+    for a_ in range(3):
+        texc_a = _t_of(a_, tgt[a_])
+        for b_ in range(3):
+            if a_ == b_:
+                continue
+            tneed_b = _t_of(b_, tgt[b_] - 1)
+            # excess crossing of a_ after needed crossing of b_: ties go
+            # to the HIGHER original axis index
+            if perm[a_] < perm[b_]:
+                aft = texc_a >= tneed_b
+            else:
+                aft = texc_a > tneed_b
+            ok = aft | (tgt[b_] < 1)
+            reach = ok if reach is None else reach & ok
+    limit = jnp.minimum(
+        jnp.where(reach, n_total, jnp.int32(1 << 30)),
+        cfg.max_voxels - 1,
+    )
+    live0 = inside0.astype(jnp.int32)
 
     def local_cell(c1, c2, a0, bg0):
         la = c1 - a0
@@ -439,76 +489,103 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         inbox = (la >= 0) & (la < BA) & (lb >= 0) & (lb < NS * 128)
         return jnp.where(inbox, cell, -2)
 
-    # ------------------------------------------------------------ march
-    def march_group(g, carry):
-        c0, c1, c2, t0, t1, t2, tp, alive_i, steps, overflow = carry
-        alive = alive_i > 0  # i1 vectors cannot be carried through scf.for
-        a0_g, bg0_g = grp_origin(g)
-        cell_rows, t_rows = [], []
-        for u in range(8):
-            s = g * 8 + u
-            in_slice = alive & (c0 == s)
-            for k in range(K):
-                if k == 0:
-                    emit = in_slice & (steps < cfg.max_voxels)
-                else:
-                    m0, m1, m2 = _tie_break(perm, (t0, t1, t2))
-                    at_last = (
-                        (c0 == last[0]) & (c1 == last[1]) & (c2 == last[2])
-                    )
-                    want = in_slice & ~at_last & ~m0
-                    n1 = c1 + jnp.where(m1, step[1], 0)
-                    n2 = c2 + jnp.where(m2, step[2], 0)
-                    oob = (m1 & ((n1 < 0) | (n1 >= cfg.A))) | (
-                        m2 & ((n2 < 0) | (n2 >= cfg.B))
-                    )
-                    dead = want & oob
-                    adv = want & ~oob
-                    c1 = jnp.where(adv, n1, c1)
-                    c2 = jnp.where(adv, n2, c2)
-                    t1 = jnp.where(adv & m1, t1 + t_delta[1], t1)
-                    t2 = jnp.where(adv & m2, t2 + t_delta[2], t2)
-                    tp = tp + jnp.where(
-                        adv & m1, t_step[1],
-                        jnp.where(adv & m2, t_step[2], 0.0),
-                    )
-                    alive = alive & ~dead
-                    in_slice = in_slice & adv
-                    emit = in_slice & (steps < cfg.max_voxels)
-                cell = local_cell(c1, c2, a0_g, bg0_g)
-                overflow = overflow + (emit & (cell < 0)).astype(jnp.int32)
-                cell_rows.append(jnp.where(emit, cell, -1))
-                t_rows.append(jnp.clip(tp, _EPS_T, 1.0 - _EPS_T))
-                steps = steps + emit.astype(jnp.int32)
-            pending = alive & (c0 == s)
-            at_last = (c0 == last[0]) & (c1 == last[1]) & (c2 == last[2])
-            m0, _, _ = _tie_break(perm, (t0, t1, t2))
-            overflow = overflow + (
-                pending & ~at_last & ~m0
-            ).astype(jnp.int32)
-            stepping = pending & ~at_last
-            n0 = c0 + 1
-            dead0 = stepping & (n0 >= S)
-            adv0 = stepping & (n0 < S)
-            c0 = jnp.where(adv0, n0, c0)
-            t0 = jnp.where(adv0, t0 + t_delta[0], t0)
-            tp = tp + jnp.where(adv0, t_step[0], 0.0)
-            alive = alive & ~dead0 & ~(pending & at_last)
-        cell_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(
-            cell_rows, axis=0
-        )
-        t_scr[_ds8(g * 8 * K, 8 * K)] = jnp.concatenate(t_rows, axis=0)
-        return (c0, c1, c2, t0, t1, t2, tp, alive.astype(jnp.int32),
-                steps, overflow)
+    su = jax.lax.broadcasted_iota(jnp.int32, (8, RAYS), 0)
 
-    zero = jnp.zeros((1, RAYS), jnp.int32)
-    *_, steps_f, overflow = jax.lax.fori_loop(
-        0, S // 8, march_group,
-        (cur[0], cur[1], cur[2], t_max[0], t_max[1], t_max[2],
-         t_param(cur[0], cur[1], cur[2]), inside0.astype(jnp.int32),
-         zero, zero),
+    def count_before(a, enter, m, le):
+        """Crossings of lateral axis ``a`` taken before the dominant
+        crossing at time ``enter``: count n such that t_a(n) = t_max_a +
+        n*t_delta_a precedes enter (strict <, or <= when ``le``). The
+        reciprocal-multiply estimate is corrected one step each way
+        against the actual predicate, making the count exact wrt the
+        closed-form f32 times."""
+        q = jnp.floor((enter - t_max[a]) * inv_td[a]).astype(jnp.int32)
+        n = jnp.maximum(q, 0)
+        t_at = t_max[a] + n.astype(jnp.float32) * t_delta[a]
+        hit = (t_at <= enter) if le else (t_at < enter)
+        n = n + hit.astype(jnp.int32)
+        t_prev = t_max[a] + (n - 1).astype(jnp.float32) * t_delta[a]
+        ok_prev = (t_prev <= enter) if le else (t_prev < enter)
+        n = n - ((~ok_prev) & (n > 0)).astype(jnp.int32)
+        return jnp.where(m <= 0, 0, n)
+
+    # ------------------------------------------------------------ march
+    # Closed form, vectorized (8, RAYS) over each slice group: entry
+    # state per slice from crossing counts, then the <=K-1 within-slice
+    # lateral events replayed with the same closed-form times.
+    def march_group(g, carry):
+        cnt8, ovf8 = carry
+        a0_g, bg0_g = grp_origin(g)
+        m = (g * 8 + su) - cur[0]  # dominant crossings before this slice
+        mf = m.astype(jnp.float32)
+        enter = jnp.where(
+            m <= 0, 0.0, t_max[0] + (mf - 1.0) * t_delta[0]
+        )
+        exit_t = t_max[0] + mf * t_delta[0]
+        n1 = count_before(1, enter, m, le1)
+        n2 = count_before(2, enter, m, le2)
+        c1 = cur[1] + step[1] * n1
+        c2 = cur[2] + step[2] * n2
+        t1c = t_max[1] + n1.astype(jnp.float32) * t_delta[1]
+        t2c = t_max[2] + n2.astype(jnp.float32) * t_delta[2]
+        eidx = m + n1 + n2
+        tp = (
+            tp0 + mf * t_step[0]
+            + n1.astype(jnp.float32) * t_step[1]
+            + n2.astype(jnp.float32) * t_step[2]
+        )
+        live = (live0 > 0) & (m >= 0)
+        for k in range(K):
+            if k > 0:
+                first12 = t1c < t2c  # ties go to axis2 (higher orig idx)
+                p1d = (t1c <= exit_t) if le1 else (t1c < exit_t)
+                p2d = (t2c <= exit_t) if le2 else (t2c < exit_t)
+                w1 = p1d & first12
+                w2 = p2d & ~first12
+                n1 = n1 + w1.astype(jnp.int32)
+                n2 = n2 + w2.astype(jnp.int32)
+                c1 = jnp.where(w1, c1 + step[1], c1)
+                c2 = jnp.where(w2, c2 + step[2], c2)
+                t1c = jnp.where(
+                    w1, t_max[1] + n1.astype(jnp.float32) * t_delta[1], t1c
+                )
+                t2c = jnp.where(
+                    w2, t_max[2] + n2.astype(jnp.float32) * t_delta[2], t2c
+                )
+                tp = tp + jnp.where(
+                    w1, t_step[1], jnp.where(w2, t_step[2], 0.0)
+                )
+                eidx = eidx + (w1 | w2).astype(jnp.int32)
+                live_k = live & (w1 | w2)
+            else:
+                live_k = live
+            inb = (c1 >= 0) & (c1 < cfg.A) & (c2 >= 0) & (c2 < cfg.B)
+            emit = live_k & (eidx <= limit) & inb
+            cell = local_cell(c1, c2, a0_g, bg0_g)
+            ovf8 = ovf8 + (emit & (cell < 0)).astype(jnp.int32)
+            cell_scr[_ds8(g * 8 * K + k * 8, 8)] = jnp.where(
+                emit, cell, -1
+            )
+            t_scr[_ds8(g * 8 * K + k * 8, 8)] = jnp.clip(
+                tp, _EPS_T, 1.0 - _EPS_T
+            )
+            cnt8 = cnt8 + emit.astype(jnp.int32)
+        # K-overflow: a further lateral event precedes the dominant exit
+        # while the ray is still live and short of the last cell.
+        first12 = t1c < t2c
+        p1d = (t1c <= exit_t) if le1 else (t1c < exit_t)
+        p2d = (t2c <= exit_t) if le2 else (t2c < exit_t)
+        inb = (c1 >= 0) & (c1 < cfg.A) & (c2 >= 0) & (c2 < cfg.B)
+        not_last = (eidx < n_total) | jnp.logical_not(reach)
+        pend = live & inb & not_last & (p1d | p2d)
+        ovf8 = ovf8 + pend.astype(jnp.int32)
+        return cnt8, ovf8
+
+    zero8 = jnp.zeros((8, RAYS), jnp.int32)
+    cnt8, ovf8 = jax.lax.fori_loop(
+        0, S // 8, march_group, (zero8, zero8)
     )
-    count = steps_f  # (1, RAYS)
+    count = cnt8.sum(axis=0, keepdims=True)  # (1, RAYS)
+    overflow = ovf8.sum(axis=0, keepdims=True)
 
     # -------------------------------------------------- hat mapping + clip
     sp = sp_ref[0]  # (D, RAYS)
@@ -574,11 +651,11 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             grid_dma(g, slot).wait()
             cells = cell_scr[_ds8(g * 8 * K, 8 * K)]
             msgs = msg_ref[0, _ds8(g * 8 * K, 8 * K)]
-            val_rows = []
+            val_rows = [None] * (8 * K)
             for u in range(8):
                 table = gbuf[slot, u].reshape(ROWS, 128)
                 for k in range(K):
-                    r = u * K + k
+                    r = k * 8 + u  # k-major slot layout
                     cid = cells[r : r + 1]
                     rowid = cid >> 7
                     lo = cid & 127
@@ -591,14 +668,12 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                         table, e2, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (ROWS, RAYS)
-                    val_rows.append(
-                        jnp.where(
-                            iota_row == jnp.broadcast_to(
-                                rowid, (ROWS, RAYS)
-                            ),
-                            cols, 0.0,
-                        ).sum(axis=0, keepdims=True)
-                    )
+                    val_rows[r] = jnp.where(
+                        iota_row == jnp.broadcast_to(
+                            rowid, (ROWS, RAYS)
+                        ),
+                        cols, 0.0,
+                    ).sum(axis=0, keepdims=True)
             # stable sigmoid of (val - msg), VECTORIZED over the whole
             # group (8K wide rows) instead of ~8 serial ops per substep
             val = jnp.concatenate(val_rows, axis=0)  # (8K, RAYS)
@@ -620,32 +695,37 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     # (svc = clip(sv_raw / total_raw), XLA's clip_and_renorm order) and
     # accumulates its sum; the second renormalizer divides ONCE at the
     # end — the contribution sum is linear in svc.
-    # NOTE a Hillis-Steele masked-roll scan was tried here and measured
-    # SLOWER than the serial chain (pltpu.roll ~6 ops/step on v5e); the
-    # serial 8-row recurrence stays.
-    def r1_chunk(c, carry):
+    # DDA-order prefix over a k-major layout: per-slice partial products
+    # over k ((8, RAYS) ops), then a short serial cross-slice chain —
+    # ~3x fewer issue slots than the per-slot serial recurrence.
+    def r1_group(g, carry):
         ep, tot, t2 = carry
-        cc = cell_scr[_ds8(c * 8, 8)]
-        mu8 = mu_scr[_ds8(c * 8, 8)]
-        sv8 = sv_scr[_ds8(c * 8, 8)]
-        svc = jnp.where(
-            cc >= 0,
-            jnp.clip(
-                sv8 * jnp.broadcast_to(inv_raw, (8, RAYS)),
-                _CLIP_S, 1.0 - _CLIP_S,
-            ),
-            0.0,
-        )
-        sv_scr[_ds8(c * 8, 8)] = svc
-        t2 = t2 + svc.sum(axis=0, keepdims=True)
-        e = ep
-        for i in range(8):
-            tot = tot + mu8[i : i + 1] * e * svc[i : i + 1]
-            e = e * (1.0 - mu8[i : i + 1])
-        return e, tot, t2
+        base = g * 8 * K
+        ps_tot = jnp.zeros((8, RAYS), jnp.float32)
+        ps_e = jnp.ones((8, RAYS), jnp.float32)
+        for k in range(K):
+            cc = cell_scr[_ds8(base + k * 8, 8)]
+            mu8 = mu_scr[_ds8(base + k * 8, 8)]
+            sv8 = sv_scr[_ds8(base + k * 8, 8)]
+            svc = jnp.where(
+                cc >= 0,
+                jnp.clip(
+                    sv8 * jnp.broadcast_to(inv_raw, (8, RAYS)),
+                    _CLIP_S, 1.0 - _CLIP_S,
+                ),
+                0.0,
+            )
+            sv_scr[_ds8(base + k * 8, 8)] = svc
+            t2 = t2 + svc.sum(axis=0, keepdims=True)
+            ps_tot = ps_tot + mu8 * ps_e * svc
+            ps_e = ps_e * (1.0 - mu8)
+        for u in range(8):
+            tot = tot + ep * ps_tot[u : u + 1]
+            ep = ep * ps_e[u : u + 1]
+        return ep, tot, t2
 
     _, total_r1, total_sv = jax.lax.fori_loop(
-        0, cfg.slots // 8, r1_chunk,
+        0, S // 8, r1_group,
         (ones, jnp.zeros((1, RAYS), jnp.float32),
          jnp.zeros((1, RAYS), jnp.float32)),
     )
@@ -668,47 +748,69 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         return pltpu.make_async_copy(dstage, region, dsem)
 
     def r2_group(g, carry):
-        ep, cse, best_v, best_cell, best_s, best_a0, best_bg0 = carry
+        # DDA-order prefixes over the k-major layout: per-slice partials
+        # over k, serial cross-slice EXCLUSIVE prefixes (EPU/CSU rows),
+        # then all per-slot message math runs as (8, RAYS) ops per k.
+        if depth_mode:
+            ep, cse, bv8, bc8, bs8, ba8, bb8 = carry
+        else:
+            ep, cse = carry
         a0_g, bg0_g = grp_origin(g)
-        n_rows = 8 * K
-        cells = cell_scr[_ds8(g * n_rows, n_rows)]
-        mu8 = mu_scr[_ds8(g * n_rows, n_rows)]
-        sv8 = sv_scr[_ds8(g * n_rows, n_rows)]
+        base = g * 8 * K
+        cells_k = [cell_scr[_ds8(base + k * 8, 8)] for k in range(K)]
+        mu_k = [mu_scr[_ds8(base + k * 8, 8)] for k in range(K)]
+        om_k = [1.0 - mu for mu in mu_k]
+        Sr_k = [
+            sv_scr[_ds8(base + k * 8, 8)]
+            * jnp.broadcast_to(inv_total, (8, RAYS))
+            for k in range(K)
+        ]
         if not depth_mode:
             rd = out_dma(g, "read")
             rd.start()
-        out_rows = []
+        pe = jnp.ones((8, RAYS), jnp.float32)
+        pc = jnp.zeros((8, RAYS), jnp.float32)
+        for k in range(K):
+            pc = pc + mu_k[k] * pe * Sr_k[k]
+            pe = pe * om_k[k]
+        ep_rows, cse_rows = [], []
         for u in range(8):
-            s = g * 8 + u
-            if not depth_mode:
+            ep_rows.append(ep)
+            cse_rows.append(cse)
+            cse = cse + ep * pc[u : u + 1]
+            ep = ep * pe[u : u + 1]
+        EPK = jnp.concatenate(ep_rows, axis=0)  # (8, RAYS) at slice entry
+        CSK = jnp.concatenate(cse_rows, axis=0)
+        pon_k = []
+        for k in range(K):
+            contrib = mu_k[k] * EPK * Sr_k[k]
+            if depth_mode:
+                better = (cells_k[k] >= 0) & (
+                    (contrib > bv8) | (bv8 < 0)
+                )
+                bv8 = jnp.where(better, jnp.maximum(contrib, 0.0), bv8)
+                bc8 = jnp.where(better, cells_k[k], bc8)
+                bs8 = jnp.where(better, g * 8 + su, bs8)
+                ba8 = jnp.where(better, a0_g, ba8)
+                bb8 = jnp.where(better, bg0_g, bb8)
+            else:
+                pos = CSK + EPK * Sr_k[k]
+                neg = CSK + (total - CSK - contrib) / om_k[k]
+                p = pos / jnp.maximum(pos + neg, 1e-37)
+                p = jnp.clip(p, 1e-37, 1.0 - 1e-7)
+                new_pon = jnp.log(p) - jnp.log1p(-p)
+                new_pon = jnp.where(
+                    (cells_k[k] >= 0) & (count > 1), new_pon, 0.0
+                )
+                pon_k.append(new_pon)
+                out_msg_ref[0, _ds8(base + k * 8, 8)] = new_pon
+            CSK = CSK + contrib
+            EPK = EPK * om_k[k]
+        if not depth_mode:
+            for u in range(8):
                 delta = jnp.zeros((ROWS, 128), jnp.float32)
-            for k in range(K):
-                r = u * K + k
-                cid = cells[r : r + 1]
-                muv = mu8[r : r + 1]
-                Sr = sv8[r : r + 1] * inv_total
-                om = jnp.where(cid >= 0, 1.0 - muv, 1.0)
-                contrib = muv * ep * Sr
-                if depth_mode:
-                    s_new = contrib
-                    better = (cid >= 0) & ((s_new > best_v) | (best_v < 0))
-                    best_v = jnp.where(
-                        better, jnp.maximum(s_new, 0.0), best_v
-                    )
-                    best_cell = jnp.where(better, cid, best_cell)
-                    best_s = jnp.where(better, s, best_s)
-                    best_a0 = jnp.where(better, a0_g, best_a0)
-                    best_bg0 = jnp.where(better, bg0_g, best_bg0)
-                else:
-                    pos = cse + ep * Sr
-                    neg = cse + (total - cse - contrib) / om
-                    p = pos / jnp.maximum(pos + neg, 1e-37)
-                    p = jnp.clip(p, 1e-37, 1.0 - 1e-7)
-                    new_pon = jnp.log(p) - jnp.log1p(-p)
-                    new_pon = jnp.where(
-                        (cid >= 0) & (count > 1), new_pon, 0.0
-                    )
-                    out_rows.append(new_pon)
+                for k in range(K):
+                    cid = cells_k[k][u : u + 1]
                     rowid = cid >> 7
                     lo = cid & 127
                     eq = (iota_row == jnp.broadcast_to(
@@ -716,36 +818,57 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                     )).astype(jnp.float32)
                     X = jnp.where(
                         iota_sub == jnp.broadcast_to(lo, (128, RAYS)),
-                        jnp.broadcast_to(new_pon, (128, RAYS)),
+                        jnp.broadcast_to(
+                            pon_k[k][u : u + 1], (128, RAYS)
+                        ),
                         0.0,
                     )
                     delta = delta + jax.lax.dot_general(
                         eq, X, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                cse = cse + contrib
-                ep = ep * om
-            if not depth_mode:
                 dacc[u] = delta.reshape(NS, BA, 128)
-        if not depth_mode:
             rd = out_dma(g, "read")
             rd.wait()
             dstage[:] = dstage[:] + dacc[:]
             wr = out_dma(g, "write")
             wr.start()
             wr.wait()
-            out_msg_ref[0, _ds8(g * n_rows, n_rows)] = jnp.concatenate(
-                out_rows, axis=0
-            )
-        return ep, cse, best_v, best_cell, best_s, best_a0, best_bg0
+        if depth_mode:
+            return ep, cse, bv8, bc8, bs8, ba8, bb8
+        return ep, cse
 
-    init = (
-        ones, jnp.zeros((1, RAYS), jnp.float32),
-        jnp.full((1, RAYS), -1.0, jnp.float32), zero, zero, zero, zero,
-    )
-    (_, _, best_v, best_cell, best_s, best_a0, best_bg0) = (
+    zero8i = jnp.zeros((8, RAYS), jnp.int32)
+    if depth_mode:
+        init = (
+            ones, jnp.zeros((1, RAYS), jnp.float32),
+            jnp.full((8, RAYS), -1.0, jnp.float32),
+            zero8i, zero8i, zero8i, zero8i,
+        )
+        (_, _, bv8, bc8, bs8, ba8, bb8) = jax.lax.fori_loop(
+            0, S // 8, r2_group, init
+        )
+        # Cross-sublane reduce with DDA tie semantics: strictly-greater
+        # kept the earliest (group, k) per sublane; across sublanes an
+        # exact value tie resolves to the SMALLER slice id.
+        best_v = bv8[0:1]
+        best_cell = bc8[0:1]
+        best_s = bs8[0:1]
+        best_a0 = ba8[0:1]
+        best_bg0 = bb8[0:1]
+        for u in range(1, 8):
+            v = bv8[u : u + 1]
+            better = (v > best_v) | (
+                (v == best_v) & (v >= 0) & (bs8[u : u + 1] < best_s)
+            )
+            best_v = jnp.where(better, v, best_v)
+            best_cell = jnp.where(better, bc8[u : u + 1], best_cell)
+            best_s = jnp.where(better, bs8[u : u + 1], best_s)
+            best_a0 = jnp.where(better, ba8[u : u + 1], best_a0)
+            best_bg0 = jnp.where(better, bb8[u : u + 1], best_bg0)
+    else:
+        init = (ones, jnp.zeros((1, RAYS), jnp.float32))
         jax.lax.fori_loop(0, S // 8, r2_group, init)
-    )
 
     # ------------------------------------------------------------- misc
     if depth_mode:

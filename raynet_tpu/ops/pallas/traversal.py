@@ -78,7 +78,14 @@ def _kernel(grid_shape, max_voxels, bbox_ref, sx, sy, sz, ex, ey, ez,
 
     def body(k, carry):
         # alive_i is int32: Mosaic cannot carry i1 vectors through scf.for
-        cx, cy, cz, tx, ty, tz, alive_i, counts = carry
+        # Closed-form crossing times (t = t_max0 + n*t_delta, counts in
+        # the carry) so crossing order matches ops/ray_marching.py, the
+        # BP beam kernel, and the oracle bit for bit — the incremental
+        # ``t += t_delta`` drifts ~1e-5 over hundreds of f32 steps.
+        cx, cy, cz, nx, ny, nz, alive_i, counts = carry
+        tx = t_max[0] + nx.astype(jnp.float32) * t_delta[0]
+        ty = t_max[1] + ny.astype(jnp.float32) * t_delta[1]
+        tz = t_max[2] + nz.astype(jnp.float32) * t_delta[2]
         at_last = (cx == last[0]) & (cy == last[1]) & (cz == last[2])
         advance = (alive_i > 0) & ~at_last
 
@@ -91,9 +98,6 @@ def _kernel(grid_shape, max_voxels, bbox_ref, sx, sy, sz, ex, ey, ez,
         ncx = cx + jnp.where(move_x, step[0], 0)
         ncy = cy + jnp.where(move_y, step[1], 0)
         ncz = cz + jnp.where(move_z, step[2], 0)
-        ntx = tx + jnp.where(move_x, t_delta[0], 0.0)
-        nty = ty + jnp.where(move_y, t_delta[1], 0.0)
-        ntz = tz + jnp.where(move_z, t_delta[2], 0.0)
 
         oob = (
             (move_x & ((ncx < 0) | (ncx >= gx)))
@@ -105,20 +109,21 @@ def _kernel(grid_shape, max_voxels, bbox_ref, sx, sy, sz, ex, ey, ez,
         cx = jnp.where(emit, ncx, cx)
         cy = jnp.where(emit, ncy, cy)
         cz = jnp.where(emit, ncz, cz)
-        tx = jnp.where(emit, ntx, tx)
-        ty = jnp.where(emit, nty, ty)
-        tz = jnp.where(emit, ntz, tz)
+        nx = nx + (emit & move_x).astype(jnp.int32)
+        ny = ny + (emit & move_y).astype(jnp.int32)
+        nz = nz + (emit & move_z).astype(jnp.int32)
 
         idx_out[k] = jnp.where(emit, flat(cx, cy, cz), 0)
         emit_i = emit.astype(jnp.int32)
         counts = counts + emit_i
-        return cx, cy, cz, tx, ty, tz, emit_i, counts
+        return cx, cy, cz, nx, ny, nz, emit_i, counts
 
+    zero_i = jnp.zeros_like(cur[0])
     *_, counts = jax.lax.fori_loop(
         1,
         max_voxels,
         body,
-        (cur[0], cur[1], cur[2], t_max[0], t_max[1], t_max[2],
+        (cur[0], cur[1], cur[2], zero_i, zero_i, zero_i,
          inside0.astype(jnp.int32), counts0),
     )
     cnt_out[:] = counts

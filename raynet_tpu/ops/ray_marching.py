@@ -73,12 +73,19 @@ def voxel_traversal(bbox, ray_start, ray_end, grid_shape, max_voxels):
     t_delta = jnp.where(ray != 0, stepf * bin_size[None] / ray, _FLT_MAX)
 
     def body(carry, _):
-        cur, t_max, alive = carry
+        # CLOSED-FORM crossing times: the carry holds per-axis crossing
+        # COUNTS and each step evaluates t_a = t_max0 + n_a * t_delta_a.
+        # The incremental ``t += t_delta`` formulation drifts ~1e-5 over
+        # hundreds of f32 steps; closed form keeps every implementation
+        # (this scan, the Pallas DDA, the fused BP beam kernel, the numpy
+        # oracle) ordering crossings identically.
+        cur, ncross, alive = carry
+        t_cur = t_max + ncross.astype(jnp.float32) * t_delta
         at_last = jnp.all(cur == last, axis=-1)
         advance = alive & ~at_last  # rays still stepping (pyx:168)
 
         # Axis selection replicating the nested-if tie-breaking.
-        tx, ty, tz = t_max[:, 0], t_max[:, 1], t_max[:, 2]
+        tx, ty, tz = t_cur[:, 0], t_cur[:, 1], t_cur[:, 2]
         axis = jnp.where(
             tx < ty,
             jnp.where(tx < tz, 0, 2),
@@ -86,7 +93,6 @@ def voxel_traversal(bbox, ray_start, ray_end, grid_shape, max_voxels):
         )  # (N,)
         onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
         new_cur = cur + onehot * step
-        new_t_max = t_max + onehot.astype(jnp.float32) * t_delta
 
         moved = new_cur[jnp.arange(cur.shape[0]), axis]
         grid_ax = grid[axis]
@@ -94,11 +100,12 @@ def voxel_traversal(bbox, ray_start, ray_end, grid_shape, max_voxels):
 
         emit = advance & ~oob
         cur = jnp.where(emit[:, None], new_cur, cur)
-        t_max = jnp.where(emit[:, None], new_t_max, t_max)
-        return (cur, t_max, emit), (cur, emit)
+        ncross = ncross + jnp.where(emit[:, None], onehot, 0)
+        return (cur, ncross, emit), (cur, emit)
 
     (_, _, _), (steps_vox, steps_emit) = jax.lax.scan(
-        body, (cur, t_max, inside0), None, length=max_voxels - 1
+        body, (cur, jnp.zeros_like(cur), inside0), None,
+        length=max_voxels - 1,
     )
     # steps_*: (M-1, N, ...) — prepend the unconditional first emission.
     voxels = jnp.concatenate([cur[None], steps_vox], axis=0)  # (M, N, 3)

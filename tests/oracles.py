@@ -47,16 +47,23 @@ def voxel_traversal_oracle(bbox, grid_shape, ray_start, ray_end, max_voxels):
     ii = 0
     out[ii] = cur
     ii += 1
+    ncross = np.zeros(3, dtype=np.int32)
     while not np.array_equal(cur, last) and ii < max_voxels:
-        if t_max[0] < t_max[1]:
-            axis = 0 if t_max[0] < t_max[2] else 2
+        # closed-form crossing times (t = t_max0 + n*t_delta): matches
+        # ops/ray_marching.py, ops/pallas/traversal.py and the fused BP
+        # beam kernel, which all order crossings by the same values
+        t_cur = (
+            t_max + ncross.astype(np.float32) * t_delta
+        ).astype(np.float32)
+        if t_cur[0] < t_cur[1]:
+            axis = 0 if t_cur[0] < t_cur[2] else 2
         else:
-            axis = 1 if t_max[1] < t_max[2] else 2
+            axis = 1 if t_cur[1] < t_cur[2] else 2
         cur = cur.copy()
         cur[axis] += step[axis]
         if cur[axis] < 0 or cur[axis] >= grid[axis]:
             return out, ii
-        t_max[axis] += t_delta[axis]
+        ncross[axis] += 1
         out[ii] = cur
         ii += 1
     return out, ii
