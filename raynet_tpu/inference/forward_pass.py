@@ -534,6 +534,38 @@ class RayNetForwardPass(ForwardPass):
             ),
         }
 
+    def _sharded_scan_step(self, sharded, cfg, bands, kind, H, W, gp,
+                           grid_shape, M, cache_scores):
+        """Compiled sharded single-dispatch per-(image, sweep) steps,
+        cached per static config (VERDICT r2 #2: one psum per
+        image-sweep instead of per batch)."""
+        from ..parallel.sharding import (
+            sharded_image_update, sharded_image_depth,
+        )
+
+        if not hasattr(self, "_sharded_scan_cache"):
+            self._sharded_scan_cache = {}
+        key = (cfg, bands, kind, cache_scores)
+        if key not in self._sharded_scan_cache:
+            common = dict(
+                batch=self.rays_batch, height=H, width=W,
+                padding=gp.padding, depth_planes=gp.depth_planes,
+                grid_shape=grid_shape, max_voxels=M, bp_cfg=cfg,
+                band_specs=bands, use_scores=cache_scores,
+                use_pallas=_use_pallas(),
+            )
+            if kind == "depth":
+                step = sharded_image_depth(
+                    sharded["mesh"], sharded["n_dev"], **common
+                )
+            else:
+                step = sharded_image_update(
+                    sharded["mesh"], sharded["n_dev"],
+                    first_iteration=(kind == "first"), **common
+                )
+            self._sharded_scan_cache[key] = step
+        return self._sharded_scan_cache[key]
+
     def _beam_sharded_step(self, sharded, cfg, bands, kind, H, W):
         """Lazily built shard_map'ed BEAM steps (the multi-chip fast path:
         each device runs the fused Pallas sweep on its ray shard; the grid
@@ -583,8 +615,8 @@ class RayNetForwardPass(ForwardPass):
         )
         return _use_pallas() and total <= self.messages_device_budget
 
-    def _alloc_messages(self, n_rays, M, ref_idx):
-        if n_rays * M > self.messages_memmap_threshold:
+    def _alloc_messages(self, shape, ref_idx):
+        if int(np.prod(shape)) > self.messages_memmap_threshold:
             from tempfile import mkdtemp
 
             if not hasattr(self, "_msgs_dir"):
@@ -597,9 +629,9 @@ class RayNetForwardPass(ForwardPass):
                 ),
                 dtype=self.messages_dtype,
                 mode="w+",
-                shape=(n_rays, M),
+                shape=tuple(shape),
             )
-        return np.zeros((n_rays, M), dtype=self.messages_dtype)
+        return np.zeros(tuple(shape), dtype=self.messages_dtype)
 
     def _load_msgs(self, store, ref_idx, off, n_valid, cols, on_device):
         """Padded (rays_batch, cols) message block for one chunk."""
@@ -658,7 +690,6 @@ class RayNetForwardPass(ForwardPass):
         sharded = self._sharded_steps(H, W, gp, grid_shape, M)
         if (
             self._filter_out_rays
-            and sharded is None
             and _use_pallas()
             and self.rays_batch % 128 == 0
         ):
@@ -692,13 +723,21 @@ class RayNetForwardPass(ForwardPass):
         msgs_on_device = self._messages_on_device(
             ray_idxs_per_image, cols_per_image
         )
+        # Sharded single-dispatch scan (one psum per image-sweep): the
+        # multi-chip fast path — per-batch dispatches + per-batch grid
+        # psums only remain as the fallback when the batch does not split.
+        sharded_fast = (
+            sharded is not None
+            and msgs_on_device
+            and self.rays_batch % sharded["n_dev"] == 0
+        )
         # Plane-sweep scores are message-INDEPENDENT: compute them once per
         # image (first sweep) and reuse across the remaining 3 sweeps when
         # they fit the device budget alongside the messages. (Recompute on
         # the fly otherwise: the plane sweep is cheaper than a host
         # round-trip of the score block.)
         cache_scores = (
-            sharded is None
+            (sharded is None or sharded_fast)
             and msgs_on_device
             and self._messages_on_device(
                 ray_idxs_per_image, cols_per_image,
@@ -740,7 +779,9 @@ class RayNetForwardPass(ForwardPass):
             and (_use_pallas() or self.force_host_staging)
         )
         b = self.rays_batch
-        if device_fast or host_staged:
+        n_dev = sharded["n_dev"] if sharded_fast else 1
+        unit = b // n_dev
+        if device_fast or host_staged or sharded_fast:
             stacked = {
                 i: self._stacked_batches(ray_idxs_per_image[i])
                 for i in ref_indices
@@ -755,23 +796,85 @@ class RayNetForwardPass(ForwardPass):
                 for i in ref_indices
             }
             rows = {i: len(ray_idxs_per_image[i]) for i in ref_indices}
-        score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
-        scores = (
-            {
-                i: jnp.zeros((rows[i], gp.depth_planes), jnp.float32)
-                for i in ref_indices
+        if sharded_fast:
+            # device-major chunk layout: device k owns rows
+            # [c*batch + k*unit, c*batch + (k+1)*unit) of every chunk c
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.sharding import RAY_AXIS
+
+            row_sh = NamedSharding(
+                sharded["mesh"], PartitionSpec(RAY_AXIS)
+            )
+            rep_sh = NamedSharding(sharded["mesh"], PartitionSpec())
+
+            def _shard_alloc(shape):
+                return jax.jit(
+                    lambda: jnp.zeros(shape, jnp.float32),
+                    out_shardings=row_sh,
+                )()
+
+            stacked = {
+                i: (
+                    jax.device_put(
+                        np.ascontiguousarray(
+                            np.asarray(chunks_arr)
+                            .reshape(-1, n_dev, unit)
+                            .transpose(1, 0, 2)
+                        ),
+                        row_sh,
+                    ),
+                    jax.device_put(np.asarray(n_valids_arr), rep_sh),
+                )
+                for i, (chunks_arr, n_valids_arr) in stacked.items()
             }
-            if cache_scores
-            else None
-        )
-        if msgs_on_device:
+        if sharded_fast:
+            score_dummy = jax.device_put(
+                np.zeros((n_dev, 1, gp.depth_planes), np.float32), row_sh
+            )
+        else:
+            score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
+        scores = None
+        if cache_scores:
+            if sharded_fast:
+                scores = {
+                    i: _shard_alloc(
+                        (n_dev, rows[i] // n_dev, gp.depth_planes)
+                    )
+                    for i in ref_indices
+                }
+            else:
+                scores = {
+                    i: jnp.zeros((rows[i], gp.depth_planes), jnp.float32)
+                    for i in ref_indices
+                }
+        def _store_shape(i):
+            # scanning paths keep beam messages in the kernel's NATIVE
+            # (total_blocks, slots, RAYS) layout — no per-batch transposes
+            cfg_i = bp_cfgs[i]
+            if sharded_fast:
+                local = rows[i] // n_dev
+                if cfg_i is not None:
+                    return (
+                        n_dev, local // cfg_i.rays, cfg_i.slots,
+                        cfg_i.rays,
+                    )
+                return (n_dev, local, cols_per_image[i])
+            if cfg_i is not None and (device_fast or host_staged):
+                return (rows[i] // cfg_i.rays, cfg_i.slots, cfg_i.rays)
+            return (rows[i], cols_per_image[i])
+
+        if sharded_fast:
             messages = {
-                i: jnp.zeros((rows[i], cols_per_image[i]), jnp.float32)
+                i: _shard_alloc(_store_shape(i)) for i in ref_indices
+            }
+        elif msgs_on_device:
+            messages = {
+                i: jnp.zeros(_store_shape(i), jnp.float32)
                 for i in ref_indices
             }
         else:
             messages = {
-                i: self._alloc_messages(rows[i], cols_per_image[i], i)
+                i: self._alloc_messages(_store_shape(i), i)
                 for i in ref_indices
             }
 
@@ -796,6 +899,31 @@ class RayNetForwardPass(ForwardPass):
                             _dummy_features(features) if use_S
                             else features
                         )
+                        if sharded_fast:
+                            chunks_st, n_valids = stacked[ref_idx]
+                            step = self._sharded_scan_step(
+                                sharded, cfg, band_specs[ref_idx],
+                                "first" if iteration == 0 else "rest",
+                                H, W, gp, grid_shape, M, cache_scores,
+                            )
+                            (
+                                msgs_out, s_full, scatter_total, ov
+                            ) = step(
+                                messages[ref_idx],
+                                (
+                                    scores[ref_idx]
+                                    if cache_scores
+                                    else score_dummy
+                                ),
+                                scatter_total, grid_acc,
+                                chunks_st, n_valids,
+                                feats_arg, P, P_pinv, center, bbox,
+                            )
+                            messages[ref_idx] = msgs_out
+                            if cache_scores:
+                                scores[ref_idx] = s_full
+                            overflows.append(ov.sum())
+                            continue
                         if device_fast or host_staged:
                             chunks_arr, n_valids = stacked[ref_idx]
                             msgs_in = (
@@ -933,6 +1061,29 @@ class RayNetForwardPass(ForwardPass):
                     _dummy_features(features) if cache_scores
                     else features
                 )
+                if sharded_fast:
+                    chunks_st, _ = stacked[ref_idx]
+                    step = self._sharded_scan_step(
+                        sharded, cfg, band_specs[ref_idx], "depth",
+                        H, W, gp, grid_shape, M, cache_scores,
+                    )
+                    depths, bads = step(
+                        messages[ref_idx],
+                        scores[ref_idx] if cache_scores else score_dummy,
+                        grid_acc, chunks_st,
+                        feats_arg, P, P_pinv, center, bbox,
+                    )
+                    # (n_dev, nb, unit) -> stacked (nb*batch,) ray order
+                    flat = np.asarray(depths).transpose(1, 0, 2).reshape(-1)
+                    if float(np.asarray(bads).sum()):
+                        raise RuntimeError(
+                            "kernel planner invariant violated in the "
+                            "sharded depth sweep of image %d" % (ref_idx,)
+                        )
+                    keep = ray_idxs >= 0  # drop tile-run pad entries
+                    depth_map[ray_idxs[keep]] = flat[: len(ray_idxs)][keep]
+                    yield depth_map.reshape(W, H).T
+                    continue
                 if device_fast or host_staged:
                     chunks_arr, _ = stacked[ref_idx]
                     msgs_in = (

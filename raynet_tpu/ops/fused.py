@@ -22,11 +22,7 @@ from .sampling import (
     sample_points_along_segments,
     segments_in_bbox as _segments,
 )
-from .similarities import (
-    compute_similarities,
-    project_to_feature_idx,
-    bands_fit,
-)
+from .similarities import compute_similarities
 from .ray_marching import (
     voxel_traversal_flat,
     unflatten_voxel_indices,
@@ -36,12 +32,13 @@ from .planes_voxels import planes_to_voxels_mapping
 from . import mrf
 
 
-def _similarities(
-    features, P, points, padding, height, width, band_specs, strict=False
+def _scores(
+    features, P, ray_start, ray_end, padding, height, width,
+    depth_planes, band_specs, strict=False,
 ):
-    """Plane-sweep scores: banded Pallas kernel when ``band_specs`` is set
-    (points must then be in ray-tile order), with an in-graph fallback to
-    the XLA gather path if this batch's bands overflow the static boxes.
+    """Plane-sweep scores from ray segments: the lane-major banded Pallas
+    kernel when ``band_specs`` is set (rays must then be in tile order),
+    the XLA gather path otherwise.
 
     ``strict=True`` drops the fallback branch and instead returns
     ``(S, bad)`` where ``bad`` > 0 flags a band overflow (the scores are
@@ -56,34 +53,34 @@ def _similarities(
     scores back in (``S_planes=...``) instead of recomputing them.
     """
     if band_specs is None:
+        points = sample_points_along_segments(
+            ray_start, ray_end, depth_planes
+        )
         S = compute_similarities(
             features, P, points, padding, height, width
         )
         return (S, jnp.float32(0.0)) if strict else S
-    from .pallas.planesweep import banded_similarities
+    from .pallas.planesweep import banded_scores_from_segments
 
     n_views = features.shape[0]
     n_pairs = (n_views * (n_views - 1)) // 2
-    fidx = project_to_feature_idx(
-        features, P, points, padding, height, width
+    pair, fits = banded_scores_from_segments(
+        features, P, ray_start, ray_end, depth_planes, padding,
+        height, width, band_specs,
     )
-
-    def banded(_):
-        pair = banded_similarities(
-            features, fidx, band_specs, height, width, points.shape[1]
-        )
-        return jax.nn.softmax(pair / n_pairs, axis=-1)
-
+    S_banded = jax.nn.softmax(pair / n_pairs, axis=-1)
     if strict:
-        bad = 1.0 - bands_fit(fidx, band_specs).astype(jnp.float32)
-        return banded(None), bad
+        return S_banded, 1.0 - fits.astype(jnp.float32)
 
     def fallback(_):
+        points = sample_points_along_segments(
+            ray_start, ray_end, depth_planes
+        )
         return compute_similarities(
             features, P, points, padding, height, width
         )
 
-    return jax.lax.cond(bands_fit(fidx, band_specs), banded, fallback, None)
+    return jax.lax.cond(fits, lambda _: S_banded, fallback, None)
 
 
 @partial(
@@ -126,8 +123,9 @@ def mvcnn_depth_step(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
     points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S = _similarities(
-        features, P, points, padding, height, width, band_specs
+    S = _scores(
+        features, P, ray_start, ray_end, padding, height, width,
+        depth_planes, band_specs,
     )
 
     best = jnp.argmax(S, axis=-1)  # (N,)
@@ -184,9 +182,9 @@ def mvcnn_voxel_depth_step(
     ray_start, ray_end = _segments(
         ray_idxs, P_pinv, camera_center, bbox, height
     )
-    points = sample_points_along_segments(ray_start, ray_end, depth_planes)
-    S_planes = _similarities(
-        features, P, points, padding, height, width, band_specs
+    S_planes = _scores(
+        features, P, ray_start, ray_end, padding, height, width,
+        depth_planes, band_specs,
     )
 
     flat_idx, counts = voxel_traversal_flat(
@@ -292,17 +290,15 @@ def raynet_message_step(
     )
     bad = jnp.float32(0.0)
     if S_planes is None:
-        points = sample_points_along_segments(
-            ray_start, ray_end, depth_planes
-        )
         if strict_bands:
-            S_planes, bad = _similarities(
-                features, P, points, padding, height, width, band_specs,
-                strict=True,
+            S_planes, bad = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs, strict=True,
             )
         else:
-            S_planes = _similarities(
-                features, P, points, padding, height, width, band_specs
+            S_planes = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs,
             )
 
     flat_idx, counts = voxel_traversal_flat(
@@ -382,17 +378,15 @@ def raynet_beam_message_step(
     )
     bad = jnp.float32(0.0)
     if S_planes is None:
-        points = sample_points_along_segments(
-            ray_start, ray_end, depth_planes
-        )
         if strict_bands:
-            S_planes, bad = _similarities(
-                features, P, points, padding, height, width, band_specs,
-                strict=True,
+            S_planes, bad = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs, strict=True,
             )
         else:
-            S_planes = _similarities(
-                features, P, points, padding, height, width, band_specs
+            S_planes = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs,
             )
     valid = (
         (jnp.arange(ray_idxs.shape[0]) < n_valid) & ~pad_rows
@@ -442,17 +436,15 @@ def raynet_beam_depth_step(
     )
     bad = jnp.float32(0.0)
     if S_planes is None:
-        points = sample_points_along_segments(
-            ray_start, ray_end, depth_planes
-        )
         if strict_bands:
-            S_planes, bad = _similarities(
-                features, P, points, padding, height, width, band_specs,
-                strict=True,
+            S_planes, bad = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs, strict=True,
             )
         else:
-            S_planes = _similarities(
-                features, P, points, padding, height, width, band_specs
+            S_planes = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs,
             )
     valid = jnp.ones((ray_idxs.shape[0],), jnp.int32)
     depth, overflow = bp_beam_depth_step(
@@ -475,12 +467,9 @@ def _strict_front(chunk, features, P, P_pinv, camera_center, bbox, S_in,
     )
     bad = jnp.float32(0.0)
     if S_in is None:
-        points = sample_points_along_segments(
-            ray_start, ray_end, depth_planes
-        )
-        S_in, bad = _similarities(
-            features, P, points, padding, height, width, band_specs,
-            strict=True,
+        S_in, bad = _scores(
+            features, P, ray_start, ray_end, padding, height, width,
+            depth_planes, band_specs, strict=True,
         )
     return ray_start, ray_end, pad_rows, S_in, bad
 
@@ -515,26 +504,38 @@ def raynet_image_update(
     validity is the kernel's dynamic n_valid mask.
 
     Returns (msgs_full, scores_full, scatter_total, overflow_sum).
+
+    With a beam config the message store is kept in the kernel's NATIVE
+    (total_blocks, slots, RAYS) layout across sweeps — the two ~100 MB
+    per-batch layout transposes were the dominant prep-glue cost.
     """
-    cols = msgs_full.shape[1]
     offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
     if bp_cfg is not None:
         from .pallas.bp_beam import (
             bp_beam_message_step_perm, grid_to_perm, grid_from_perm,
         )
 
+        nblk = batch // bp_cfg.rays
         # Grid layouts convert ONCE per image-sweep; the kernel's aliased
         # RMW scatter accumulates straight into the PERM-layout carry (no
         # per-batch zeros grid, flat add, or transpose pair).
         grid_perm = grid_to_perm(grid_acc, bp_cfg)
         scatter_perm = grid_to_perm(scatter_total, bp_cfg)
+    else:
+        cols = msgs_full.shape[1]
 
     def body(carry, xs):
         msgs_full, scores_full, acc = carry
         chunk, n_valid, off = xs
-        msg_block = jax.lax.dynamic_slice(
-            msgs_full, (off, 0), (batch, cols)
-        ).astype(jnp.float32)
+        if bp_cfg is not None:
+            msg_block = jax.lax.dynamic_slice(
+                msgs_full, (off // bp_cfg.rays, 0, 0),
+                (nblk, bp_cfg.slots, bp_cfg.rays),
+            ).astype(jnp.float32)
+        else:
+            msg_block = jax.lax.dynamic_slice(
+                msgs_full, (off, 0), (batch, cols)
+            ).astype(jnp.float32)
         S_in = None
         if use_scores and not first_iteration:
             S_in = jax.lax.dynamic_slice(
@@ -555,7 +556,7 @@ def raynet_image_update(
             new_msgs, acc, overflow = bp_beam_message_step_perm(
                 ray_start, ray_end, valid, S_in, msg_block, grid_perm,
                 acc, camera_center, bbox, bp_cfg,
-                first_iteration=first_iteration,
+                first_iteration=first_iteration, native_msgs=True,
             )
             overflow = overflow + bad
             S_out = S_in
@@ -571,7 +572,9 @@ def raynet_image_update(
             )
             acc = acc + scatter
         msgs_full = jax.lax.dynamic_update_slice(
-            msgs_full, new_msgs.astype(msgs_full.dtype), (off, 0)
+            msgs_full, new_msgs.astype(msgs_full.dtype),
+            (off // bp_cfg.rays, 0, 0) if bp_cfg is not None
+            else (off, 0),
         )
         if use_scores and first_iteration:
             scores_full = jax.lax.dynamic_update_slice(
@@ -608,19 +611,27 @@ def raynet_image_depth(
 ):
     """Single-dispatch final depth sweep over a whole image (see
     :func:`raynet_image_update`). Returns (nb, batch) depths."""
-    cols = msgs_full.shape[1]
     offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
     if bp_cfg is not None:
         from .pallas.bp_beam import bp_beam_depth_step_perm, grid_to_perm
 
+        nblk = batch // bp_cfg.rays
         grid_perm = grid_to_perm(grid_acc, bp_cfg)
         scratch0 = jnp.zeros_like(grid_perm)  # dead aliased buffer
+    else:
+        cols = msgs_full.shape[1]
 
     def body(carry, xs):
         chunk, off = xs
-        msg_block = jax.lax.dynamic_slice(
-            msgs_full, (off, 0), (batch, cols)
-        ).astype(jnp.float32)
+        if bp_cfg is not None:
+            msg_block = jax.lax.dynamic_slice(
+                msgs_full, (off // bp_cfg.rays, 0, 0),
+                (nblk, bp_cfg.slots, bp_cfg.rays),
+            ).astype(jnp.float32)
+        else:
+            msg_block = jax.lax.dynamic_slice(
+                msgs_full, (off, 0), (batch, cols)
+            ).astype(jnp.float32)
         S_in = None
         if use_scores:
             S_in = jax.lax.dynamic_slice(
@@ -634,7 +645,7 @@ def raynet_image_depth(
             valid = jnp.ones((batch,), jnp.int32)
             depth, carry, overflow = bp_beam_depth_step_perm(
                 ray_start, ray_end, valid, S_in, msg_block, grid_perm,
-                carry, camera_center, bbox, bp_cfg,
+                carry, camera_center, bbox, bp_cfg, native_msgs=True,
             )
             bad = bad + overflow
         else:
@@ -708,17 +719,15 @@ def raynet_depth_step(
     )
     bad = jnp.float32(0.0)
     if S_planes is None:
-        points = sample_points_along_segments(
-            ray_start, ray_end, depth_planes
-        )
         if strict_bands:
-            S_planes, bad = _similarities(
-                features, P, points, padding, height, width, band_specs,
-                strict=True,
+            S_planes, bad = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs, strict=True,
             )
         else:
-            S_planes = _similarities(
-                features, P, points, padding, height, width, band_specs
+            S_planes = _scores(
+                features, P, ray_start, ray_end, padding, height, width,
+                depth_planes, band_specs,
             )
 
     flat_idx, counts = voxel_traversal_flat(

@@ -970,7 +970,7 @@ def bp_beam_call(
 
 
 def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
-                 camera_center, bbox, cfg):
+                 camera_center, bbox, cfg, native_msgs=False):
     perm = list(cfg.perm)
     n = ray_start.shape[0]
     nb = n // cfg.rays
@@ -993,7 +993,15 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
     seg = seg.reshape(16, nb, cfg.rays).transpose(1, 0, 2)
 
     sp = S_planes.reshape(nb, cfg.rays, -1).transpose(0, 2, 1)
-    msgs = messages_slot.reshape(nb, cfg.rays, cfg.slots).transpose(0, 2, 1)
+    if native_msgs:
+        # messages already in the kernel's (nb, slots, RAYS) layout —
+        # scanning callers keep the store in this layout so the big
+        # per-batch transpose (the dominant prep cost) never happens
+        msgs = messages_slot
+    else:
+        msgs = messages_slot.reshape(
+            nb, cfg.rays, cfg.slots
+        ).transpose(0, 2, 1)
 
     # Per-(block, 8-slice group) DRIFTING beam origins: lateral positions
     # of each ray at every group boundary (clamped lerp along the dominant
@@ -1058,7 +1066,7 @@ def grid_pads(cfg):
 def bp_beam_message_step_perm(
     ray_start, ray_end, valid, S_planes, messages_slot, grid_perm,
     scatter_perm, camera_center, bbox, cfg, first_iteration=False,
-    interpret=False,
+    interpret=False, native_msgs=False,
 ):
     """Like :func:`bp_beam_message_step` but the grids stay in the
     kernel's PERM layout: ``grid_perm`` is the read-only accumulator
@@ -1066,19 +1074,27 @@ def bp_beam_message_step_perm(
     PLACE via the kernel's aliased RMW scatter — callers scanning over
     many batches convert layouts once per image instead of per batch.
 
-    Returns (new_messages_slot (N, SLOTS), scatter_perm, overflow).
+    ``native_msgs``: messages arrive AND return in the kernel's
+    (nb, SLOTS, RAYS) layout — scanning callers keep the whole store in
+    this layout, eliminating the two big per-batch transposes (the
+    dominant prep-glue cost, ~100 MB each way per 65k-ray batch).
+
+    Returns (new_messages (N, SLOTS) or native, scatter_perm, overflow).
     """
     seg, sp, msgs, origins, _ = _prep_inputs(
         ray_start, ray_end, valid, S_planes, messages_slot,
-        camera_center, bbox, cfg,
+        camera_center, bbox, cfg, native_msgs=native_msgs,
     )
     out_msgs, grid_out, misc = bp_beam_call(
         seg, sp, msgs, grid_perm, scatter_perm, origins, cfg,
         first_iteration=first_iteration, depth_mode=False,
         interpret=interpret,
     )
-    n = ray_start.shape[0]
-    new_msgs = out_msgs.transpose(0, 2, 1).reshape(n, cfg.slots)
+    if native_msgs:
+        new_msgs = out_msgs
+    else:
+        n = ray_start.shape[0]
+        new_msgs = out_msgs.transpose(0, 2, 1).reshape(n, cfg.slots)
     overflow = misc[:, 0].sum()
     return new_msgs, grid_out, overflow
 
@@ -1121,6 +1137,7 @@ def bp_beam_message_step(
 def bp_beam_depth_step_perm(
     ray_start, ray_end, valid, S_planes, messages_slot, grid_perm,
     scratch_perm, camera_center, bbox, cfg, interpret=False,
+    native_msgs=False,
 ):
     """PERM-layout final depth sweep (see bp_beam_message_step_perm).
     ``scratch_perm`` is a dead aliased buffer threaded through scans
@@ -1129,7 +1146,7 @@ def bp_beam_depth_step_perm(
     Returns (depth (N,), scratch_perm, overflow)."""
     seg, sp, msgs, origins, _ = _prep_inputs(
         ray_start, ray_end, valid, S_planes, messages_slot,
-        camera_center, bbox, cfg,
+        camera_center, bbox, cfg, native_msgs=native_msgs,
     )
     _, scratch_out, misc = bp_beam_call(
         seg, sp, msgs, grid_perm, scratch_perm, origins, cfg,

@@ -16,6 +16,15 @@ This kernel exploits two structural facts measured on the workload:
    contraction runs on the MXU at full width (cost ~ band_rows MACs/target
    instead of a ~15 ns serial gather per target).
 
+Round 3: targets are DEPTH-MAJOR (t = d*128 + r), so each 512-target
+matmul tile is a 4-plane DEPTH GROUP whose projections cluster in a
+sub-box ~3x smaller than the whole epipolar band (the band's length is
+the full 32-plane sweep; 4/32 of it plus the pixel tile's footprint).
+Per-(block, view, depth-group) DRIFTING origins (the same trick as the
+beam kernel's 8-slice groups) shrink the one-hot eq build — the kernel's
+dominant cost, proportional to static box rows x targets — to the
+sub-box. Boxes stream through per-view double-buffered DMA slots.
+
 Layout discipline: TARGETS LIVE IN LANES everywhere (cell ids arrive as
 (V, T) lane vectors, gathered features are (32ch, T), accumulators are
 (32, T)) — no cross-lane transposes anywhere in the kernel. The one-hot
@@ -42,14 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAYS_PER_BLOCK = 128
 TILE_W, TILE_H = 16, 8  # pixel tile (x-extent, y-extent) for ray blocking
-_T_TILE = 512  # targets per matmul tile
+_T_TILE = 512  # targets per matmul tile = one 4-plane depth group
+GROUP_D = 4  # depth planes per target tile (512 targets / 128 rays)
+_DMA_SLOTS = 4  # in-flight sub-box copies per view (latency hiding)
 
 
 def _kernel(
     box_specs,
     n_views,
     depth_planes,
-    origins_ref,  # scalar prefetch: (NB * V * 2,) int32 (y0, xg0) per b,v
+    origins_ref,  # scalar prefetch: (NB*V*G*2,) int32 (y0, xg0) per b,v,g
     cell_ref,  # (1, V, T) int32 local packed cell ids (or -1 sentinel)
     f00_ref,  # (32, V_pad) f32 — F[v, 0, 0, :] columns (sentinel values)
     feat_ref,  # (V, Hf, Wg, 128) bf16 in HBM/ANY
@@ -58,64 +69,71 @@ def _kernel(
 ):
     b = pl.program_id(0)
     T = RAYS_PER_BLOCK * depth_planes
-    bands = scratch[:n_views]
+    G = depth_planes // GROUP_D
+    bands = scratch[:n_views]  # per view: (SLOTS, bh, bwg, 128) DMA slots
     sumf_scr, sumsq_scr = scratch[n_views], scratch[n_views + 1]
-    sems = scratch[n_views + 2]
+    sems = scratch[n_views + 2]  # (V, SLOTS)
     out_scr, out_sem = scratch[n_views + 3], scratch[n_views + 4]
 
-    # Kick off all band DMAs up front; they overlap with compute.
-    copies = []
-    for v in range(n_views):
+    seq = [(v, g) for v in range(n_views) for g in range(G)]
+
+    def slot_of(i):
+        v, g = seq[i]
+        return g % _DMA_SLOTS
+
+    def dma_for(i):
+        v, g = seq[i]
         bh, bwg = box_specs[v]
-        y0 = origins_ref[b * n_views * 2 + v * 2]
+        base = ((b * n_views + v) * G + g) * 2
+        y0 = origins_ref[base]
         # the wrapper emits xg0 in 8-group units; tell the compiler
-        xg0 = pl.multiple_of(
-            origins_ref[b * n_views * 2 + v * 2 + 1], 8
-        )
-        dma = pltpu.make_async_copy(
+        xg0 = pl.multiple_of(origins_ref[base + 1], 8)
+        return pltpu.make_async_copy(
             feat_ref.at[v, pl.ds(y0, bh), pl.ds(xg0, bwg)],
-            bands[v],
-            sems.at[v],
+            bands[v].at[slot_of(i)],
+            sems.at[v, slot_of(i)],
         )
-        dma.start()
-        copies.append(dma)
 
     sumf_scr[:] = jnp.zeros_like(sumf_scr)
     sumsq_scr[:] = jnp.zeros_like(sumsq_scr)
 
-    for v in range(n_views):
+    # deep DMA pipeline: sub-box copies are small (~64-128 KB) and their
+    # ~1 us issue latency exceeds a tile's compute, so keep
+    # _DMA_SLOTS - 1 copies in flight ahead of the consumer
+    for j in range(min(_DMA_SLOTS - 1, len(seq))):
+        dma_for(j).start()
+    for i, (v, g) in enumerate(seq):
+        if i + _DMA_SLOTS - 1 < len(seq):
+            dma_for(i + _DMA_SLOTS - 1).start()
         bh, bwg = box_specs[v]
         ctr = bh * bwg
-        copies[v].wait()
-        band = bands[v][:].reshape(ctr, 128)
+        dma_for(i).wait()
+        band = bands[v][slot_of(i)].reshape(ctr, 128)
         f00 = f00_ref[:, v : v + 1]  # (32, 1)
-        for ti in range(T // _T_TILE):
-            cid = cell_ref[0, v : v + 1, pl.ds(ti * _T_TILE, _T_TILE)]
-            row = cid >> 2  # (1, Tt)
-            sub = cid & 3
-            iota_r = jax.lax.broadcasted_iota(
-                jnp.int32, (ctr, _T_TILE), 0
+        cid = cell_ref[0, v : v + 1, pl.ds(g * _T_TILE, _T_TILE)]
+        row = cid >> 2  # (1, Tt)
+        sub = cid & 3
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, _T_TILE), 0)
+        eqT = (
+            iota_r == jnp.broadcast_to(row, (ctr, _T_TILE))
+        ).astype(jnp.bfloat16)
+        rows_T = jax.lax.dot_general(
+            band,
+            eqT,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128, Tt): 4 packed cells x 32 channels, targets in lanes
+        fT = jnp.zeros((32, _T_TILE), jnp.float32)
+        for s in range(4):
+            pick = jax.lax.slice(
+                rows_T, (s * 32, 0), ((s + 1) * 32, _T_TILE)
             )
-            eqT = (
-                iota_r == jnp.broadcast_to(row, (ctr, _T_TILE))
-            ).astype(jnp.bfloat16)
-            rows_T = jax.lax.dot_general(
-                band,
-                eqT,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (128, Tt): 4 packed cells x 32 channels, targets in lanes
-            fT = jnp.zeros((32, _T_TILE), jnp.float32)
-            for s in range(4):
-                pick = jax.lax.slice(
-                    rows_T, (s * 32, 0), ((s + 1) * 32, _T_TILE)
-                )
-                fT = fT + jnp.where(sub == s, pick, 0.0)
-            fT = jnp.where(cid < 0, jnp.broadcast_to(f00, (32, _T_TILE)), fT)
+            fT = fT + jnp.where(sub == s, pick, 0.0)
+        fT = jnp.where(cid < 0, jnp.broadcast_to(f00, (32, _T_TILE)), fT)
 
-            sl = pl.ds(ti * _T_TILE, _T_TILE)
-            sumf_scr[:, sl] += fT
-            sumsq_scr[:, sl] += fT * fT
+        sl = pl.ds(g * _T_TILE, _T_TILE)
+        sumf_scr[:, sl] += fT
+        sumsq_scr[:, sl] += fT * fT
 
     sumf = sumf_scr[:]
     pair = 0.5 * (
@@ -137,8 +155,8 @@ def _kernel(
 )
 def _banded_pair_sums(
     feats_packed,  # (V, Hf, Wg, 128) bf16
-    origins,  # (NB * V * 2,) int32
-    cellids,  # (NB, V, T) int32
+    origins,  # (NB * V * G * 2,) int32
+    cellids,  # (NB, V, T) int32, depth-major targets (t = d*128 + r)
     f00,  # (32, V_pad) f32
     box_specs,
     n_views,
@@ -162,12 +180,13 @@ def _banded_pair_sums(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((bh, bwg, 128), jnp.bfloat16) for bh, bwg in box_specs
+            pltpu.VMEM((_DMA_SLOTS, bh, bwg, 128), jnp.bfloat16)
+            for bh, bwg in box_specs
         ]
         + [
             pltpu.VMEM((32, T), jnp.float32),
             pltpu.VMEM((32, T), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_views,)),
+            pltpu.SemaphoreType.DMA((n_views, _DMA_SLOTS)),
             pltpu.VMEM((1, T), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -199,26 +218,32 @@ def tile_order(ray_idxs, height, tile_w=TILE_W, tile_h=TILE_H):
 
 
 def compute_band_boxes(fidx, depth_planes):
-    """Per (block, view) band boxes from feature indices.
+    """Per (block, depth-group, view) sub-band boxes from feature indices.
+
+    Middle-axis reductions only: a layout transpose of the (..., V, 2)-
+    minor fidx tensor is pathological on TPU (tiny minor dims pad to 128
+    lanes; measured ~90 ms per 65k-ray batch).
 
     Arguments
     ---------
         fidx: (N, D, V, 2) int32 TILE-ORDERED feature indices
     Returns
     -------
-        mins, maxs: (NB, V, 2) int32 (y, x) over non-sentinel targets
+        mins, maxs: (NB, G, V, 2) int32 (y, x) over non-sentinel targets
+        of each 4-plane depth group
     """
     n, d, v, _ = fidx.shape
     nb = n // RAYS_PER_BLOCK
-    fb = fidx.reshape(nb, RAYS_PER_BLOCK * d, v, 2)
+    g = d // GROUP_D
+    fb = fidx.reshape(nb, RAYS_PER_BLOCK, g, GROUP_D, v, 2)
     fx, fy = fb[..., 0], fb[..., 1]
     sent = (fx == 0) & (fy == 0)
     big = jnp.int32(1 << 20)
-    min_x = jnp.where(sent, big, fx).min(axis=1)
-    min_y = jnp.where(sent, big, fy).min(axis=1)
-    max_x = jnp.where(sent, -1, fx).max(axis=1)
-    max_y = jnp.where(sent, -1, fy).max(axis=1)
-    # All-sentinel (b, v): collapse to an empty box at the origin.
+    min_x = jnp.where(sent, big, fx).min(axis=(1, 3))
+    min_y = jnp.where(sent, big, fy).min(axis=(1, 3))
+    max_x = jnp.where(sent, -1, fx).max(axis=(1, 3))
+    max_y = jnp.where(sent, -1, fy).max(axis=(1, 3))
+    # All-sentinel (b, g, v): collapse to an empty box at the origin.
     min_x = jnp.minimum(min_x, jnp.maximum(max_x, 0))
     min_y = jnp.minimum(min_y, jnp.maximum(max_y, 0))
     mins = jnp.stack([min_y, min_x], axis=-1)
@@ -227,15 +252,16 @@ def compute_band_boxes(fidx, depth_planes):
 
 
 def measure_box_specs(fidx, depth_planes, pad=2):
-    """Host-side: smallest (BH, BWg) per view covering ALL blocks, rounded
-    to sublane/group multiples. Call once per geometry outside jit."""
+    """Host-side: smallest (BH, BWg) per view covering ALL (block,
+    depth-group) sub-boxes, rounded to sublane/group multiples. Call once
+    per geometry outside jit."""
     mins, maxs = compute_band_boxes(jnp.asarray(fidx), depth_planes)
     mins, maxs = np.asarray(mins), np.asarray(maxs)
-    spans = maxs - mins  # (NB, V, 2)
+    spans = maxs - mins  # (NB, G, V, 2)
     specs = []
     for v in range(fidx.shape[2]):
-        bh = int(spans[:, v, 0].max()) + 1 + pad
-        bw = int(spans[:, v, 1].max()) + 1 + pad
+        bh = int(spans[:, :, v, 0].max()) + 1 + pad
+        bw = int(spans[:, :, v, 1].max()) + 1 + pad
         bh = max(8, -(-bh // 8) * 8)
         # group extent: +8 groups of slack for the 8-group-aligned origin,
         # rounded to the 16-sublane bf16 tile (Mosaic DMA slice alignment)
@@ -342,9 +368,140 @@ _VMEM_BUDGET = 14 << 20  # bytes of scoped VMEM the banded kernel may plan
 def _specs_vmem_bytes(box_specs, depth_planes):
     """Scoped-VMEM estimate of _banded_pair_sums at these box specs."""
     T = RAYS_PER_BLOCK * depth_planes
-    boxes = sum(bh * bwg * 128 * 2 for bh, bwg in box_specs)  # bf16
+    # _DMA_SLOTS in-flight bf16 sub-box copies per view
+    boxes = sum(
+        _DMA_SLOTS * bh * bwg * 128 * 2 for bh, bwg in box_specs
+    )
     fixed = 2 * 32 * T * 4 + (len(box_specs) + 1) * T * 4
     return boxes + fixed
+
+
+def _pack_features(features, box_specs):
+    """Pack (V, Hf, Wf, F=32) feature maps into the kernel's 128-lane row
+    layout with origin-clamp padding. Returns (feats_packed, hfp, wgp)."""
+    v, hf, wf, f = features.shape
+    wg = -(-wf // 32) * 8
+    hfp = max(hf, -(-hf // 8) * 8 + max(s[0] for s in box_specs))
+    wgp = wg + max(s[1] for s in box_specs)  # room for the clamped origin
+    feats = features.astype(jnp.bfloat16)
+    # Pack BEFORE the big pad: padding the (..., 32)-minor tensor lets
+    # XLA's layout assignment pick a V-minor layout for the temp (measured
+    # 25.6x = 128/V tile expansion, 12.7 GB at 720p).
+    wf4 = -(-wf // 4) * 4
+    feats = jnp.pad(feats, ((0, 0), (0, 0), (0, wf4 - wf), (0, 0)))
+    feats_packed = feats.reshape(v, hf, wf4 // 4, 128)
+    feats_packed = jnp.pad(
+        feats_packed,
+        ((0, 0), (0, hfp - hf), (0, wgp - wf4 // 4), (0, 0)),
+    )
+    return feats_packed, hfp, wgp
+
+
+def banded_scores_from_segments(
+    features, P, ray_start, ray_end, depth_planes, padding,
+    height, width, box_specs, interpret=False,
+):
+    """Lane-major banded plane sweep straight from ray segments.
+
+    Sampling, projection, feature-cell mapping, per-depth-group origins
+    and packed cell ids all run in (NB, D, 128) layout — RAYS IN LANES.
+    The legacy route materialized an (N, D, V, 2) index tensor whose
+    2-wide minor dim pads to 128 lanes on TPU (measured ~12 ms per
+    65k-ray batch just for the projection chain vs ~1 ms here).
+
+    Returns (pair_sum (N, D) f32 pre-softmax/pre-/n_pairs, fits) where
+    ``fits`` is the in-graph strict-band check (False => the static boxes
+    do not cover this batch and the scores are garbage).
+
+    Arithmetic parity: identical formulas to sample_points_along_segments
+    + project_points + pixel_to_feature_idx evaluated per coordinate; f32
+    rounding may flip a round()-boundary cell on ~1e-7 of targets.
+    """
+    v = features.shape[0]
+    n = ray_start.shape[0]
+    d = depth_planes
+    nb = n // RAYS_PER_BLOCK
+    G = d // GROUP_D
+
+    feats_packed, hfp, wgp = _pack_features(features, box_specs)
+
+    def lanes(x):  # (N,) -> (nb, 1, 128)
+        return x.reshape(nb, 1, RAYS_PER_BLOCK)
+
+    frac = (
+        jnp.arange(d, dtype=jnp.float32) / jnp.float32(d - 1)
+    ).reshape(1, d, 1)
+    pc = []
+    for a in range(3):
+        s_ = lanes(ray_start[:, a])
+        pc.append(s_ + frac * (lanes(ray_end[:, a]) - s_))  # (nb, d, 128)
+
+    offset = padding - (padding - 1) // 2
+    big = jnp.int32(1 << 20)
+    cell_rows = []
+    origin_rows = []
+    fits = None
+    for vi in range(v):
+        Pv = P[vi]
+        u = Pv[0, 0] * pc[0] + Pv[0, 1] * pc[1] + Pv[0, 2] * pc[2] + Pv[0, 3]
+        w_ = Pv[1, 0] * pc[0] + Pv[1, 1] * pc[1] + Pv[1, 2] * pc[2] + Pv[1, 3]
+        z_ = Pv[2, 0] * pc[0] + Pv[2, 1] * pc[1] + Pv[2, 2] * pc[2] + Pv[2, 3]
+        # true division (not reciprocal-multiply): bitwise parity with
+        # geometry.project_points' dehomogenization
+        fx = jnp.clip(
+            jnp.round(u / z_).astype(jnp.int32) + offset, 0, width
+        )
+        fy = jnp.clip(
+            jnp.round(w_ / z_).astype(jnp.int32) + offset, 0, height
+        )
+        ez = (fx == 0) | (fy == 0)
+        fx = jnp.where(ez, 0, fx)
+        fy = jnp.where(ez, 0, fy)
+
+        sent = ez  # (nb, d, 128)
+        gx = fx.reshape(nb, G, GROUP_D * RAYS_PER_BLOCK)
+        gy = fy.reshape(nb, G, GROUP_D * RAYS_PER_BLOCK)
+        gs = sent.reshape(nb, G, GROUP_D * RAYS_PER_BLOCK)
+        mnx = jnp.where(gs, big, gx).min(axis=2)  # (nb, G)
+        mny = jnp.where(gs, big, gy).min(axis=2)
+        mxx = jnp.where(gs, -1, gx).max(axis=2)
+        mxy = jnp.where(gs, -1, gy).max(axis=2)
+        mnx = jnp.minimum(mnx, jnp.maximum(mxx, 0))
+        mny = jnp.minimum(mny, jnp.maximum(mxy, 0))
+
+        bh, bwg = box_specs[vi]
+        bw_px = (bwg - 8) * 4 - 3
+        fit_v = ((mxy - mny + 1) <= bh).all() & (
+            (mxx - mnx + 1) <= bw_px
+        ).all()
+        fits = fit_v if fits is None else (fits & fit_v)
+
+        y0 = jnp.clip(mny, 0, max(hfp - bh, 0))  # (nb, G)
+        xg0 = jnp.clip((mnx // 32) * 8, 0, max(wgp - bwg, 0))
+        origin_rows.append(
+            jnp.stack([y0, xg0], axis=-1).astype(jnp.int32)  # (nb, G, 2)
+        )
+
+        ly = gy - y0[:, :, None]
+        lrow = ly * bwg + (gx // 4 - xg0[:, :, None])
+        lcell = jnp.where(gs, -1, lrow * 4 + (gx & 3))
+        cell_rows.append(lcell.reshape(nb, 1, d * RAYS_PER_BLOCK))
+
+    cellids = jnp.concatenate(cell_rows, axis=1)  # (NB, V, T) depth-major
+    origins = jnp.stack(origin_rows, axis=1).reshape(-1)  # (nb, V, G, 2)
+
+    v_pad = -(-v // 8) * 8
+    f00 = jnp.zeros((32, v_pad), jnp.float32)
+    f00 = f00.at[:, :v].set(features[:, 0, 0, :].T.astype(jnp.float32))
+
+    pair = _banded_pair_sums(
+        feats_packed, origins, cellids, f00,
+        tuple(box_specs), v, d, interpret=interpret,
+    )
+    pair = jnp.transpose(
+        pair.reshape(nb, d, RAYS_PER_BLOCK), (0, 2, 1)
+    ).reshape(n, d)
+    return pair, fits
 
 
 def banded_similarities(
@@ -396,25 +553,40 @@ def banded_similarities(
         ((0, 0), (0, hfp - hf), (0, wgp - wf4 // 4), (0, 0)),
     )
 
-    mins, _ = compute_band_boxes(fidx, d)  # (NB, V, 2)
+    mins, _ = compute_band_boxes(fidx, d)  # (NB, G, V, 2)
     bhs = jnp.asarray([s[0] for s in box_specs], jnp.int32)
     bwgs = jnp.asarray([s[1] for s in box_specs], jnp.int32)
-    y0 = jnp.clip(mins[..., 0], 0, jnp.maximum(hfp - bhs[None, :], 0))
+    y0 = jnp.clip(
+        mins[..., 0], 0, jnp.maximum(hfp - bhs[None, None, :], 0)
+    )  # (NB, G, V)
     # origin in 8-group (32 px) units so DMA offsets stay tile-aligned
     xg0 = jnp.clip(
-        (mins[..., 1] // 32) * 8, 0, jnp.maximum(wgp - bwgs[None, :], 0)
+        (mins[..., 1] // 32) * 8,
+        0, jnp.maximum(wgp - bwgs[None, None, :], 0),
     )
-    origins = jnp.stack([y0, xg0], axis=-1).reshape(-1).astype(jnp.int32)
+    # kernel origin layout: [((b*V + v)*G + g)*2]
+    origins = jnp.stack(
+        [jnp.transpose(y0, (0, 2, 1)), jnp.transpose(xg0, (0, 2, 1))],
+        axis=-1,
+    ).reshape(-1).astype(jnp.int32)
 
-    # Local packed cell ids; clamp sentinel (0,0) marks -1.
-    fb = fidx.reshape(nb, RAYS_PER_BLOCK * d, v, 2)
-    fx, fy = fb[..., 0], fb[..., 1]
+    # Local packed cell ids per depth group; clamp sentinel (0,0) -> -1.
+    # Computed in fidx's own (nb, 128, D, V) layout (no transpose of the
+    # tiny-minor-dim tensor), then ONE permute whose OUTPUT minor dim is
+    # the 128-ray axis.
+    fb = fidx.reshape(nb, RAYS_PER_BLOCK, d, v, 2)
+    fx, fy = fb[..., 0], fb[..., 1]  # (nb, 128, D, V)
     sent = (fx == 0) & (fy == 0)
-    ly = fy - y0[:, None, :]
-    lrow = ly * bwgs[None, None, :] + (fx // 4 - xg0[:, None, :])
+    y0d = jnp.repeat(y0, GROUP_D, axis=1)  # (nb, D, V) per-plane origins
+    xg0d = jnp.repeat(xg0, GROUP_D, axis=1)
+    ly = fy - y0d[:, None, :, :]
+    lrow = ly * bwgs[None, None, None, :] + (fx // 4 - xg0d[:, None, :, :])
     lcell = lrow * 4 + (fx & 3)
     lcell = jnp.where(sent, -1, lcell)
-    cellids = jnp.transpose(lcell, (0, 2, 1))  # (NB, V, T)
+    T = RAYS_PER_BLOCK * d
+    cellids = jnp.transpose(lcell, (0, 3, 2, 1)).reshape(
+        nb, v, T
+    )  # (NB, V, T) depth-major targets (t = d*128 + r)
 
     v_pad = -(-v // 8) * 8
     f00 = jnp.zeros((32, v_pad), jnp.float32)
@@ -423,5 +595,7 @@ def banded_similarities(
     pair = _banded_pair_sums(
         feats_packed, origins, cellids, f00,
         tuple(box_specs), v, d, interpret=interpret,
-    )  # (NB, 1, T); targets ray-major within a block (t = r * D + dd)
-    return pair.reshape(nb, RAYS_PER_BLOCK, d).reshape(n, d)
+    )  # (NB, 1, T); targets DEPTH-major within a block (t = dd*128 + r)
+    return jnp.transpose(
+        pair.reshape(nb, d, RAYS_PER_BLOCK), (0, 2, 1)
+    ).reshape(n, d)

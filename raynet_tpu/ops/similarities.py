@@ -149,12 +149,12 @@ def bands_fit(fidx, box_specs):
     from .pallas.planesweep import compute_band_boxes
 
     mins, maxs = compute_band_boxes(fidx, fidx.shape[1])
-    spans = maxs - mins  # (NB, V, 2)
+    spans = maxs - mins  # (NB, G, V, 2) per-depth-group sub-boxes
     bh = jnp.asarray([s[0] for s in box_specs])
     # width in pixels that survives the 8-group origin snap + group packing
     bw_px = jnp.asarray([(s[1] - 8) * 4 - 3 for s in box_specs])
-    fits_h = (spans[..., 0] + 1 <= bh[None, :]).all()
-    fits_w = (spans[..., 1] + 1 <= bw_px[None, :]).all()
+    fits_h = (spans[..., 0] + 1 <= bh[None, None, :]).all()
+    fits_w = (spans[..., 1] + 1 <= bw_px[None, None, :]).all()
     return fits_h & fits_w
 
 

@@ -220,6 +220,112 @@ def sharded_beam_depth_step(
     return step
 
 
+def sharded_image_update(
+    mesh, n_dev, *, batch, height, width, padding, depth_planes,
+    grid_shape, max_voxels, bp_cfg, band_specs, first_iteration,
+    use_scores, use_pallas,
+):
+    """Sharded SINGLE-DISPATCH per-(image, sweep) scan: each device runs
+    fused.raynet_image_update over ITS ray shard of every batch (the
+    perm-layout scatter rides the shard-local scan carry), and the grid
+    contribution is reduced with ONE psum per (image, sweep) — replacing
+    the per-batch psum granularity (~4,200 32 MB collectives per DTU
+    scene where ~150 do).
+
+    Store layouts (device-major so shard_map's contiguous axis-0 split
+    matches ray ownership):
+      msgs_st:   (n_dev, local_blocks, SLOTS, RAYS) beam-native, or
+                 (n_dev, local_rows, M) for the XLA path
+      scores_st: (n_dev, local_rows, D)
+      chunks_st: (n_dev, nb, unit) int32 ray ids
+    ``scatter_prior`` is the replicated prior grid; shard contributions
+    accumulate from zero and the psum'd total is added to it (a psum of
+    per-shard prior-initialized grids would count the prior n_dev times).
+
+    Returns a step fn: (msgs_st, scores_st, scatter_prior, grid_acc,
+    chunks_st, n_valids, features, P, P_pinv, center, bbox) ->
+    (msgs_st, scores_st, scatter_total, overflow_sum).
+    """
+    from functools import partial as _partial
+
+    unit = batch // n_dev
+    common = dict(
+        batch=unit, height=height, width=width, padding=padding,
+        depth_planes=depth_planes, grid_shape=grid_shape,
+        max_voxels=max_voxels, bp_cfg=bp_cfg, band_specs=band_specs,
+        first_iteration=first_iteration, use_scores=use_scores,
+        use_pallas=use_pallas,
+    )
+
+    @_partial(jax.jit, donate_argnums=(0, 2))
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(RAY_AXIS),  # msgs_st
+            P(RAY_AXIS),  # scores_st
+            P(),          # scatter_prior
+            P(),          # grid_acc
+            P(RAY_AXIS),  # chunks_st
+            P(),          # n_valids (global per chunk)
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P(RAY_AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+    def step(msgs_st, scores_st, scatter_prior, grid_acc, chunks_st,
+             n_valids, features, Pm, P_pinv, center, bbox):
+        k = jax.lax.axis_index(RAY_AXIS)
+        local_nv = jnp.clip(n_valids - k * unit, 0, unit)
+        m, s, scat, ov = fused.raynet_image_update(
+            msgs_st[0], scores_st[0], jnp.zeros_like(scatter_prior),
+            grid_acc, chunks_st[0], local_nv,
+            features, Pm, P_pinv, center, bbox, **common,
+        )
+        total = scatter_prior + jax.lax.psum(scat, RAY_AXIS)
+        return m[None], s[None], total, jnp.broadcast_to(ov, (1,))
+
+    return step
+
+
+def sharded_image_depth(
+    mesh, n_dev, *, batch, height, width, padding, depth_planes,
+    grid_shape, max_voxels, bp_cfg, band_specs, use_scores, use_pallas,
+):
+    """Sharded single-dispatch final depth sweep (grid read-only: no
+    collective). Returns (depths_st (n_dev, nb, unit), overflow_st)."""
+    from functools import partial as _partial
+
+    unit = batch // n_dev
+    common = dict(
+        batch=unit, height=height, width=width, padding=padding,
+        depth_planes=depth_planes, grid_shape=grid_shape,
+        max_voxels=max_voxels, bp_cfg=bp_cfg, band_specs=band_specs,
+        use_scores=use_scores, use_pallas=use_pallas,
+    )
+
+    @jax.jit
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(RAY_AXIS), P(RAY_AXIS), P(), P(RAY_AXIS),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )
+    def step(msgs_st, scores_st, grid_acc, chunks_st,
+             features, Pm, P_pinv, center, bbox):
+        depths, bad = fused.raynet_image_depth(
+            msgs_st[0], scores_st[0], grid_acc, chunks_st[0],
+            features, Pm, P_pinv, center, bbox, **common,
+        )
+        return depths[None], jnp.broadcast_to(bad, (1,))
+
+    return step
+
+
 def shard_e2e_batch(mesh, batch):
     """Shard a RayNet training batch over rays; scene-level tensors are
     replicated. GSPMD then runs the whole jitted train step SPMD, inserting

@@ -395,8 +395,9 @@ def test_image_scan_matches_per_batch_steps(geo):
 
     with pltpu.force_tpu_interpret_mode():
         # msgs arg is DONATED — pass a fresh copy, msgs0 is reused below
+        # beam message stores are kernel-NATIVE (blocks, slots, RAYS)
         out_msgs, out_scores, out_scatter, ov = fused.raynet_image_update(
-            jnp.zeros((n, cfg.slots), jnp.float32),
+            jnp.zeros((n // cfg.rays, cfg.slots, cfg.rays), jnp.float32),
             geo["S_planes"], jnp.full((g,), prior, jnp.float32),
             acc0, chunks, n_valids, feats, Pms, P_pinv, geo["center"],
             geo["bbox"],
@@ -429,8 +430,11 @@ def test_image_scan_matches_per_batch_steps(geo):
         np.asarray(out_scatter), np.asarray(ref2_scatter),
         rtol=1e-4, atol=1e-4,
     )
+    out_msgs_rays = np.asarray(out_msgs).transpose(0, 2, 1).reshape(
+        n, cfg.slots
+    )
     np.testing.assert_allclose(
-        np.asarray(out_msgs), np.concatenate(ref2), rtol=1e-4, atol=1e-4
+        out_msgs_rays, np.concatenate(ref2), rtol=1e-4, atol=1e-4
     )
 
     # depth sweep through the scan vs per-batch
@@ -449,7 +453,8 @@ def test_image_scan_matches_per_batch_steps(geo):
         sl = slice(c * batch, (c + 1) * batch)
         d_, ov3 = bp_beam_depth_step(
             geo["start"][sl], geo["end"][sl], valid[sl],
-            geo["S_planes"][sl], jnp.asarray(out_msgs)[sl], ref2_scatter,
+            geo["S_planes"][sl], jnp.asarray(out_msgs_rays)[sl],
+            ref2_scatter,
             geo["center"], geo["bbox"], cfg, interpret=True,
         )
         ref_depth.append(np.asarray(d_))

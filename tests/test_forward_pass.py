@@ -331,3 +331,34 @@ def test_coalesce_band_specs_mixed_view_counts():
     assert out[0] == out[1] == ((16, 32), (32, 32), (24, 48))
     assert out[2] == ((16, 16), (8, 64))
     assert out[3] is None
+
+
+def test_raynet_sharded_scan_matches_single_device(setup):
+    """The sharded SINGLE-DISPATCH per-(image, sweep) scan (one psum per
+    image-sweep; VERDICT r2 #2) must reproduce the single-device depth
+    maps on the 8-device virtual mesh."""
+    scene, gp, model, scheme = setup
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H
+    )
+    # CPU has no device budget; force the scan path on the virtual mesh
+    fp._messages_on_device = lambda *a, **k: True
+    assert fp._sharded_steps(
+        H, W, gp, tuple(int(g) for g in gp.grid_shape),
+        gp.max_number_of_marched_voxels,
+    ) is not None
+    sharded_maps = list(fp.forward_pass(scene, (0, 2, 1)))
+
+    fp_single = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H
+    )
+    fp_single.multichip = "off"
+    fp_single._messages_on_device = lambda *a, **k: True
+    single_maps = list(fp_single.forward_pass(scene, (0, 2, 1)))
+
+    for a, b in zip(sharded_maps, single_maps):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
