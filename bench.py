@@ -290,6 +290,49 @@ def main():
     vagree = float(np.isclose(v_p, v_s, rtol=1e-3, atol=1e-3).mean())
     emit("voxel_depth_agreement", vagree, "fraction", vagree / AGREEMENT_BAR)
 
+    # ------------------- 4b. beam planner acceptance over camera rigs ----
+    # VERDICT r3: fraction of synthetic rigs (ring/oblique/elevated/
+    # mirrored, DTU-like radii+focals) the per-block class planner covers
+    # with exact beam configs; rejected rigs fall back to the XLA path.
+    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
+
+    def _rig(azim, elev, focal):
+        Kr = np.array(
+            [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]
+        )
+        c = 16.0 * np.array(
+            [
+                np.cos(elev) * np.sin(azim),
+                np.sin(elev),
+                -np.cos(elev) * np.cos(azim),
+            ]
+        )
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        return (
+            np.linalg.pinv(Kr @ np.hstack([R, -R @ c.reshape(3, 1)])), c
+        )
+
+    acc = tot = 0
+    for azim_d in (0, 30, 90, 150, 180, 210, 270, 330):
+        for elev_d in (0, 25):
+            pp, cc = _rig(
+                np.radians(azim_d), np.radians(elev_d), 2200.0
+            )
+            tot += 1
+            acc += (
+                plan_bp_classes(
+                    pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
+                    grid_shape, h, w, depth_planes, max_voxels,
+                    rays=512,
+                )
+                is not None
+            )
+    emit("planner_acceptance", acc / tot, "fraction", acc / tot)
+
     # ----------------- 5. full ORCHESTRATED scene (RayNetForwardPass) ----
     # Emitted last so earlier metrics survive any time budget; this is the
     # honest end-to-end number (features, batching, message storage, all 4
@@ -326,6 +369,32 @@ def main():
                 res["extrapolated_full_dtu_seconds"], "s",
                 DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
             )
+            # host-staged variant: the full-DTU SINGLE-CHIP storage
+            # story (store exceeds HBM; f16 stage per image-sweep)
+            res_hs = run_scene_benchmark(
+                images=2, height=720, width=1280, focal=2200.0,
+                host_staged=True,
+            )
+            emit(
+                "dtu_scene_host_staged_s",
+                res_hs["extrapolated_full_dtu_seconds"], "s",
+                DTU_SCENE_TARGET_S
+                / res_hs["extrapolated_full_dtu_seconds"],
+            )
+            if "accuracy_mean_dist" in res:
+                # scene-scale metric-path regression guards: mean
+                # cloud-to-cloud distances on the synthetic scene (GT is
+                # the z=0 quad; bin size 0.047 at this grid)
+                emit(
+                    "scene_accuracy_mean_dist",
+                    res["accuracy_mean_dist"], "world units",
+                    res["accuracy_mean_dist"],
+                )
+                emit(
+                    "scene_completeness_mean_dist",
+                    res["completeness_mean_dist"], "world units",
+                    res["completeness_mean_dist"],
+                )
         except Exception as e:  # keep the earlier metrics on any failure
             print("scene benchmark failed: %r" % (e,), file=sys.stderr)
 

@@ -132,6 +132,8 @@ class ForwardPass:
             self._band_cache.clear()
             if hasattr(self, "_bp_cfg_cache"):
                 self._bp_cfg_cache.clear()
+            if hasattr(self, "_bp_class_cache"):
+                self._bp_class_cache.clear()
 
     def _band_specs(self, scene, ref_idx, features, ray_idxs=None):
         """Static epipolar-band boxes for the banded plane-sweep kernel
@@ -452,16 +454,23 @@ class RayNetForwardPass(ForwardPass):
     messages_memmap_threshold = 2 ** 28
     # Host-side storage dtype for the per-image message arrays. float16
     # halves the DTU-scale footprint (49 views x 1.92M rays x ~384 slots:
-    # 144 GB f32 -> 72 GB); pon log-quotients are O(+-40) with ~1e-3
-    # relative resolution at f16 — well inside the BP clipping bands.
-    # Device math stays f32 either way.
-    messages_dtype = np.float32
+    # 144 GB f32 -> 72 GB) AND halves the host<->device staging bytes;
+    # pon log-quotients are O(+-40) with ~1e-3 relative resolution at
+    # f16 — well inside the BP clipping bands. Device math stays f32
+    # either way. None = AUTO (round 3): f32 while the scene's host store
+    # stays under ``messages_f16_threshold`` bytes, f16 beyond it (parity
+    # guarded by tests/test_forward_pass.py::test_raynet_float16_messages).
+    messages_dtype = None
+    messages_f16_threshold = 1 << 30
     # "auto": shard the ray axis over all visible devices (the scale-out
     # capability the single-GPU reference lacks); "off": single device.
     multichip = "auto"
     # "auto": use the fused BP beam kernel when the per-image geometry
     # admits it (82x the XLA sweep on v5e); "off": XLA BP path.
     bp_beam = "auto"
+    # "auto": split blocks into per-block box classes on the scan paths;
+    # "off": one (cover-all) config per image.
+    bp_classes = "auto"
     # Tests force the host-staged (upload/scan/download) path on CPU.
     force_host_staging = False
 
@@ -501,6 +510,70 @@ class RayNetForwardPass(ForwardPass):
                 rays=rays,
             )
         return self._bp_cfg_cache[ref_idx]
+
+    def _bp_classes(self, scene, ref_idx, ray_idxs):
+        """Plan per-block beam box classes for a reference view (cached);
+        None -> XLA path for that image. See
+        ops.pallas.bp_beam.plan_bp_classes."""
+        if not hasattr(self, "_bp_class_cache"):
+            self._bp_class_cache = {}
+        if ref_idx not in self._bp_class_cache:
+            from ..ops.pallas.bp_beam import plan_bp_classes
+
+            _, P, P_pinv, center = self._feature_cache[ref_idx]
+            gp = self._generation_params
+            H, W = scene.image_shape
+            gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
+            rays = 512 if self.rays_batch % 512 == 0 else 256
+            self._bp_class_cache[ref_idx] = plan_bp_classes(
+                np.asarray(P_pinv), np.asarray(center),
+                scene.bbox.reshape(-1), gp.grid_shape, H, W,
+                gp.depth_planes, gp.max_number_of_marched_voxels,
+                gamma=gamma,
+                ray_idxs=(
+                    ray_idxs if self._filter_out_rays else None
+                ),
+                rays=rays,
+            )
+        return self._bp_class_cache[ref_idx]
+
+    @staticmethod
+    def _reorder_blocks_by_class(idxs, small_mask, rays_blk, batch):
+        """Pad ``idxs`` to whole ``rays_blk`` blocks (negative-encoded
+        pads), put SMALL-class blocks first, and pad each class segment
+        to whole batches so segment boundaries fall on chunk boundaries.
+        Returns (new_idxs, n_small_chunks, n_total_chunks)."""
+        idxs = np.asarray(idxs, np.int32)
+
+        def negdup(x, count):
+            dec = int(x) if x >= 0 else -int(x) - 1
+            return np.full(count, -dec - 1, np.int32)
+
+        pad = (-len(idxs)) % rays_blk
+        if pad:
+            idxs = np.concatenate([idxs, negdup(idxs[-1], pad)])
+        blocks = idxs.reshape(-1, rays_blk)
+        small_mask = np.asarray(small_mask, bool)[: len(blocks)]
+        if len(small_mask) < len(blocks):  # pad blocks default to small
+            small_mask = np.concatenate(
+                [small_mask, np.ones(len(blocks) - len(small_mask), bool)]
+            )
+        segs = []
+        n_small_chunks = 0
+        for arr, is_small in (
+            (blocks[small_mask].reshape(-1), True),
+            (blocks[~small_mask].reshape(-1), False),
+        ):
+            if len(arr) == 0:
+                continue
+            pad = (-len(arr)) % batch
+            if pad:
+                arr = np.concatenate([arr, negdup(arr[-1], pad)])
+            if is_small:
+                n_small_chunks = len(arr) // batch
+            segs.append(arr)
+        out = np.concatenate(segs)
+        return out, n_small_chunks, len(out) // batch
 
     def _sharded_steps(self, H, W, gp, grid_shape, M):
         """Build shard_map'ed message/depth steps when >1 device is visible
@@ -615,7 +688,14 @@ class RayNetForwardPass(ForwardPass):
         )
         return _use_pallas() and total <= self.messages_device_budget
 
-    def _alloc_messages(self, shape, ref_idx):
+    def _host_msgs_dtype(self, total_elems):
+        if self.messages_dtype is not None:
+            return self.messages_dtype
+        if total_elems * 4 > self.messages_f16_threshold:
+            return np.float16
+        return np.float32
+
+    def _alloc_messages(self, shape, ref_idx, dtype):
         if int(np.prod(shape)) > self.messages_memmap_threshold:
             from tempfile import mkdtemp
 
@@ -627,11 +707,11 @@ class RayNetForwardPass(ForwardPass):
                 os.path.join(
                     self._msgs_dir, "messages_pon_%d.dat" % (ref_idx,)
                 ),
-                dtype=self.messages_dtype,
+                dtype=dtype,
                 mode="w+",
                 shape=tuple(shape),
             )
-        return np.zeros(tuple(shape), dtype=self.messages_dtype)
+        return np.zeros(tuple(shape), dtype=dtype)
 
     def _load_msgs(self, store, ref_idx, off, n_valid, cols, on_device):
         """Padded (rays_batch, cols) message block for one chunk."""
@@ -703,18 +783,65 @@ class RayNetForwardPass(ForwardPass):
         # kernel's slot layout, so the per-image column count differs.
         # Plans and band specs are COALESCED scene-wide so all views share
         # one compilation of each step.
+        #
+        # On the single-device scan paths the planner also splits each
+        # image's blocks into SMALL/LARGE box CLASSES (the worst corner
+        # block otherwise sets every block's one-hot row count): blocks
+        # are REORDERED small-first and each class segment scans with its
+        # own static config.
         bp_cfgs = {}
+        small_cfgs = {}
+        small_chunks = {}
         band_specs = {}
+        use_classes = (
+            sharded is None
+            and self.bp_beam != "off"
+            and self.bp_classes != "off"
+            and _use_pallas()
+            and self.rays_batch % 256 == 0
+        )
         for i in ref_indices:
             features_i, *_ = self._features_and_cameras(scene, i)
-            bp_cfgs[i] = self._bp_cfg(
-                scene, i, ray_idxs=ray_idxs_per_image[i],
-                shards=(sharded["n_dev"] if sharded is not None else 1),
-            )
+            small_cfgs[i] = None
+            small_chunks[i] = 0
+            if use_classes:
+                info = self._bp_classes(scene, i, ray_idxs_per_image[i])
+                bp_cfgs[i] = info["cfg_large"] if info else None
+                if info is not None and info["cfg_small"] is not None:
+                    rays_blk = info["cfg_large"].rays
+                    (
+                        ray_idxs_per_image[i], nsb, _
+                    ) = self._reorder_blocks_by_class(
+                        ray_idxs_per_image[i], info["small_mask"],
+                        rays_blk, self.rays_batch,
+                    )
+                    small_cfgs[i] = info["cfg_small"]
+                    small_chunks[i] = nsb
+            else:
+                bp_cfgs[i] = self._bp_cfg(
+                    scene, i, ray_idxs=ray_idxs_per_image[i],
+                    shards=(
+                        sharded["n_dev"] if sharded is not None else 1
+                    ),
+                )
             band_specs[i] = self._band_specs(
                 scene, i, features_i, ray_idxs=ray_idxs_per_image[i]
             )
         bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
+        # the small class shares the large class's slot count (one store):
+        # coalesce smalls, then force K/rays to the coalesced large's
+        small_cfgs = _coalesce_bp_cfgs(small_cfgs)
+        for i in ref_indices:
+            cs, cl = small_cfgs[i], bp_cfgs[i]
+            if cs is not None and (cs.K != cl.K or cs.rays != cl.rays):
+                from ..ops.pallas.bp_beam import BpBeamConfig
+
+                small_cfgs[i] = BpBeamConfig(
+                    cs.perm, cs.S, cs.A, cs.B, cl.K, cs.BA, cs.nstripe,
+                    cs.depth_planes, cs.max_voxels, cs.bins, cs.prior,
+                    cs.grid_shape, flip=cs.flip, rays=cl.rays,
+                )
+        small_cfgs = _coalesce_bp_cfgs(small_cfgs)
         band_specs = _coalesce_band_specs(band_specs)
         cols_per_image = {
             i: (bp_cfgs[i].slots if bp_cfgs[i] is not None else M)
@@ -796,6 +923,19 @@ class RayNetForwardPass(ForwardPass):
                 for i in ref_indices
             }
             rows = {i: len(ray_idxs_per_image[i]) for i in ref_indices}
+        # class segments: consecutive chunk ranges sharing one static cfg
+        seg_ranges = {}
+        if device_fast or host_staged:
+            for i in ref_indices:
+                nchunks = int(stacked[i][0].shape[0])
+                nsb = min(small_chunks[i], nchunks)
+                if small_cfgs[i] is not None and 0 < nsb:
+                    segs = [(small_cfgs[i], 0, nsb)]
+                    if nsb < nchunks:
+                        segs.append((bp_cfgs[i], nsb, nchunks))
+                    seg_ranges[i] = segs
+                else:
+                    seg_ranges[i] = [(bp_cfgs[i], 0, nchunks)]
         if sharded_fast:
             # device-major chunk layout: device k owns rows
             # [c*batch + k*unit, c*batch + (k+1)*unit) of every chunk c
@@ -873,8 +1013,11 @@ class RayNetForwardPass(ForwardPass):
                 for i in ref_indices
             }
         else:
+            host_dtype = self._host_msgs_dtype(
+                sum(int(np.prod(_store_shape(i))) for i in ref_indices)
+            )
             messages = {
-                i: self._alloc_messages(_store_shape(i), i)
+                i: self._alloc_messages(_store_shape(i), i, host_dtype)
                 for i in ref_indices
             }
 
@@ -926,36 +1069,46 @@ class RayNetForwardPass(ForwardPass):
                             continue
                         if device_fast or host_staged:
                             chunks_arr, n_valids = stacked[ref_idx]
-                            msgs_in = (
+                            msgs_out = (
                                 jax.device_put(messages[ref_idx])
                                 if host_staged
                                 else messages[ref_idx]
                             )
-                            (
-                                msgs_out,
-                                s_full,
-                                scatter_total,
-                                overflow,
-                            ) = fused.raynet_image_update(
-                                msgs_in,
-                                (
-                                    scores[ref_idx]
-                                    if cache_scores
-                                    else score_dummy
-                                ),
-                                scatter_total, grid_acc,
-                                chunks_arr, n_valids,
-                                feats_arg, P, P_pinv, center, bbox,
-                                batch=b, height=H, width=W,
-                                padding=gp.padding,
-                                depth_planes=gp.depth_planes,
-                                grid_shape=grid_shape, max_voxels=M,
-                                bp_cfg=cfg,
-                                band_specs=band_specs[ref_idx],
-                                first_iteration=(iteration == 0),
-                                use_scores=cache_scores,
-                                use_pallas=_use_pallas(),
+                            s_full = (
+                                scores[ref_idx]
+                                if cache_scores
+                                else score_dummy
                             )
+                            for seg_cfg, c0, c1 in seg_ranges[ref_idx]:
+                                offs = jnp.asarray(
+                                    np.arange(c0, c1, dtype=np.int32) * b
+                                )
+                                (
+                                    msgs_out,
+                                    s_full,
+                                    scatter_total,
+                                    overflow,
+                                ) = fused.raynet_image_update(
+                                    msgs_out, s_full,
+                                    scatter_total, grid_acc,
+                                    chunks_arr[c0:c1], n_valids[c0:c1],
+                                    feats_arg, P, P_pinv, center, bbox,
+                                    offs,
+                                    batch=b, height=H, width=W,
+                                    padding=gp.padding,
+                                    depth_planes=gp.depth_planes,
+                                    grid_shape=grid_shape, max_voxels=M,
+                                    bp_cfg=seg_cfg,
+                                    band_specs=band_specs[ref_idx],
+                                    first_iteration=(iteration == 0),
+                                    use_scores=cache_scores,
+                                    use_pallas=_use_pallas(),
+                                )
+                                # beam slot overflows AND banded-box
+                                # overflows both ride this flag (scores
+                                # are garbage on violation; abort rather
+                                # than fall back)
+                                overflows.append(overflow)
                             if host_staged:
                                 messages[ref_idx][...] = np.asarray(
                                     msgs_out
@@ -964,10 +1117,6 @@ class RayNetForwardPass(ForwardPass):
                                 messages[ref_idx] = msgs_out
                             if cache_scores:
                                 scores[ref_idx] = s_full
-                            # beam slot overflows AND banded-box overflows
-                            # both ride this flag (scores are garbage on
-                            # violation; abort rather than fall back)
-                            overflows.append(overflow)
                             continue
                         for off, n_valid, chunk in batches_per_image[
                             ref_idx
@@ -1091,20 +1240,37 @@ class RayNetForwardPass(ForwardPass):
                         if host_staged
                         else messages[ref_idx]
                     )
-                    depths, bad = fused.raynet_image_depth(
-                        msgs_in,
-                        scores[ref_idx] if cache_scores else score_dummy,
-                        grid_acc, chunks_arr, feats_arg, P, P_pinv,
-                        center, bbox,
-                        batch=b, height=H, width=W, padding=gp.padding,
-                        depth_planes=gp.depth_planes,
-                        grid_shape=grid_shape, max_voxels=M,
-                        bp_cfg=cfg, band_specs=band_specs[ref_idx],
-                        use_scores=cache_scores,
-                        use_pallas=_use_pallas(),
+                    flat = np.zeros(
+                        int(chunks_arr.shape[0]) * b, np.float32
                     )
-                    flat = np.asarray(depths).reshape(-1)
-                    if float(bad):
+                    bad_total = 0.0
+                    for seg_cfg, c0, c1 in seg_ranges[ref_idx]:
+                        offs = jnp.asarray(
+                            np.arange(c0, c1, dtype=np.int32) * b
+                        )
+                        depths, bad = fused.raynet_image_depth(
+                            msgs_in,
+                            (
+                                scores[ref_idx]
+                                if cache_scores
+                                else score_dummy
+                            ),
+                            grid_acc, chunks_arr[c0:c1], feats_arg, P,
+                            P_pinv, center, bbox, offs,
+                            batch=b, height=H, width=W,
+                            padding=gp.padding,
+                            depth_planes=gp.depth_planes,
+                            grid_shape=grid_shape, max_voxels=M,
+                            bp_cfg=seg_cfg,
+                            band_specs=band_specs[ref_idx],
+                            use_scores=cache_scores,
+                            use_pallas=_use_pallas(),
+                        )
+                        flat[c0 * b : c1 * b] = np.asarray(
+                            depths
+                        ).reshape(-1)
+                        bad_total += float(bad)
+                    if bad_total:
                         raise RuntimeError(
                             "banded plane-sweep boxes overflowed in the "
                             "depth sweep of image %d" % (ref_idx,)
@@ -1169,10 +1335,15 @@ class HartmannForwardPass(ForwardPass):
 
     Scores each depth hypothesis by the similarity head on gathered patch
     quintuples; depth = argmax point distance.
+
+    Round 3 (VERDICT r2 #8): patch quintuples are gathered with the
+    native extractor in large fixed-size chunks and scored in ONE jitted
+    call per chunk (the reference's path — and round 2's — looped
+    ``model.predict`` over 64 rays at a time and was host-bound).
     """
 
     def __init__(self, model, generation_params, sampling_scheme, image_shape,
-                 rays_batch=64, filter_out_rays=False):
+                 rays_batch=8192, filter_out_rays=False):
         super().__init__(
             model, generation_params, sampling_scheme, image_shape,
             rays_batch, filter_out_rays,
@@ -1225,18 +1396,23 @@ class HartmannForwardPass(ForwardPass):
             )  # (V, N*D, 2)
 
             scores = np.zeros((n * d,), dtype=np.float32)
+            # FIXED chunk shape (last chunk zero-padded): one jit trace
+            # for the whole run instead of a retrace on the tail
             chunk = max(1, self.rays_batch)
+            quint = np.zeros(
+                (chunk, v) + ps + (gp.patch_shape[2],), np.float32
+            )
             for off in range(0, n * d, chunk):
-                sl = slice(off, min(off + chunk, n * d))
-                quint = np.stack(
-                    [
-                        self._gather_patches(images[i], pixels[i, sl], ps)
-                        for i in range(v)
-                    ],
-                    axis=1,
-                )  # (K, V, ph, pw, C)
+                m = min(off + chunk, n * d) - off
+                sl = slice(off, off + m)
+                for i in range(v):
+                    quint[:m, i] = self._gather_patches(
+                        images[i], pixels[i, sl], ps
+                    )
                 pred = np.asarray(self._model.predict(quint))
-                scores[sl] = pred[..., 0].reshape(len(pred), -1).mean(axis=1)
+                scores[sl] = (
+                    pred[..., 0].reshape(len(pred), -1).mean(axis=1)[:m]
+                )
 
             scores = scores.reshape(n, d)
             best = scores.argmax(axis=1)

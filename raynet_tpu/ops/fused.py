@@ -484,13 +484,16 @@ def _strict_front(chunk, features, P, P_pinv, camera_center, bbox, S_in,
     donate_argnums=(0, 2),
 )
 def raynet_image_update(
-    msgs_full,      # (nb*batch, cols) PADDED per-image store — DONATED
+    msgs_full,      # per-image store (beam-native or (rows, M)) — DONATED
     scores_full,    # (nb*batch, D) cached plane scores (or a dummy)
     scatter_total,  # (G,) accumulating scatter — DONATED
     grid_acc,       # (G,) read-only accumulator
     chunks,         # (nb, batch) int32 ray indices (tail padded)
     n_valids,       # (nb,) int32 valid rows per chunk
     features, P, P_pinv, camera_center, bbox,
+    chunk_offsets=None,  # (nb,) int32 GLOBAL row offsets (class segments
+                         # scan a sub-range of a shared store); None ->
+                         # arange(nb)*batch
     *,
     batch, height, width, padding, depth_planes, grid_shape, max_voxels,
     bp_cfg, band_specs, first_iteration, use_scores, use_pallas,
@@ -509,7 +512,9 @@ def raynet_image_update(
     (total_blocks, slots, RAYS) layout across sweeps — the two ~100 MB
     per-batch layout transposes were the dominant prep-glue cost.
     """
-    offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+    offs = chunk_offsets
+    if offs is None:
+        offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
     if bp_cfg is not None:
         from .pallas.bp_beam import (
             bp_beam_message_step_perm, grid_to_perm, grid_from_perm,
@@ -605,13 +610,16 @@ def raynet_image_update(
 def raynet_image_depth(
     msgs_full, scores_full, grid_acc, chunks,
     features, P, P_pinv, camera_center, bbox,
+    chunk_offsets=None,
     *,
     batch, height, width, padding, depth_planes, grid_shape, max_voxels,
     bp_cfg, band_specs, use_scores, use_pallas,
 ):
     """Single-dispatch final depth sweep over a whole image (see
     :func:`raynet_image_update`). Returns (nb, batch) depths."""
-    offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+    offs = chunk_offsets
+    if offs is None:
+        offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
     if bp_cfg is not None:
         from .pallas.bp_beam import bp_beam_depth_step_perm, grid_to_perm
 

@@ -66,6 +66,11 @@ _EPS_T = 1e-4
 # planning                                                               #
 # --------------------------------------------------------------------- #
 
+
+def _reject(reason, explain):
+    return (None, reason) if explain else None
+
+
 class BpBeamConfig:
     """Static per-image-geometry kernel configuration (hashable)."""
 
@@ -107,10 +112,11 @@ class BpBeamConfig:
 def plan_bp_config(
     P_pinv, camera_center, bbox, grid_shape, height, width,
     depth_planes, max_voxels, gamma=0.05, k_cap=8, ba_cap=128,
-    sample_stride=7, ray_idxs=None, rays=RAYS,
+    sample_stride=7, ray_idxs=None, rays=RAYS, explain=False,
 ):
     """Host-side planning. Returns a BpBeamConfig, or None when the kernel
-    cannot cover this image exactly (caller keeps the XLA path).
+    cannot cover this image exactly (caller keeps the XLA path); with
+    ``explain`` returns (cfg_or_None, reason_str) instead.
 
     ``ray_idxs`` (optional): plan for THIS tile-sorted ray list (e.g. a
     GT-masked subset from ``filter_out_rays``) instead of the full image.
@@ -128,7 +134,7 @@ def plan_bp_config(
         # negative-encoded pad entries duplicate the preceding ray
         keep_idxs = np.where(keep_idxs < 0, -keep_idxs - 1, keep_idxs)
         if len(keep_idxs) == 0:
-            return None
+            return _reject("empty-rays", explain)
         pad = (-len(keep_idxs)) % rays
         if pad:  # runtime pads partial blocks by repeating the last ray
             keep_idxs = np.concatenate(
@@ -166,7 +172,7 @@ def plan_bp_config(
     elif np.all(ray[:, dom] < 0):
         flip = True  # mirror the dominant axis so the march is ascending
     else:
-        return None  # mixed dominant sign: keep the XLA path
+        return _reject("mixed-dominant-sign", explain)
     others = [a for a in range(3) if a != dom]
     perm = (dom, others[0], others[1])
 
@@ -179,13 +185,13 @@ def plan_bp_config(
     # kernel's slots, march substeps and recurrences).
     k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
     if k > k_cap:
-        return None
+        return _reject("k-cap", explain)
 
     S = grid_shape[dom]
     A = grid_shape[others[0]]
     B = grid_shape[others[1]]
     if S % 8:
-        return None
+        return _reject("s-mod-8", explain)
 
     # Per-(block, 8-slice-group) box spans: the beam origin DRIFTS with the
     # slice group, so the static box only has to cover a group's footprint
@@ -193,7 +199,7 @@ def plan_bp_config(
     # travel — typically 8-16 cells instead of 50-130.
     nb = len(s) // rays
     if nb == 0:
-        return None
+        return _reject("no-blocks", explain)
     trim = nb * rays
     ngrp = S // 8
     span_a, span_b = _group_spans(
@@ -204,24 +210,166 @@ def plan_bp_config(
         return (span_a if axis == others[0] else span_b) + 3
 
     ba = span(others[0]) + 8  # origin snapped down to a multiple of 8
-    for bucket in (16, 24, 32, 48, 64, 96, 128):  # multiples of 8
+    for bucket in _BA_BUCKETS:
         if ba <= bucket:
             ba = bucket
             break
     else:
-        return None
+        return _reject("ba-cap-bucket", explain)
     if ba > ba_cap:
-        return None
+        return _reject("ba-cap", explain)
     bb = span(others[1]) + 128  # origin snapped to a 128-cell stripe
     nstripe = -(-bb // 128)
     if nstripe > 4:
-        return None
+        return _reject("nstripe-cap", explain)
 
     prior = float(np.log(gamma) - np.log(1.0 - gamma))
-    return BpBeamConfig(
+    cfg = BpBeamConfig(
         perm, S, A, B, k, ba, nstripe, int(depth_planes), int(max_voxels),
         tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
         flip=flip, rays=rays,
+    )
+    return (cfg, "ok") if explain else cfg
+
+
+_BA_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 192, 256)  # multiples of 8
+_ROWS_CAP = 512  # ba*nstripe bound: keeps the gather-group VMEM ~4 MB
+
+
+def plan_bp_classes(
+    P_pinv, camera_center, bbox, grid_shape, height, width,
+    depth_planes, max_voxels, gamma=0.05, k_cap=8,
+    ray_idxs=None, rays=RAYS, min_rows_ratio=1.5, small_quantile=0.75,
+):
+    """Two-class beam planning: per-BLOCK box requirements route each
+    block to a SMALL or LARGE static box class (same perm/flip/K/slots,
+    different (BA, nstripe)). The worst block no longer sets every
+    block's one-hot row count — gather/scatter dots are proportional to
+    BA*nstripe, and corner blocks typically need 2-4x the p75 block
+    (VERDICT r2 #1/#3).
+
+    Walks EVERY block (``ray_idxs`` or the full tile order), like the
+    GT-filtered plan_bp_config path.
+
+    Returns None (keep the XLA path) or a dict:
+      cfg_large: BpBeamConfig covering every block
+      cfg_small: BpBeamConfig or None (single class)
+      small_mask: (nb,) bool — block fits the small class
+    """
+    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
+    from .planesweep import tile_order
+
+    bbox = np.asarray(bbox, np.float64).reshape(6)
+    grid_shape = tuple(int(g) for g in grid_shape)
+    n = height * width
+    if ray_idxs is not None:
+        keep_idxs = np.asarray(ray_idxs, np.int32)
+        keep_idxs = np.where(keep_idxs < 0, -keep_idxs - 1, keep_idxs)
+        if len(keep_idxs) == 0:
+            return None
+        pad = (-len(keep_idxs)) % rays
+        if pad:
+            keep_idxs = np.concatenate(
+                [keep_idxs, np.full(pad, keep_idxs[-1], np.int32)]
+            )
+        idxs = jnp.asarray(keep_idxs)
+    else:
+        all_idxs = jnp.arange(n, dtype=jnp.int32)
+        perm_t, _ = tile_order(all_idxs, height)
+        pad = (-n) % rays
+        if pad:
+            perm_t = jnp.concatenate([perm_t, perm_t[-1:].repeat(pad)])
+        idxs = perm_t
+
+    @jax.jit
+    def seg_of(P_pinv, center, bbox_):
+        d = rays_from_pixel_idxs(idxs, P_pinv, center, height)
+        return rays_entry_exit_bbox(d, center, bbox_[:3], bbox_[3:])
+
+    s, e = seg_of(
+        jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(camera_center, jnp.float32),
+        jnp.asarray(bbox, jnp.float32),
+    )
+    s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
+    ray = e - s
+    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
+    cells = np.abs(ray) / bins[None]
+    dom = int(np.argmax(cells.mean(axis=0)))
+    if np.all(ray[:, dom] > 0):
+        flip = False
+    elif np.all(ray[:, dom] < 0):
+        flip = True
+    else:
+        return None  # mixed dominant sign
+    others = [a for a in range(3) if a != dom]
+    perm = (dom, others[0], others[1])
+    k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
+    if k > k_cap:
+        return None
+    S = grid_shape[dom]
+    A = grid_shape[others[0]]
+    B = grid_shape[others[1]]
+    if S % 8:
+        return None
+    nb = len(s) // rays
+    if nb == 0:
+        return None
+
+    span_a, span_b = _group_spans(
+        s, e, bbox, bins, perm, S, S // 8, rays=rays, flip=flip,
+        per_block=True,
+    )
+    # Per-block requirements: plan_bp_config's margins PLUS a 2-cell
+    # jitter allowance. The classic planner's bucket round-up gave
+    # implicit slack; class cutoffs sit exactly at bucket boundaries, so
+    # f32-vs-f64 floor jitter in the runtime drifting origins (the
+    # planner measures in f64, _prep_inputs lerps in f32) must be
+    # budgeted explicitly or boundary blocks overflow at runtime.
+    ba_need = span_a + 3 + 8 + 2
+    ns_need = np.maximum(1, -(-(span_b + 3 + 128 + 2) // 128))
+
+    def bucketize(x):
+        for bkt in _BA_BUCKETS:
+            if x <= bkt:
+                return bkt
+        return None
+
+    ba_large = bucketize(int(ba_need.max()))
+    ns_large = int(ns_need.max())
+    if (
+        ba_large is None
+        or ns_large > 8
+        or ba_large * ns_large > _ROWS_CAP
+    ):
+        return None
+
+    prior = float(np.log(gamma) - np.log(1.0 - gamma))
+
+    def make_cfg(ba, ns):
+        return BpBeamConfig(
+            perm, S, A, B, k, ba, ns, int(depth_planes),
+            int(max_voxels),
+            tuple(float(b) for b in bins[list(perm)]), prior,
+            grid_shape, flip=flip, rays=rays,
+        )
+
+    cfg_large = make_cfg(ba_large, ns_large)
+    ba_small = bucketize(int(np.quantile(ba_need, small_quantile)))
+    ns_small = int(np.quantile(ns_need, small_quantile))
+    if (
+        ba_small is None
+        or ba_large * ns_large < min_rows_ratio * ba_small * ns_small
+        or (ba_small == ba_large and ns_small == ns_large)
+    ):
+        return dict(cfg_large=cfg_large, cfg_small=None, small_mask=None)
+    small_mask = (ba_need <= ba_small) & (ns_need <= ns_small)
+    if small_mask.mean() < 0.25:  # not worth a second compilation
+        return dict(cfg_large=cfg_large, cfg_small=None, small_mask=None)
+    return dict(
+        cfg_large=cfg_large,
+        cfg_small=make_cfg(ba_small, ns_small),
+        small_mask=small_mask,
     )
 
 
@@ -319,10 +467,14 @@ def _group_positions(s, e, bbox, bins, perm, S, ngrp, flip=False):
 
 
 def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,
-                 rays=RAYS, flip=False):
+                 rays=RAYS, flip=False, per_block=False):
     """Max per-(block, group) lateral spans in cells (planner side).
     Chunked over blocks: exact DTU-scale plans walk ~2M rays and the
-    (N, ngrp+1) position arrays would otherwise peak at several GB."""
+    (N, ngrp+1) position arrays would otherwise peak at several GB.
+
+    ``per_block``: return (nb,) arrays of per-BLOCK maxima instead of
+    the global scalars (the class planner routes each block to the
+    smallest static box that covers it)."""
     nb = len(s) // rays
 
     def span_of(p, nbc):
@@ -330,18 +482,22 @@ def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,
         hi = np.maximum(p[:, :-1], p[:, 1:])
         lo = np.floor(lo).astype(int).reshape(nbc, rays, ngrp).min(axis=1)
         hi = np.floor(hi).astype(int).reshape(nbc, rays, ngrp).max(axis=1)
-        return int((hi - lo).max())
+        return (hi - lo).max(axis=1)  # (nbc,)
 
-    best_a = best_b = 0
+    parts_a, parts_b = [], []
     for b0 in range(0, nb, chunk_blocks):
         nbc = min(chunk_blocks, nb - b0)
         sl = slice(b0 * rays, (b0 + nbc) * rays)
         pa, pb = _group_positions(
             s[sl], e[sl], bbox, bins, perm, S, ngrp, flip=flip
         )
-        best_a = max(best_a, span_of(pa, nbc))
-        best_b = max(best_b, span_of(pb, nbc))
-    return best_a, best_b
+        parts_a.append(span_of(pa, nbc))
+        parts_b.append(span_of(pb, nbc))
+    span_a = np.concatenate(parts_a)
+    span_b = np.concatenate(parts_b)
+    if per_block:
+        return span_a, span_b
+    return int(span_a.max()), int(span_b.max())
 
 
 # --------------------------------------------------------------------- #

@@ -71,11 +71,13 @@ def _kernel(
     T = RAYS_PER_BLOCK * depth_planes
     G = depth_planes // GROUP_D
     bands = scratch[:n_views]  # per view: (SLOTS, bh, bwg, 128) DMA slots
-    sumf_scr, sumsq_scr = scratch[n_views], scratch[n_views + 1]
-    sems = scratch[n_views + 2]  # (V, SLOTS)
-    out_scr, out_sem = scratch[n_views + 3], scratch[n_views + 4]
+    sems = scratch[n_views]  # (V, SLOTS)
+    out_scr, out_sem = scratch[n_views + 1], scratch[n_views + 2]
 
-    seq = [(v, g) for v in range(n_views) for g in range(G)]
+    # group-OUTER order: the 5 views of one depth group accumulate their
+    # pair sums in registers (no (32, T) scratch read-modify-writes) and
+    # the group's pair row is finalized in place
+    seq = [(v, g) for g in range(G) for v in range(n_views)]
 
     def slot_of(i):
         v, g = seq[i]
@@ -94,9 +96,6 @@ def _kernel(
             sems.at[v, slot_of(i)],
         )
 
-    sumf_scr[:] = jnp.zeros_like(sumf_scr)
-    sumsq_scr[:] = jnp.zeros_like(sumsq_scr)
-
     # deep DMA pipeline: sub-box copies are small (~64-128 KB) and their
     # ~1 us issue latency exceeds a tile's compute, so keep
     # _DMA_SLOTS - 1 copies in flight ahead of the consumer
@@ -105,6 +104,9 @@ def _kernel(
     for i, (v, g) in enumerate(seq):
         if i + _DMA_SLOTS - 1 < len(seq):
             dma_for(i + _DMA_SLOTS - 1).start()
+        if v == 0:
+            sumf = jnp.zeros((32, _T_TILE), jnp.float32)
+            ssq = jnp.zeros((1, _T_TILE), jnp.float32)
         bh, bwg = box_specs[v]
         ctr = bh * bwg
         dma_for(i).wait()
@@ -131,19 +133,15 @@ def _kernel(
             fT = fT + jnp.where(sub == s, pick, 0.0)
         fT = jnp.where(cid < 0, jnp.broadcast_to(f00, (32, _T_TILE)), fT)
 
-        sl = pl.ds(g * _T_TILE, _T_TILE)
-        sumf_scr[:, sl] += fT
-        sumsq_scr[:, sl] += fT * fT
+        sumf = sumf + fT
+        ssq = ssq + (fT * fT).sum(axis=0, keepdims=True)
+        if v == n_views - 1:
+            pair = 0.5 * ((sumf * sumf).sum(axis=0, keepdims=True) - ssq)
+            out_scr[:, pl.ds(g * _T_TILE, _T_TILE)] = pair
 
-    sumf = sumf_scr[:]
-    pair = 0.5 * (
-        (sumf * sumf).sum(axis=0, keepdims=True)
-        - sumsq_scr[:].sum(axis=0, keepdims=True)
-    )  # (1, T)
     # DMA the result out of a scratch row: with a VMEM out_spec XLA may
     # place the WHOLE (NB, 1, T) result in scoped VMEM (8.4 MB at 65k
     # rays), blowing the 16 MB scoped limit on top of the band boxes.
-    out_scr[:] = pair
     cp = pltpu.make_async_copy(out_scr, out_ref.at[b], out_sem)
     cp.start()
     cp.wait()
@@ -184,8 +182,6 @@ def _banded_pair_sums(
             for bh, bwg in box_specs
         ]
         + [
-            pltpu.VMEM((32, T), jnp.float32),
-            pltpu.VMEM((32, T), jnp.float32),
             pltpu.SemaphoreType.DMA((n_views, _DMA_SLOTS)),
             pltpu.VMEM((1, T), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -372,7 +368,7 @@ def _specs_vmem_bytes(box_specs, depth_planes):
     boxes = sum(
         _DMA_SLOTS * bh * bwg * 128 * 2 for bh, bwg in box_specs
     )
-    fixed = 2 * 32 * T * 4 + (len(box_specs) + 1) * T * 4
+    fixed = (len(box_specs) + 2) * T * 4
     return boxes + fixed
 
 

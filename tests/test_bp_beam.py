@@ -489,3 +489,105 @@ def test_bp_beam_padded_rays_masked(geo):
     # messages of masked rays are zero; scatter only counts the valid half
     assert np.all(np.asarray(m_half)[n // 2:] == 0)
     assert float(jnp.abs(s_half).sum()) < float(jnp.abs(s_all).sum())
+
+
+def test_bp_beam_block_classes(geo):
+    """Per-block box classes: blocks reordered small-first, the two class
+    segments scan with their own static configs against a shared store,
+    and the result equals the single-(large)-config scan."""
+    from jax.experimental.pallas import tpu as pltpu
+    from raynet_tpu.ops import fused
+    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
+    from raynet_tpu.inference.forward_pass import RayNetForwardPass
+
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c0 = np.array([0.5, -0.3, -10.0])
+    z = -c0 / np.linalg.norm(c0)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    P1 = K @ np.hstack([R, -R @ c0.reshape(3, 1)])
+    P_pinv = np.linalg.pinv(P1)
+    bbox = np.asarray(geo["bbox"], np.float32)
+
+    info = plan_bp_classes(
+        P_pinv, c0, bbox, GRID, H, W, D, M, gamma=GAMMA,
+        min_rows_ratio=1.0, small_quantile=0.5,
+    )
+    assert info is not None
+    if info["cfg_small"] is None:
+        # force a split for the mechanics test: call the reorder with a
+        # synthetic mask and run both segments with the SAME cfg
+        nb = (H * W) // info["cfg_large"].rays
+        mask = np.zeros(nb, bool)
+        mask[: nb // 2] = True
+        info = dict(
+            cfg_large=info["cfg_large"], cfg_small=info["cfg_large"],
+            small_mask=mask,
+        )
+    cfg_s, cfg_l = info["cfg_small"], info["cfg_large"]
+    assert cfg_s.slots == cfg_l.slots
+
+    batch = 512
+    idxs = jnp.arange(H * W, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, H)
+    base = np.asarray(idxs[perm])
+    new_idxs, nsb, nchunks = RayNetForwardPass._reorder_blocks_by_class(
+        base, info["small_mask"], cfg_l.rays, batch
+    )
+    assert nchunks * batch == len(new_idxs)
+    dec = np.where(new_idxs < 0, -new_idxs - 1, new_idxs)
+    assert set(dec) == set(base)  # every ray still present
+
+    g = int(np.prod(GRID))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    chunks = jnp.asarray(new_idxs).reshape(nchunks, batch)
+    n_valids = jnp.full((nchunks,), batch, jnp.int32)
+    Pms = jnp.asarray(np.stack([P1] * 3), jnp.float32)
+    feats = jnp.zeros((3, H + 12, W + 12, 32), jnp.bfloat16)
+    n_rows = nchunks * batch
+    S_all = jnp.asarray(
+        np.random.RandomState(5).dirichlet(np.ones(D), size=n_rows),
+        jnp.float32,
+    )
+
+    def run(segments):
+        msgs = jnp.zeros(
+            (n_rows // cfg_l.rays, cfg_l.slots, cfg_l.rays), jnp.float32
+        )
+        scat = jnp.full((g,), prior, jnp.float32)
+        ovs = 0.0
+        with pltpu.force_tpu_interpret_mode():
+            for seg_cfg, c0_, c1_ in segments:
+                offs = jnp.asarray(
+                    np.arange(c0_, c1_, dtype=np.int32) * batch
+                )
+                msgs, _, scat, ov = fused.raynet_image_update(
+                    msgs, S_all, scat, acc0,
+                    chunks[c0_:c1_], n_valids[c0_:c1_],
+                    feats, Pms, jnp.asarray(P_pinv, jnp.float32),
+                    jnp.asarray(c0, jnp.float32), jnp.asarray(bbox),
+                    offs,
+                    batch=batch, height=H, width=W, padding=11,
+                    depth_planes=D, grid_shape=GRID, max_voxels=M,
+                    bp_cfg=seg_cfg, band_specs=None,
+                    first_iteration=True, use_scores=True,
+                    use_pallas=False,
+                )
+                ovs += float(ov)
+        return msgs, scat, ovs
+
+    segs_cls = [(cfg_s, 0, nsb)] + (
+        [(cfg_l, nsb, nchunks)] if nsb < nchunks else []
+    )
+    m_cls, s_cls, ov_cls = run(segs_cls)
+    m_ref, s_ref, ov_ref = run([(cfg_l, 0, nchunks)])
+    assert ov_cls == 0.0 and ov_ref == 0.0
+    np.testing.assert_allclose(
+        np.asarray(s_cls), np.asarray(s_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_cls), np.asarray(m_ref), rtol=1e-4, atol=1e-4
+    )
