@@ -923,19 +923,40 @@ class RayNetForwardPass(ForwardPass):
                 for i in ref_indices
             }
             rows = {i: len(ray_idxs_per_image[i]) for i in ref_indices}
-        # class segments: consecutive chunk ranges sharing one static cfg
-        seg_ranges = {}
+        # Class segments: consecutive chunk ranges sharing one static cfg.
+        # ALL per-segment tensors (chunk slices, valid counts, global
+        # chunk offsets) are committed to the device ONCE here — a
+        # host-backed array argument is re-shipped and a fresh slice is
+        # its own dispatch (~5-15 ms each) through the axon tunnel.
+        seg_data = {}
         if device_fast or host_staged:
             for i in ref_indices:
-                nchunks = int(stacked[i][0].shape[0])
+                chunks_arr, n_valids_arr = stacked[i]
+                nchunks = int(chunks_arr.shape[0])
                 nsb = min(small_chunks[i], nchunks)
                 if small_cfgs[i] is not None and 0 < nsb:
                     segs = [(small_cfgs[i], 0, nsb)]
                     if nsb < nchunks:
                         segs.append((bp_cfgs[i], nsb, nchunks))
-                    seg_ranges[i] = segs
                 else:
-                    seg_ranges[i] = [(bp_cfgs[i], 0, nchunks)]
+                    segs = [(bp_cfgs[i], 0, nchunks)]
+                out = []
+                for seg_cfg, c0, c1 in segs:
+                    if c0 == 0 and c1 == nchunks:
+                        out.append(
+                            (seg_cfg, c0, c1, chunks_arr, n_valids_arr,
+                             None)
+                        )
+                    else:
+                        out.append((
+                            seg_cfg, c0, c1,
+                            jax.device_put(chunks_arr[c0:c1]),
+                            jax.device_put(n_valids_arr[c0:c1]),
+                            jax.device_put(
+                                np.arange(c0, c1, dtype=np.int32) * b
+                            ),
+                        ))
+                seg_data[i] = out
         if sharded_fast:
             # device-major chunk layout: device k owns rows
             # [c*batch + k*unit, c*batch + (k+1)*unit) of every chunk c
@@ -1068,7 +1089,6 @@ class RayNetForwardPass(ForwardPass):
                             overflows.append(ov.sum())
                             continue
                         if device_fast or host_staged:
-                            chunks_arr, n_valids = stacked[ref_idx]
                             msgs_out = (
                                 jax.device_put(messages[ref_idx])
                                 if host_staged
@@ -1079,10 +1099,9 @@ class RayNetForwardPass(ForwardPass):
                                 if cache_scores
                                 else score_dummy
                             )
-                            for seg_cfg, c0, c1 in seg_ranges[ref_idx]:
-                                offs = jnp.asarray(
-                                    np.arange(c0, c1, dtype=np.int32) * b
-                                )
+                            for (
+                                seg_cfg, c0, c1, seg_chunks, seg_nv, offs
+                            ) in seg_data[ref_idx]:
                                 (
                                     msgs_out,
                                     s_full,
@@ -1091,7 +1110,7 @@ class RayNetForwardPass(ForwardPass):
                                 ) = fused.raynet_image_update(
                                     msgs_out, s_full,
                                     scatter_total, grid_acc,
-                                    chunks_arr[c0:c1], n_valids[c0:c1],
+                                    seg_chunks, seg_nv,
                                     feats_arg, P, P_pinv, center, bbox,
                                     offs,
                                     batch=b, height=H, width=W,
@@ -1244,10 +1263,9 @@ class RayNetForwardPass(ForwardPass):
                         int(chunks_arr.shape[0]) * b, np.float32
                     )
                     bad_total = 0.0
-                    for seg_cfg, c0, c1 in seg_ranges[ref_idx]:
-                        offs = jnp.asarray(
-                            np.arange(c0, c1, dtype=np.int32) * b
-                        )
+                    for (
+                        seg_cfg, c0, c1, seg_chunks, seg_nv, offs
+                    ) in seg_data[ref_idx]:
                         depths, bad = fused.raynet_image_depth(
                             msgs_in,
                             (
@@ -1255,7 +1273,7 @@ class RayNetForwardPass(ForwardPass):
                                 if cache_scores
                                 else score_dummy
                             ),
-                            grid_acc, chunks_arr[c0:c1], feats_arg, P,
+                            grid_acc, seg_chunks, feats_arg, P,
                             P_pinv, center, bbox, offs,
                             batch=b, height=H, width=W,
                             padding=gp.padding,
