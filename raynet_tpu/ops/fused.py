@@ -34,7 +34,7 @@ from . import mrf
 
 def _scores(
     features, P, ray_start, ray_end, padding, height, width,
-    depth_planes, band_specs, strict=False,
+    depth_planes, band_specs, strict=False, packed=None,
 ):
     """Plane-sweep scores from ray segments: the lane-major banded Pallas
     kernel when ``band_specs`` is set (rays must then be in tile order),
@@ -66,7 +66,7 @@ def _scores(
     n_pairs = (n_views * (n_views - 1)) // 2
     pair, fits = banded_scores_from_segments(
         features, P, ray_start, ray_end, depth_planes, padding,
-        height, width, band_specs,
+        height, width, band_specs, packed=packed,
     )
     S_banded = jax.nn.softmax(pair / n_pairs, axis=-1)
     if strict:
@@ -247,6 +247,7 @@ def raynet_message_step(
     tile_ordered=False,
     S_planes=None,
     strict_bands=False,
+    packed=None,
 ):
     """Front half of RayNet + one BP message update for this ray batch.
 
@@ -293,12 +294,12 @@ def raynet_message_step(
         if strict_bands:
             S_planes, bad = _scores(
                 features, P, ray_start, ray_end, padding, height, width,
-                depth_planes, band_specs, strict=True,
+                depth_planes, band_specs, strict=True, packed=packed,
             )
         else:
             S_planes = _scores(
                 features, P, ray_start, ray_end, padding, height, width,
-                depth_planes, band_specs,
+                depth_planes, band_specs, packed=packed,
             )
 
     flat_idx, counts = voxel_traversal_flat(
@@ -455,10 +456,14 @@ def raynet_beam_depth_step(
 
 
 def _strict_front(chunk, features, P, P_pinv, camera_center, bbox, S_in,
-                  height, width, padding, depth_planes, band_specs):
+                  height, width, padding, depth_planes, band_specs,
+                  packed=None):
     """Shared front half of the per-image scan bodies: decode -(ray+1)
     pad entries, compute ray segments, and (when not cached) the strict
     banded plane scores. Returns (ray_start, ray_end, pad_rows, S, bad).
+    ``packed``: loop-invariant pre-packed feature layout (see
+    pack_features_for_bands) — scan bodies MUST pass it so the ~300 MB
+    packing chain is not re-evaluated per ray batch.
     """
     pad_rows = chunk < 0
     chunk = jnp.where(pad_rows, -chunk - 1, chunk)
@@ -469,7 +474,7 @@ def _strict_front(chunk, features, P, P_pinv, camera_center, bbox, S_in,
     if S_in is None:
         S_in, bad = _scores(
             features, P, ray_start, ray_end, padding, height, width,
-            depth_planes, band_specs, strict=True,
+            depth_planes, band_specs, strict=True, packed=packed,
         )
     return ray_start, ray_end, pad_rows, S_in, bad
 
@@ -515,6 +520,16 @@ def raynet_image_update(
     offs = chunk_offsets
     if offs is None:
         offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+    # Loop-invariant banded-kernel feature packing, ONCE per dispatch:
+    # evaluated inside the scan body it re-pads the ~300 MB (720p, 5
+    # views) feature stack every ray batch — XLA does not hoist it out
+    # of the while loop (measured 35-46 ms/chunk first sweep vs ~13 ms
+    # of kernel time).
+    packed = None
+    if band_specs is not None and (first_iteration or not use_scores):
+        from .pallas.planesweep import pack_features_for_bands
+
+        packed = pack_features_for_bands(features, band_specs)
     if bp_cfg is not None:
         from .pallas.bp_beam import (
             bp_beam_message_step_perm, grid_to_perm, grid_from_perm,
@@ -554,6 +569,7 @@ def raynet_image_update(
             ray_start, ray_end, pad_rows, S_in, bad = _strict_front(
                 chunk, features, P, P_pinv, camera_center, bbox, S_in,
                 height, width, padding, depth_planes, band_specs,
+                packed=packed,
             )
             valid = (
                 (jnp.arange(batch) < n_valid) & ~pad_rows
@@ -573,7 +589,7 @@ def raynet_image_update(
                 max_voxels, use_pallas=use_pallas,
                 first_iteration=first_iteration,
                 band_specs=band_specs, tile_ordered=True, S_planes=S_in,
-                strict_bands=True,
+                strict_bands=True, packed=packed,
             )
             acc = acc + scatter
         msgs_full = jax.lax.dynamic_update_slice(
@@ -620,6 +636,12 @@ def raynet_image_depth(
     offs = chunk_offsets
     if offs is None:
         offs = jnp.arange(chunks.shape[0], dtype=jnp.int32) * batch
+    # loop-invariant feature packing (see raynet_image_update)
+    packed = None
+    if band_specs is not None and not use_scores:
+        from .pallas.planesweep import pack_features_for_bands
+
+        packed = pack_features_for_bands(features, band_specs)
     if bp_cfg is not None:
         from .pallas.bp_beam import bp_beam_depth_step_perm, grid_to_perm
 
@@ -649,6 +671,7 @@ def raynet_image_depth(
             ray_start, ray_end, _, S_in, bad = _strict_front(
                 chunk, features, P, P_pinv, camera_center, bbox, S_in,
                 height, width, padding, depth_planes, band_specs,
+                packed=packed,
             )
             valid = jnp.ones((batch,), jnp.int32)
             depth, carry, overflow = bp_beam_depth_step_perm(
@@ -663,6 +686,7 @@ def raynet_image_depth(
                 depth_planes, grid_shape, max_voxels,
                 use_pallas=use_pallas, band_specs=band_specs,
                 tile_ordered=True, S_planes=S_in, strict_bands=True,
+                packed=packed,
             )
         return carry, (depth, bad)
 
@@ -706,6 +730,7 @@ def raynet_depth_step(
     tile_ordered=False,
     S_planes=None,
     strict_bands=False,
+    packed=None,
 ):
     """Final RayNet sweep: occlusion-aware posterior depth per ray.
 
@@ -730,12 +755,12 @@ def raynet_depth_step(
         if strict_bands:
             S_planes, bad = _scores(
                 features, P, ray_start, ray_end, padding, height, width,
-                depth_planes, band_specs, strict=True,
+                depth_planes, band_specs, strict=True, packed=packed,
             )
         else:
             S_planes = _scores(
                 features, P, ray_start, ray_end, padding, height, width,
-                depth_planes, band_specs,
+                depth_planes, band_specs, packed=packed,
             )
 
     flat_idx, counts = voxel_traversal_flat(

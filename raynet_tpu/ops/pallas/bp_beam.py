@@ -239,7 +239,7 @@ _ROWS_CAP = 512  # ba*nstripe bound: keeps the gather-group VMEM ~4 MB
 def plan_bp_classes(
     P_pinv, camera_center, bbox, grid_shape, height, width,
     depth_planes, max_voxels, gamma=0.05, k_cap=8,
-    ray_idxs=None, rays=RAYS, min_rows_ratio=1.5, small_quantile=0.75,
+    ray_idxs=None, rays=RAYS, min_rows_ratio=2.6, small_quantile=0.75,
 ):
     """Two-class beam planning: per-BLOCK box requirements route each
     block to a SMALL or LARGE static box class (same perm/flip/K/slots,
@@ -355,6 +355,12 @@ def plan_bp_classes(
         )
 
     cfg_large = make_cfg(ba_large, ns_large)
+    # min_rows_ratio: the split costs one extra dispatch per (image,
+    # sweep) plus a second compiled variant; measured on v5e (ring rig,
+    # (16,2) small vs (24,2) large, 97% small) a 1.5x row ratio LOSES
+    # ~12% scene time — the gather/scatter dots have large fixed costs
+    # at these box sizes. Only split when the cover-all box is >2.6x
+    # the small class's rows (oblique rigs: (24,2) vs (192,2) = 8x).
     ba_small = bucketize(int(np.quantile(ba_need, small_quantile)))
     ns_small = int(np.quantile(ns_need, small_quantile))
     if (

@@ -393,9 +393,25 @@ def _pack_features(features, box_specs):
     return feats_packed, hfp, wgp
 
 
+def pack_features_for_bands(features, box_specs):
+    """One-time per-image packing for the banded kernel: the 128-lane row
+    layout plus the per-view sentinel columns. Scan callers compute this
+    OUTSIDE their batch loop — the pad/reshape chain touches the whole
+    ~300 MB (at 720p x 5 views) feature stack and costs ~ms per
+    evaluation, so running it per ray batch inside a lax.scan body
+    dominated the first sweep (measured 35-46 ms/chunk vs ~13 ms of
+    actual kernel time)."""
+    v = features.shape[0]
+    feats_packed, _, _ = _pack_features(features, box_specs)
+    v_pad = -(-v // 8) * 8
+    f00 = jnp.zeros((32, v_pad), jnp.float32)
+    f00 = f00.at[:, :v].set(features[:, 0, 0, :].T.astype(jnp.float32))
+    return feats_packed, f00
+
+
 def banded_scores_from_segments(
     features, P, ray_start, ray_end, depth_planes, padding,
-    height, width, box_specs, interpret=False,
+    height, width, box_specs, interpret=False, packed=None,
 ):
     """Lane-major banded plane sweep straight from ray segments.
 
@@ -419,7 +435,10 @@ def banded_scores_from_segments(
     nb = n // RAYS_PER_BLOCK
     G = d // GROUP_D
 
-    feats_packed, hfp, wgp = _pack_features(features, box_specs)
+    if packed is None:
+        packed = pack_features_for_bands(features, box_specs)
+    feats_packed, f00 = packed
+    hfp, wgp = feats_packed.shape[1], feats_packed.shape[2]
 
     def lanes(x):  # (N,) -> (nb, 1, 128)
         return x.reshape(nb, 1, RAYS_PER_BLOCK)
@@ -485,10 +504,6 @@ def banded_scores_from_segments(
 
     cellids = jnp.concatenate(cell_rows, axis=1)  # (NB, V, T) depth-major
     origins = jnp.stack(origin_rows, axis=1).reshape(-1)  # (nb, V, G, 2)
-
-    v_pad = -(-v // 8) * 8
-    f00 = jnp.zeros((32, v_pad), jnp.float32)
-    f00 = f00.at[:, :v].set(features[:, 0, 0, :].T.astype(jnp.float32))
 
     pair = _banded_pair_sums(
         feats_packed, origins, cellids, f00,
