@@ -364,6 +364,29 @@ class ForwardPass:
             jax.device_put(n_valids),
         )
 
+    def _snap_rays_batch(self, counts, sharded=None):
+        """Largest batch size <= the requested one (multiple of 512, at
+        least half the request) minimizing total ceil-padding over the
+        scene's per-image ray counts. Ties prefer the larger batch
+        (fewer chunks = less per-chunk fixed cost). The sharded path
+        keeps the requested size: its unit split has its own divisibility
+        constraints."""
+        req = getattr(self, "_rays_batch_requested", None)
+        if req is None:
+            req = self._rays_batch_requested = self.rays_batch
+        if sharded is not None or req % 512 or not counts:
+            return req
+
+        def pad_cost(b):
+            return sum(max(1, -(-n // b)) * b - n for n in counts)
+
+        lo = max(512, -(-(req // 2) // 512) * 512)
+        best = min(
+            range(lo, req + 1, 512),
+            key=lambda b: (pad_cost(b), -b),
+        )
+        return best
+
     def forward_pass(self, scene, images_range):
         raise NotImplementedError()
 
@@ -778,6 +801,13 @@ class RayNetForwardPass(ForwardPass):
                 i: self._pad_tile_runs(v, H)
                 for i, v in ray_idxs_per_image.items()
             }
+        # Snap the batch size DOWN to minimize ceil-padding waste: every
+        # sweep pays for padded rows (DTU's 921,600-ray images pad 6.7%
+        # at the default 65,536; 61,440 divides them exactly). One b per
+        # scene keeps the single compiled step per sweep.
+        self.rays_batch = self._snap_rays_batch(
+            [len(v) for v in ray_idxs_per_image.values()], sharded
+        )
         # Per-image BP beam plans (the fused Pallas sweep); images the
         # planner rejects keep the XLA path. Beam messages live in the
         # kernel's slot layout, so the per-image column count differs.
@@ -1208,14 +1238,88 @@ class RayNetForwardPass(ForwardPass):
                 overflow_total = jnp.stack(overflows).sum()
 
             # One host sync for the whole scene: the kernel's overflow flag
-            # guards the planner's static K/box invariants.
-            if float(overflow_total):
+            # guards the planner's static K/box invariants.  On the
+            # device_fast path the sync is deferred and merged with the
+            # depth sweep's own invariant check (queue everything, sync
+            # once) — each extra round trip costs ~40 ms on axon.
+            if not (device_fast and not host_staged) and float(
+                overflow_total
+            ):
                 raise RuntimeError(
                     "kernel planner invariant violated (%d beam-slot or "
                     "banded-box overflows); the planned static shapes did "
                     "not cover this scene's rays"
                     % int(float(overflow_total))
                 )
+
+            if device_fast and not host_staged:
+                # Queue ALL images' depth dispatches before any host
+                # sync: the per-image np.asarray download (~50 MB/s
+                # through the axon tunnel) and float(bad) round trip
+                # otherwise serialize with the next image's dispatches.
+                pending = []
+                all_bads = [overflow_total]
+                for ref_idx in ref_indices:
+                    features, P, P_pinv, center = (
+                        self._features_and_cameras(scene, ref_idx)
+                    )
+                    feats_arg = (
+                        _dummy_features(features) if cache_scores
+                        else features
+                    )
+                    chunks_arr, _ = stacked[ref_idx]
+                    parts = []
+                    for (
+                        seg_cfg, c0, c1, seg_chunks, seg_nv, offs
+                    ) in seg_data[ref_idx]:
+                        depths, bad = fused.raynet_image_depth(
+                            messages[ref_idx],
+                            (
+                                scores[ref_idx]
+                                if cache_scores
+                                else score_dummy
+                            ),
+                            grid_acc, seg_chunks, feats_arg, P,
+                            P_pinv, center, bbox, offs,
+                            batch=b, height=H, width=W,
+                            padding=gp.padding,
+                            depth_planes=gp.depth_planes,
+                            grid_shape=grid_shape, max_voxels=M,
+                            bp_cfg=seg_cfg,
+                            band_specs=band_specs[ref_idx],
+                            use_scores=cache_scores,
+                            use_pallas=_use_pallas(),
+                        )
+                        parts.append((c0, c1, depths))
+                        all_bads.append(bad)
+                    pending.append((ref_idx, parts))
+                if float(jnp.stack(all_bads).sum()):
+                    if float(overflow_total):
+                        raise RuntimeError(
+                            "kernel planner invariant violated (%d "
+                            "beam-slot or banded-box overflows); the "
+                            "planned static shapes did not cover this "
+                            "scene's rays" % int(float(overflow_total))
+                        )
+                    raise RuntimeError(
+                        "banded plane-sweep boxes overflowed in the "
+                        "final depth sweep"
+                    )
+                for ref_idx, parts in pending:
+                    ray_idxs = ray_idxs_per_image[ref_idx]
+                    nchunks = stacked[ref_idx][0].shape[0]
+                    flat = np.zeros(int(nchunks) * b, np.float32)
+                    for c0, c1, depths in parts:
+                        flat[c0 * b : c1 * b] = np.asarray(
+                            depths
+                        ).reshape(-1)
+                    depth_map = np.zeros(H * W, dtype=np.float32)
+                    keep = ray_idxs >= 0  # drop tile-run pad entries
+                    depth_map[ray_idxs[keep]] = flat[: len(ray_idxs)][
+                        keep
+                    ]
+                    yield depth_map.reshape(W, H).T
+                return
 
             for ref_idx in ref_indices:
                 ray_idxs = ray_idxs_per_image[ref_idx]

@@ -362,3 +362,26 @@ def test_raynet_sharded_scan_matches_single_device(setup):
 
     for a, b in zip(sharded_maps, single_maps):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_snap_rays_batch_minimizes_pad():
+    """The scene-level batch snap picks the 512-multiple with the least
+    total ceil-padding (DTU's 921,600-ray images: 61,440 divides them
+    exactly vs 6.7% pad at 65,536), and leaves non-512-multiple requests
+    and the sharded path untouched."""
+    from raynet_tpu.inference.forward_pass import ForwardPass
+
+    fp = ForwardPass.__new__(ForwardPass)
+    fp.rays_batch = 65536
+    assert fp._snap_rays_batch([921600, 921600], None) == 61440
+    # requested size restored as the basis for a new scene's snap
+    assert fp._rays_batch_requested == 65536
+    assert fp._snap_rays_batch([65536 * 3], None) == 65536
+
+    fp2 = ForwardPass.__new__(ForwardPass)
+    fp2.rays_batch = 700  # not a 512 multiple: untouched
+    assert fp2._snap_rays_batch([1728], None) == 700
+
+    fp3 = ForwardPass.__new__(ForwardPass)
+    fp3.rays_batch = 65536
+    assert fp3._snap_rays_batch([921600], {"n_dev": 8}) == 65536
