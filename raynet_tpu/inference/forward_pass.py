@@ -1290,6 +1290,14 @@ class RayNetForwardPass(ForwardPass):
                             use_scores=cache_scores,
                             use_pallas=_use_pallas(),
                         )
+                        # start the host copy as soon as the dispatch
+                        # resolves: the transfer then overlaps the other
+                        # images' depth compute instead of serializing
+                        # behind the final sync
+                        try:
+                            depths.copy_to_host_async()
+                        except AttributeError:
+                            pass
                         parts.append((c0, c1, depths))
                         all_bads.append(bad)
                     pending.append((ref_idx, parts))

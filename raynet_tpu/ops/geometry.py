@@ -75,9 +75,14 @@ def rays_entry_exit_bbox(directions, camera_center, bbox_min, bbox_max):
 
     Returns
     -------
-        ray_start, ray_end: (N, 3) float32 entry and exit points. Rays that
-        miss the box produce unspecified values; callers that can see misses
-        must check ``t_near <= t_far`` via :func:`rays_slab_t`.
+        ray_start, ray_end: (N, 3) float32 entry and exit points. Rays whose
+        LINE misses the box collapse to a zero-length segment at the line's
+        mid-slab (closest-approach) point — a point ON the ray and OUTSIDE
+        the box, so traversal/marching emits nothing, projections stay near
+        the ray's own epipolar band, and planners can drop them by testing
+        ``(ray_end - ray_start) == 0``. (The reference leaves miss segments
+        unspecified and relies on callers filtering,
+        ray_tracing.pyx:64-199 / sampling_schemes.cu:44-90.)
     """
     t1 = (bbox_min[None] - camera_center[None]) / directions
     t2 = (bbox_max[None] - camera_center[None]) / directions
@@ -87,6 +92,10 @@ def rays_entry_exit_bbox(directions, camera_center, bbox_min, bbox_max):
     near_mask = jnp.abs(t_near) < jnp.abs(t_far)
     t_near_actual = jnp.where(near_mask, t_near, t_far)
     t_far_actual = jnp.where(near_mask, t_far, t_near)
+    miss = t_near > t_far
+    t_mid = 0.5 * (t_near + t_far)
+    t_near_actual = jnp.where(miss, t_mid, t_near_actual)
+    t_far_actual = jnp.where(miss, t_mid, t_far_actual)
 
     ray_start = camera_center[None] + t_near_actual[:, None] * directions
     ray_end = camera_center[None] + t_far_actual[:, None] * directions

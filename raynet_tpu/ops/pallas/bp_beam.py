@@ -71,6 +71,52 @@ def _reject(reason, explain):
     return (None, reason) if explain else None
 
 
+def _dom_sign_and_fill(s, e, bins, rays):
+    """Dominant axis + march direction over rays whose line HITS the bbox.
+
+    Miss rays arrive as zero-length segments (rays_entry_exit_bbox) —
+    before this existed their reversed slab garbage flipped the dominant
+    sign test and exploded the lateral-K statistics, rejecting every rig
+    whose corner rays leave the bbox. For span/K statistics each miss ray
+    is replaced by a hit ray from its OWN block (block-local boxes stay
+    tight); at runtime miss rays are dead lanes (outside the grid, masked
+    from the drifting-origin minima), so the fill never has to cover them.
+
+    Returns (s, e, dom, flip, reason) — flip None when rejected, with
+    reason "empty-rays" (nothing hits) or "mixed-dominant-sign"
+    (genuinely mixed signs among hitting rays).
+    """
+    ray = e - s
+    hit = np.abs(ray).sum(axis=1) > 0
+    if not hit.any():
+        return s, e, 0, None, "empty-rays"
+    cells = np.abs(ray[hit]) / bins[None]
+    dom = int(np.argmax(cells.mean(axis=0)))
+    sgn = ray[hit, dom]
+    if np.all(sgn > 0):
+        flip = False
+    elif np.all(sgn < 0):
+        flip = True
+    else:
+        return s, e, dom, None, "mixed-dominant-sign"
+    if not hit.all():
+        nb = len(s) // rays
+        trim = nb * rays
+        hb = hit[:trim].reshape(nb, rays)
+        first = np.argmax(hb, axis=1)
+        has = hb.any(axis=1)
+        gsrc = int(np.flatnonzero(hit)[0])
+        src = np.where(has, np.arange(nb) * rays + first, gsrc)
+        fill = np.repeat(src, rays)
+        s = s.copy()
+        e = e.copy()
+        s[:trim] = np.where(hit[:trim, None], s[:trim], s[fill])
+        e[:trim] = np.where(hit[:trim, None], e[:trim], e[fill])
+        # the sampled-path tail (partial block) keeps zero-length rows:
+        # they contribute no crossings to _exact_k
+    return s, e, dom, flip, "ok"
+
+
 class BpBeamConfig:
     """Static per-image-geometry kernel configuration (hashable)."""
 
@@ -163,16 +209,10 @@ def plan_bp_config(
         jnp.asarray(bbox, jnp.float32),
     )
     s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
-    ray = e - s
     bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
-    cells = np.abs(ray) / bins[None]  # voxel-unit travel per axis
-    dom = int(np.argmax(cells.mean(axis=0)))
-    if np.all(ray[:, dom] > 0):
-        flip = False
-    elif np.all(ray[:, dom] < 0):
-        flip = True  # mirror the dominant axis so the march is ascending
-    else:
-        return _reject("mixed-dominant-sign", explain)
+    s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, rays)
+    if flip is None:
+        return _reject(reason, explain)
     others = [a for a in range(3) if a != dom]
     perm = (dom, others[0], others[1])
 
@@ -292,16 +332,10 @@ def plan_bp_classes(
         jnp.asarray(bbox, jnp.float32),
     )
     s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
-    ray = e - s
     bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
-    cells = np.abs(ray) / bins[None]
-    dom = int(np.argmax(cells.mean(axis=0)))
-    if np.all(ray[:, dom] > 0):
-        flip = False
-    elif np.all(ray[:, dom] < 0):
-        flip = True
-    else:
-        return None  # mixed dominant sign
+    s, e, dom, flip, _reason = _dom_sign_and_fill(s, e, bins, rays)
+    if flip is None:
+        return None  # nothing hits, or genuinely mixed dominant sign
     others = [a for a in range(3) if a != dom]
     perm = (dom, others[0], others[1])
     k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
@@ -1182,6 +1216,15 @@ def _prep_inputs(ray_start, ray_end, valid, S_planes, messages_slot,
     pb0 = st[2] / bins[2]
     pb1 = en[2] / bins[2]
     pb = pb0[:, None] + t * (pb1 - pb0)[:, None]
+
+    # Dead lanes (invalid rows, and bbox-MISS rays whose segment collapsed
+    # to a zero-length point outside the grid) must not drag the drifting
+    # box minima away from the live rays' band — the planner's static
+    # (BA, nstripe) only covers live geometry.
+    live = (valid > 0) & jnp.any(ray_start != ray_end, axis=1)
+    far = jnp.float32(1e9)
+    pa = jnp.where(live[:, None], pa, far)
+    pb = jnp.where(live[:, None], pb, far)
 
     def group_min(p):
         lo = jnp.floor(jnp.minimum(p[:, :-1], p[:, 1:])).astype(jnp.int32)

@@ -328,9 +328,13 @@ def plan_band_specs(
             (P.shape[0], height + padding + 1, width + padding + 1, 32),
             jnp.bfloat16,
         )
-        return project_to_feature_idx(
+        fidx = project_to_feature_idx(
             dummy, P, pts, padding, height, width
         )
+        # miss rays (zero-length segments) run as sentinels at runtime
+        # (banded_scores_from_segments); exclude them from the plan too
+        hit = jnp.any(s != e, axis=1)
+        return jnp.where(hit[:, None, None, None], fidx, 0)
 
     specs = None
     chunk_rays = chunk_tiles * RAYS_PER_BLOCK
@@ -451,6 +455,13 @@ def banded_scores_from_segments(
         s_ = lanes(ray_start[:, a])
         pc.append(s_ + frac * (lanes(ray_end[:, a]) - s_))  # (nb, d, 128)
 
+    # bbox-MISS rays (zero-length segments) score as sentinels: their
+    # collapsed point projects wherever, and including it would inflate
+    # the per-group band boxes past the planned static specs
+    miss = lanes(
+        jnp.all(ray_start == ray_end, axis=1).astype(jnp.int32)
+    ) > 0  # (nb, 1, 128)
+
     offset = padding - (padding - 1) // 2
     big = jnp.int32(1 << 20)
     cell_rows = []
@@ -469,7 +480,7 @@ def banded_scores_from_segments(
         fy = jnp.clip(
             jnp.round(w_ / z_).astype(jnp.int32) + offset, 0, height
         )
-        ez = (fx == 0) | (fy == 0)
+        ez = (fx == 0) | (fy == 0) | miss
         fx = jnp.where(ez, 0, fx)
         fy = jnp.where(ez, 0, fy)
 

@@ -591,3 +591,75 @@ def test_bp_beam_block_classes(geo):
     np.testing.assert_allclose(
         np.asarray(m_cls), np.asarray(m_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_bp_beam_bbox_miss_rays(rng):
+    """An OBLIQUE wide-FOV camera whose corner rays miss the bbox with
+    sign-flipped slab garbage: the planner must still accept (miss rays
+    are zero-length segments excluded from the dominant-sign/K/span
+    statistics — the round-2 planner rejected every such rig as
+    "mixed-dominant-sign"), and the kernel must agree with the XLA path
+    with misses present (dead lanes: no emissions, no origin drag)."""
+    K = np.array([[22.0, 0, W / 2], [0, 22.0, H / 2], [0, 0, 1]])
+    c = np.array([5.5, 2.2, -6.0])  # oblique: slab t's straddle zero
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    t = -R @ c.reshape(3, 1)
+    P = K @ np.hstack([R, t])
+    P_pinv = np.linalg.pinv(P)
+    bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
+
+    idxs = jnp.arange(H * W, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, H)
+    idxs = idxs[perm]
+    dirs = rays_from_pixel_idxs(
+        idxs, jnp.asarray(P_pinv, jnp.float32), jnp.asarray(c, jnp.float32),
+        H,
+    )
+    s, e = rays_entry_exit_bbox(
+        dirs, jnp.asarray(c, jnp.float32), jnp.asarray(bbox[:3]),
+        jnp.asarray(bbox[3:]),
+    )
+    miss = np.asarray(jnp.all(s == e, axis=1))
+    assert 0.05 < miss.mean() < 0.95, (
+        "fixture should mix hits and misses, got %.2f" % miss.mean()
+    )
+    # miss segments collapse to a point on the ray OUTSIDE the bbox
+    sm = np.asarray(s)[miss]
+    assert (
+        (sm < bbox[:3] - 1e-6) | (sm > bbox[3:] + 1e-6)
+    ).any(axis=1).all()
+
+    cfg = plan_bp_config(
+        P_pinv, c, bbox, GRID, H, W, D, M, gamma=GAMMA, sample_stride=1
+    )
+    assert cfg is not None, "planner rejected a rig with bbox misses"
+
+    S_planes = jnp.asarray(
+        rng.dirichlet(np.ones(D), size=H * W), jnp.float32
+    )
+    g = int(np.prod(GRID))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    geo2 = dict(start=s, end=e, S_planes=S_planes, bbox=jnp.asarray(bbox))
+    xla_msgs, xla_scatter, *_ = _xla_sweep(geo2, None, acc0, True)
+
+    n = H * W
+    k_msgs, k_scatter, overflow = bp_beam_message_step(
+        s, e, jnp.ones((n,), jnp.int32), S_planes,
+        jnp.zeros((n, cfg.slots), jnp.float32), acc0,
+        jnp.asarray(c, jnp.float32), jnp.asarray(bbox), cfg,
+        first_iteration=True, interpret=True,
+    )
+    assert float(overflow) == 0.0
+    _assert_mostly_close(k_scatter, xla_scatter)
+    # slots (S*K) != M here: compare zero-padded sorted multisets
+    km = np.asarray(k_msgs)
+    xm = np.asarray(xla_msgs)
+    wmax = max(km.shape[1], xm.shape[1])
+    km = np.pad(km, ((0, 0), (0, wmax - km.shape[1])))
+    xm = np.pad(xm, ((0, 0), (0, wmax - xm.shape[1])))
+    _assert_mostly_close(_sorted_rows(km), _sorted_rows(xm))
