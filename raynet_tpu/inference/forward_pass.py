@@ -134,6 +134,8 @@ class ForwardPass:
                 self._bp_cfg_cache.clear()
             if hasattr(self, "_bp_class_cache"):
                 self._bp_class_cache.clear()
+            if hasattr(self, "_orch_cache"):
+                self._orch_cache.clear()
 
     def _band_specs(self, scene, ref_idx, features, ray_idxs=None):
         """Static epipolar-band boxes for the banded plane-sweep kernel
@@ -786,244 +788,274 @@ class RayNetForwardPass(ForwardPass):
         M = gp.max_number_of_marched_voxels
         prior = float(log_prior(gamma))
 
-        ref_indices = list(range(start, end, skip))
-        ray_idxs_per_image = {
-            i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
-        }
-        sharded = self._sharded_steps(H, W, gp, grid_shape, M)
-        if (
-            self._filter_out_rays
-            and _use_pallas()
-            and self.rays_batch % 128 == 0
-        ):
-            # keep kernel blocks spatially tight across GT-mask gaps
+        # Scene-level orchestration-plan cache: ray enumeration (a ~1M-row
+        # argsort per image), class reordering and the committed chunk
+        # tensors are identical across repeated forward_pass calls on one
+        # scene; rebuilding them cost ~0.1-0.2 s/call at DTU geometry.
+        # (_check_scene clears this when the scene changes.)
+        okey = (
+            start, end, skip,
+            getattr(self, "_rays_batch_requested", self.rays_batch),
+            bool(self._filter_out_rays),
+        )
+        if not hasattr(self, "_orch_cache"):
+            self._orch_cache = {}
+        _orch = self._orch_cache.get(okey)
+        if _orch is not None:
+            (ref_indices, ray_idxs_per_image, sharded, bp_cfgs, small_cfgs,
+             small_chunks, band_specs, cols_per_image, msgs_on_device,
+             sharded_fast, cache_scores, _dummy_features, device_fast,
+             host_staged, b, n_dev, unit, stacked, batches_per_image,
+             rows, seg_data, score_dummy, _shard_alloc) = _orch
+            self.rays_batch = b
+        else:
+            ref_indices = list(range(start, end, skip))
             ray_idxs_per_image = {
-                i: self._pad_tile_runs(v, H)
-                for i, v in ray_idxs_per_image.items()
+                i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
             }
-        # Snap the batch size DOWN to minimize ceil-padding waste: every
-        # sweep pays for padded rows (DTU's 921,600-ray images pad 6.7%
-        # at the default 65,536; 61,440 divides them exactly). One b per
-        # scene keeps the single compiled step per sweep.
-        self.rays_batch = self._snap_rays_batch(
-            [len(v) for v in ray_idxs_per_image.values()], sharded
-        )
-        # Per-image BP beam plans (the fused Pallas sweep); images the
-        # planner rejects keep the XLA path. Beam messages live in the
-        # kernel's slot layout, so the per-image column count differs.
-        # Plans and band specs are COALESCED scene-wide so all views share
-        # one compilation of each step.
-        #
-        # On the single-device scan paths the planner also splits each
-        # image's blocks into SMALL/LARGE box CLASSES (the worst corner
-        # block otherwise sets every block's one-hot row count): blocks
-        # are REORDERED small-first and each class segment scans with its
-        # own static config.
-        bp_cfgs = {}
-        small_cfgs = {}
-        small_chunks = {}
-        band_specs = {}
-        use_classes = (
-            sharded is None
-            and self.bp_beam != "off"
-            and self.bp_classes != "off"
-            and _use_pallas()
-            and self.rays_batch % 256 == 0
-        )
-        for i in ref_indices:
-            features_i, *_ = self._features_and_cameras(scene, i)
-            small_cfgs[i] = None
-            small_chunks[i] = 0
-            if use_classes:
-                info = self._bp_classes(scene, i, ray_idxs_per_image[i])
-                bp_cfgs[i] = info["cfg_large"] if info else None
-                if info is not None and info["cfg_small"] is not None:
-                    rays_blk = info["cfg_large"].rays
-                    (
-                        ray_idxs_per_image[i], nsb, _
-                    ) = self._reorder_blocks_by_class(
-                        ray_idxs_per_image[i], info["small_mask"],
-                        rays_blk, self.rays_batch,
-                    )
-                    small_cfgs[i] = info["cfg_small"]
-                    small_chunks[i] = nsb
-            else:
-                bp_cfgs[i] = self._bp_cfg(
-                    scene, i, ray_idxs=ray_idxs_per_image[i],
-                    shards=(
-                        sharded["n_dev"] if sharded is not None else 1
-                    ),
-                )
-            band_specs[i] = self._band_specs(
-                scene, i, features_i, ray_idxs=ray_idxs_per_image[i]
+            sharded = self._sharded_steps(H, W, gp, grid_shape, M)
+            if (
+                self._filter_out_rays
+                and _use_pallas()
+                and self.rays_batch % 128 == 0
+            ):
+                # keep kernel blocks spatially tight across GT-mask gaps
+                ray_idxs_per_image = {
+                    i: self._pad_tile_runs(v, H)
+                    for i, v in ray_idxs_per_image.items()
+                }
+            # Snap the batch size DOWN to minimize ceil-padding waste: every
+            # sweep pays for padded rows (DTU's 921,600-ray images pad 6.7%
+            # at the default 65,536; 61,440 divides them exactly). One b per
+            # scene keeps the single compiled step per sweep.
+            self.rays_batch = self._snap_rays_batch(
+                [len(v) for v in ray_idxs_per_image.values()], sharded
             )
-        bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
-        # the small class shares the large class's slot count (one store):
-        # coalesce smalls, then force K/rays to the coalesced large's
-        small_cfgs = _coalesce_bp_cfgs(small_cfgs)
-        for i in ref_indices:
-            cs, cl = small_cfgs[i], bp_cfgs[i]
-            if cs is not None and (cs.K != cl.K or cs.rays != cl.rays):
-                from ..ops.pallas.bp_beam import BpBeamConfig
-
-                small_cfgs[i] = BpBeamConfig(
-                    cs.perm, cs.S, cs.A, cs.B, cl.K, cs.BA, cs.nstripe,
-                    cs.depth_planes, cs.max_voxels, cs.bins, cs.prior,
-                    cs.grid_shape, flip=cs.flip, rays=cl.rays,
-                )
-        small_cfgs = _coalesce_bp_cfgs(small_cfgs)
-        band_specs = _coalesce_band_specs(band_specs)
-        cols_per_image = {
-            i: (bp_cfgs[i].slots if bp_cfgs[i] is not None else M)
-            for i in ref_indices
-        }
-        msgs_on_device = self._messages_on_device(
-            ray_idxs_per_image, cols_per_image
-        )
-        # Sharded single-dispatch scan (one psum per image-sweep): the
-        # multi-chip fast path — per-batch dispatches + per-batch grid
-        # psums only remain as the fallback when the batch does not split.
-        sharded_fast = (
-            sharded is not None
-            and msgs_on_device
-            and self.rays_batch % sharded["n_dev"] == 0
-        )
-        # Plane-sweep scores are message-INDEPENDENT: compute them once per
-        # image (first sweep) and reuse across the remaining 3 sweeps when
-        # they fit the device budget alongside the messages. (Recompute on
-        # the fly otherwise: the plane sweep is cheaper than a host
-        # round-trip of the score block.)
-        cache_scores = (
-            (sharded is None or sharded_fast)
-            and msgs_on_device
-            and self._messages_on_device(
-                ray_idxs_per_image, cols_per_image,
-                extra_cols=gp.depth_planes,
+            # Per-image BP beam plans (the fused Pallas sweep); images the
+            # planner rejects keep the XLA path. Beam messages live in the
+            # kernel's slot layout, so the per-image column count differs.
+            # Plans and band specs are COALESCED scene-wide so all views share
+            # one compilation of each step.
+            #
+            # On the single-device scan paths the planner also splits each
+            # image's blocks into SMALL/LARGE box CLASSES (the worst corner
+            # block otherwise sets every block's one-hot row count): blocks
+            # are REORDERED small-first and each class segment scans with its
+            # own static config.
+            bp_cfgs = {}
+            small_cfgs = {}
+            small_chunks = {}
+            band_specs = {}
+            use_classes = (
+                sharded is None
+                and self.bp_beam != "off"
+                and self.bp_classes != "off"
+                and _use_pallas()
+                and self.rays_batch % 256 == 0
             )
-        )
-        # With cached scores the features tensor is UNUSED by sweeps 2..4
-        # and the depth sweep — and on the axon platform every dispatch
-        # pays ~70 ms just for carrying the ~30 MB array as an argument
-        # (measured: dummy features 16 ms vs real 88 ms per step). Pass a
-        # tiny placeholder on those calls.
-        _dummy_cache = {}
-
-        def _dummy_features(features):
-            key = (features.shape[0], features.shape[-1], features.dtype)
-            if key not in _dummy_cache:
-                _dummy_cache[key] = jnp.zeros(
-                    (features.shape[0], 1, 1, features.shape[-1]),
-                    features.dtype,
-                )
-            return _dummy_cache[key]
-        # Device-resident fast path: ONE fused dispatch per (image, sweep)
-        # — a lax.scan over the image's ray batches with the message store
-        # as a donated carry. Per-batch dispatches cost ~5-15 ms of host
-        # latency each through the axon tunnel (~5,700/scene at DTU
-        # scale). The host/memmap and sharded paths keep per-batch calls
-        # with chunks pre-committed once. Fast-path stores are PADDED to
-        # whole batches so every scan slice is full-size.
-        device_fast = msgs_on_device and sharded is None
-        # When the scene's message set exceeds the device budget, STAGE
-        # each image's store through the device per (image, sweep): one
-        # upload + one download (in messages_dtype, f16 halves the bytes)
-        # bracketing the same single-dispatch scan — instead of per-batch
-        # host round trips. This is the full-DTU single-chip story: the
-        # store streams sequentially, 2 transfers per image-sweep.
-        host_staged = (
-            not msgs_on_device
-            and sharded is None
-            and (_use_pallas() or self.force_host_staging)
-        )
-        b = self.rays_batch
-        n_dev = sharded["n_dev"] if sharded_fast else 1
-        unit = b // n_dev
-        if device_fast or host_staged or sharded_fast:
-            stacked = {
-                i: self._stacked_batches(ray_idxs_per_image[i])
-                for i in ref_indices
-            }
-            batches_per_image = None
-            rows = {
-                i: int(stacked[i][0].shape[0]) * b for i in ref_indices
-            }
-        else:
-            batches_per_image = {
-                i: list(self._ray_batches(ray_idxs_per_image[i]))
-                for i in ref_indices
-            }
-            rows = {i: len(ray_idxs_per_image[i]) for i in ref_indices}
-        # Class segments: consecutive chunk ranges sharing one static cfg.
-        # ALL per-segment tensors (chunk slices, valid counts, global
-        # chunk offsets) are committed to the device ONCE here — a
-        # host-backed array argument is re-shipped and a fresh slice is
-        # its own dispatch (~5-15 ms each) through the axon tunnel.
-        seg_data = {}
-        if device_fast or host_staged:
             for i in ref_indices:
-                chunks_arr, n_valids_arr = stacked[i]
-                nchunks = int(chunks_arr.shape[0])
-                nsb = min(small_chunks[i], nchunks)
-                if small_cfgs[i] is not None and 0 < nsb:
-                    segs = [(small_cfgs[i], 0, nsb)]
-                    if nsb < nchunks:
-                        segs.append((bp_cfgs[i], nsb, nchunks))
-                else:
-                    segs = [(bp_cfgs[i], 0, nchunks)]
-                out = []
-                for seg_cfg, c0, c1 in segs:
-                    if c0 == 0 and c1 == nchunks:
-                        out.append(
-                            (seg_cfg, c0, c1, chunks_arr, n_valids_arr,
-                             None)
+                features_i, *_ = self._features_and_cameras(scene, i)
+                small_cfgs[i] = None
+                small_chunks[i] = 0
+                if use_classes:
+                    info = self._bp_classes(scene, i, ray_idxs_per_image[i])
+                    bp_cfgs[i] = info["cfg_large"] if info else None
+                    if info is not None and info["cfg_small"] is not None:
+                        rays_blk = info["cfg_large"].rays
+                        (
+                            ray_idxs_per_image[i], nsb, _
+                        ) = self._reorder_blocks_by_class(
+                            ray_idxs_per_image[i], info["small_mask"],
+                            rays_blk, self.rays_batch,
                         )
-                    else:
-                        out.append((
-                            seg_cfg, c0, c1,
-                            jax.device_put(chunks_arr[c0:c1]),
-                            jax.device_put(n_valids_arr[c0:c1]),
-                            jax.device_put(
-                                np.arange(c0, c1, dtype=np.int32) * b
-                            ),
-                        ))
-                seg_data[i] = out
-        if sharded_fast:
-            # device-major chunk layout: device k owns rows
-            # [c*batch + k*unit, c*batch + (k+1)*unit) of every chunk c
-            from jax.sharding import NamedSharding, PartitionSpec
-            from ..parallel.sharding import RAY_AXIS
-
-            row_sh = NamedSharding(
-                sharded["mesh"], PartitionSpec(RAY_AXIS)
-            )
-            rep_sh = NamedSharding(sharded["mesh"], PartitionSpec())
-
-            def _shard_alloc(shape):
-                return jax.jit(
-                    lambda: jnp.zeros(shape, jnp.float32),
-                    out_shardings=row_sh,
-                )()
-
-            stacked = {
-                i: (
-                    jax.device_put(
-                        np.ascontiguousarray(
-                            np.asarray(chunks_arr)
-                            .reshape(-1, n_dev, unit)
-                            .transpose(1, 0, 2)
+                        small_cfgs[i] = info["cfg_small"]
+                        small_chunks[i] = nsb
+                else:
+                    bp_cfgs[i] = self._bp_cfg(
+                        scene, i, ray_idxs=ray_idxs_per_image[i],
+                        shards=(
+                            sharded["n_dev"] if sharded is not None else 1
                         ),
-                        row_sh,
-                    ),
-                    jax.device_put(np.asarray(n_valids_arr), rep_sh),
+                    )
+                band_specs[i] = self._band_specs(
+                    scene, i, features_i, ray_idxs=ray_idxs_per_image[i]
                 )
-                for i, (chunks_arr, n_valids_arr) in stacked.items()
+            bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
+            # the small class shares the large class's slot count (one store):
+            # coalesce smalls, then force K/rays to the coalesced large's
+            small_cfgs = _coalesce_bp_cfgs(small_cfgs)
+            for i in ref_indices:
+                cs, cl = small_cfgs[i], bp_cfgs[i]
+                if cs is not None and (cs.K != cl.K or cs.rays != cl.rays):
+                    from ..ops.pallas.bp_beam import BpBeamConfig
+
+                    small_cfgs[i] = BpBeamConfig(
+                        cs.perm, cs.S, cs.A, cs.B, cl.K, cs.BA, cs.nstripe,
+                        cs.depth_planes, cs.max_voxels, cs.bins, cs.prior,
+                        cs.grid_shape, flip=cs.flip, rays=cl.rays,
+                    )
+            small_cfgs = _coalesce_bp_cfgs(small_cfgs)
+            band_specs = _coalesce_band_specs(band_specs)
+            cols_per_image = {
+                i: (bp_cfgs[i].slots if bp_cfgs[i] is not None else M)
+                for i in ref_indices
             }
-        if sharded_fast:
-            score_dummy = jax.device_put(
-                np.zeros((n_dev, 1, gp.depth_planes), np.float32), row_sh
+            msgs_on_device = self._messages_on_device(
+                ray_idxs_per_image, cols_per_image
             )
-        else:
-            score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
+            # Sharded single-dispatch scan (one psum per image-sweep): the
+            # multi-chip fast path — per-batch dispatches + per-batch grid
+            # psums only remain as the fallback when the batch does not split.
+            sharded_fast = (
+                sharded is not None
+                and msgs_on_device
+                and self.rays_batch % sharded["n_dev"] == 0
+            )
+            # Plane-sweep scores are message-INDEPENDENT: compute them once per
+            # image (first sweep) and reuse across the remaining 3 sweeps when
+            # they fit the device budget alongside the messages. (Recompute on
+            # the fly otherwise: the plane sweep is cheaper than a host
+            # round-trip of the score block.)
+            cache_scores = (
+                (sharded is None or sharded_fast)
+                and msgs_on_device
+                and self._messages_on_device(
+                    ray_idxs_per_image, cols_per_image,
+                    extra_cols=gp.depth_planes,
+                )
+            )
+            # With cached scores the features tensor is UNUSED by sweeps 2..4
+            # and the depth sweep — and on the axon platform every dispatch
+            # pays ~70 ms just for carrying the ~30 MB array as an argument
+            # (measured: dummy features 16 ms vs real 88 ms per step). Pass a
+            # tiny placeholder on those calls.
+            _dummy_cache = {}
+
+            def _dummy_features(features):
+                key = (features.shape[0], features.shape[-1], features.dtype)
+                if key not in _dummy_cache:
+                    _dummy_cache[key] = jnp.zeros(
+                        (features.shape[0], 1, 1, features.shape[-1]),
+                        features.dtype,
+                    )
+                return _dummy_cache[key]
+            # Device-resident fast path: ONE fused dispatch per (image, sweep)
+            # — a lax.scan over the image's ray batches with the message store
+            # as a donated carry. Per-batch dispatches cost ~5-15 ms of host
+            # latency each through the axon tunnel (~5,700/scene at DTU
+            # scale). The host/memmap and sharded paths keep per-batch calls
+            # with chunks pre-committed once. Fast-path stores are PADDED to
+            # whole batches so every scan slice is full-size.
+            device_fast = msgs_on_device and sharded is None
+            # When the scene's message set exceeds the device budget, STAGE
+            # each image's store through the device per (image, sweep): one
+            # upload + one download (in messages_dtype, f16 halves the bytes)
+            # bracketing the same single-dispatch scan — instead of per-batch
+            # host round trips. This is the full-DTU single-chip story: the
+            # store streams sequentially, 2 transfers per image-sweep.
+            host_staged = (
+                not msgs_on_device
+                and sharded is None
+                and (_use_pallas() or self.force_host_staging)
+            )
+            b = self.rays_batch
+            n_dev = sharded["n_dev"] if sharded_fast else 1
+            unit = b // n_dev
+            if device_fast or host_staged or sharded_fast:
+                stacked = {
+                    i: self._stacked_batches(ray_idxs_per_image[i])
+                    for i in ref_indices
+                }
+                batches_per_image = None
+                rows = {
+                    i: int(stacked[i][0].shape[0]) * b for i in ref_indices
+                }
+            else:
+                stacked = None
+                batches_per_image = {
+                    i: list(self._ray_batches(ray_idxs_per_image[i]))
+                    for i in ref_indices
+                }
+                rows = {i: len(ray_idxs_per_image[i]) for i in ref_indices}
+            # Class segments: consecutive chunk ranges sharing one static cfg.
+            # ALL per-segment tensors (chunk slices, valid counts, global
+            # chunk offsets) are committed to the device ONCE here — a
+            # host-backed array argument is re-shipped and a fresh slice is
+            # its own dispatch (~5-15 ms each) through the axon tunnel.
+            seg_data = {}
+            if device_fast or host_staged:
+                for i in ref_indices:
+                    chunks_arr, n_valids_arr = stacked[i]
+                    nchunks = int(chunks_arr.shape[0])
+                    nsb = min(small_chunks[i], nchunks)
+                    if small_cfgs[i] is not None and 0 < nsb:
+                        segs = [(small_cfgs[i], 0, nsb)]
+                        if nsb < nchunks:
+                            segs.append((bp_cfgs[i], nsb, nchunks))
+                    else:
+                        segs = [(bp_cfgs[i], 0, nchunks)]
+                    out = []
+                    for seg_cfg, c0, c1 in segs:
+                        if c0 == 0 and c1 == nchunks:
+                            out.append(
+                                (seg_cfg, c0, c1, chunks_arr, n_valids_arr,
+                                 None)
+                            )
+                        else:
+                            out.append((
+                                seg_cfg, c0, c1,
+                                jax.device_put(chunks_arr[c0:c1]),
+                                jax.device_put(n_valids_arr[c0:c1]),
+                                jax.device_put(
+                                    np.arange(c0, c1, dtype=np.int32) * b
+                                ),
+                            ))
+                    seg_data[i] = out
+            if sharded_fast:
+                # device-major chunk layout: device k owns rows
+                # [c*batch + k*unit, c*batch + (k+1)*unit) of every chunk c
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.sharding import RAY_AXIS
+
+                row_sh = NamedSharding(
+                    sharded["mesh"], PartitionSpec(RAY_AXIS)
+                )
+                rep_sh = NamedSharding(sharded["mesh"], PartitionSpec())
+
+                def _shard_alloc(shape):
+                    return jax.jit(
+                        lambda: jnp.zeros(shape, jnp.float32),
+                        out_shardings=row_sh,
+                    )()
+
+                stacked = {
+                    i: (
+                        jax.device_put(
+                            np.ascontiguousarray(
+                                np.asarray(chunks_arr)
+                                .reshape(-1, n_dev, unit)
+                                .transpose(1, 0, 2)
+                            ),
+                            row_sh,
+                        ),
+                        jax.device_put(np.asarray(n_valids_arr), rep_sh),
+                    )
+                    for i, (chunks_arr, n_valids_arr) in stacked.items()
+                }
+            if sharded_fast:
+                score_dummy = jax.device_put(
+                    np.zeros((n_dev, 1, gp.depth_planes), np.float32), row_sh
+                )
+            else:
+                score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
+            if not sharded_fast:
+                _shard_alloc = None
+            self._orch_cache[okey] = (
+                ref_indices, ray_idxs_per_image, sharded, bp_cfgs, small_cfgs,
+             small_chunks, band_specs, cols_per_image, msgs_on_device,
+             sharded_fast, cache_scores, _dummy_features, device_fast,
+             host_staged, b, n_dev, unit, stacked, batches_per_image,
+             rows, seg_data, score_dummy, _shard_alloc)
         scores = None
         if cache_scores:
             if sharded_fast:

@@ -258,13 +258,20 @@ def measure_box_specs(fidx, depth_planes, pad=2):
     for v in range(fidx.shape[2]):
         bh = int(spans[:, :, v, 0].max()) + 1 + pad
         bw = int(spans[:, :, v, 1].max()) + 1 + pad
-        bh = max(8, -(-bh // 8) * 8)
-        # group extent: +8 groups of slack for the 8-group-aligned origin,
-        # rounded to the 16-sublane bf16 tile (Mosaic DMA slice alignment)
+        # bh is an UNTILED dim (third-from-minor in the band scratch,
+        # dim 1 of the feature slice): arbitrary extents and origins are
+        # legal, so the ladder can be fine-grained — the one-hot eq build
+        # is proportional to bh*bwg rows. bwg stays a multiple of the
+        # 16-sublane bf16 tile with +8 groups of origin-alignment slack
+        # (Mosaic requires 8-aligned offsets on the tiled dim).
+        bh = max(8, bh)
         bwg = -(-(-(-bw // 4) + 8) // 16) * 16
-        # bucket to a coarse ladder: specs are STATIC kernel args, so
-        # nearby view geometries must land on the same compilation
-        bh = _bucket(bh, (8, 16, 24, 32, 48, 64, 96, 128, 192, 256))
+        # bucket to a ladder: specs are STATIC kernel args, so nearby
+        # view geometries must land on the same compilation
+        bh = _bucket(
+            bh, (8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 64, 96,
+                 128, 192, 256)
+        )
         bwg = _bucket(bwg, (16, 32, 48, 64, 96, 128, 192, 256))
         specs.append((bh, bwg))
     return tuple(specs)
