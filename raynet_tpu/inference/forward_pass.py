@@ -373,9 +373,7 @@ class ForwardPass:
         (fewer chunks = less per-chunk fixed cost). The sharded path
         keeps the requested size: its unit split has its own divisibility
         constraints."""
-        req = getattr(self, "_rays_batch_requested", None)
-        if req is None:
-            req = self._rays_batch_requested = self.rays_batch
+        req = getattr(self, "_rays_batch_requested", self.rays_batch)
         if sharded is not None or req % 512 or not counts:
             return req
 
@@ -788,6 +786,13 @@ class RayNetForwardPass(ForwardPass):
         M = gp.max_number_of_marched_voxels
         prior = float(log_prior(gamma))
 
+        # The CALLER-set batch size is the request; the snap below may
+        # shrink it for the duration of this call (restored in the
+        # generator's finally so every config gate — sharding
+        # divisibility, %128/%256 checks — always evaluates the caller's
+        # value, and reassigning fp.rays_batch between calls works).
+        self._rays_batch_requested = self.rays_batch
+
         # Scene-level orchestration-plan cache: ray enumeration (a ~1M-row
         # argsort per image), class reordering and the committed chunk
         # tensors are identical across repeated forward_pass calls on one
@@ -795,8 +800,11 @@ class RayNetForwardPass(ForwardPass):
         # (_check_scene clears this when the scene changes.)
         okey = (
             start, end, skip,
-            getattr(self, "_rays_batch_requested", self.rays_batch),
+            self._rays_batch_requested,
             bool(self._filter_out_rays),
+            self.bp_beam, self.bp_classes, self.multichip,
+            self.force_host_staging, _use_pallas(),
+            self.messages_device_budget, str(self.messages_dtype),
         )
         if not hasattr(self, "_orch_cache"):
             self._orch_cache = {}
@@ -1291,6 +1299,7 @@ class RayNetForwardPass(ForwardPass):
                 # otherwise serialize with the next image's dispatches.
                 pending = []
                 all_bads = [overflow_total]
+                bad_by_img = {}
                 for ref_idx in ref_indices:
                     features, P, P_pinv, center = (
                         self._features_and_cameras(scene, ref_idx)
@@ -1299,7 +1308,6 @@ class RayNetForwardPass(ForwardPass):
                         _dummy_features(features) if cache_scores
                         else features
                     )
-                    chunks_arr, _ = stacked[ref_idx]
                     parts = []
                     for (
                         seg_cfg, c0, c1, seg_chunks, seg_nv, offs
@@ -1332,6 +1340,7 @@ class RayNetForwardPass(ForwardPass):
                             pass
                         parts.append((c0, c1, depths))
                         all_bads.append(bad)
+                        bad_by_img.setdefault(ref_idx, []).append(bad)
                     pending.append((ref_idx, parts))
                 if float(jnp.stack(all_bads).sum()):
                     if float(overflow_total):
@@ -1341,9 +1350,16 @@ class RayNetForwardPass(ForwardPass):
                             "planned static shapes did not cover this "
                             "scene's rays" % int(float(overflow_total))
                         )
+                    # attribute the failing view (error path only; band
+                    # specs are planned per image before coalescing)
+                    per_img = {
+                        i: int(sum(float(b_) for b_ in bs))
+                        for i, bs in bad_by_img.items()
+                    }
+                    bad_imgs = [i for i, v in per_img.items() if v]
                     raise RuntimeError(
                         "banded plane-sweep boxes overflowed in the "
-                        "final depth sweep"
+                        "final depth sweep of image(s) %s" % (bad_imgs,)
                     )
                 for ref_idx, parts in pending:
                     ray_idxs = ray_idxs_per_image[ref_idx]
@@ -1396,13 +1412,9 @@ class RayNetForwardPass(ForwardPass):
                     depth_map[ray_idxs[keep]] = flat[: len(ray_idxs)][keep]
                     yield depth_map.reshape(W, H).T
                     continue
-                if device_fast or host_staged:
+                if host_staged:  # device_fast returned above
                     chunks_arr, _ = stacked[ref_idx]
-                    msgs_in = (
-                        jax.device_put(messages[ref_idx])
-                        if host_staged
-                        else messages[ref_idx]
-                    )
+                    msgs_in = jax.device_put(messages[ref_idx])
                     flat = np.zeros(
                         int(chunks_arr.shape[0]) * b, np.float32
                     )
@@ -1489,6 +1501,7 @@ class RayNetForwardPass(ForwardPass):
                     depth_map[sl[keep]] = np.asarray(depth)[:n_valid][keep]
                 yield depth_map.reshape(W, H).T
         finally:
+            self.rays_batch = self._rays_batch_requested
             self._cleanup_messages(messages)
 
 

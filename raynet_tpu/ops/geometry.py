@@ -27,10 +27,26 @@ def project_points(P, points):
     Returns
     -------
         (..., N, 2) dehomogenized pixel coordinates (x, y).
+
+    Implementation note: this is a SCALAR multiply-add chain, not an
+    einsum. On TPU an f32 einsum lowers to the MXU at DEFAULT precision
+    (bf16-truncated operands) — measured up to 3e4 px of error near the
+    epipole (w -> 0) vs exact f32, silently corrupting every feature
+    lookup. The reference computes projections in double precision
+    (sampling_schemes.cu:15-39); the left-to-right f32 chain matches the
+    lane-major banded front end (pallas/planesweep.py) bit for bit.
     """
-    xyz = jnp.einsum("...ij,...nj->...ni", P[..., :, :3], points)
-    hom = xyz + P[..., None, :, 3]
-    return hom[..., :2] / hom[..., 2:3]
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+
+    def row(i):
+        Pi = P[..., i, :]
+        return (
+            Pi[..., 0, None] * x + Pi[..., 1, None] * y
+            + Pi[..., 2, None] * z + Pi[..., 3, None]
+        )
+
+    u, v, w = row(0), row(1), row(2)
+    return jnp.stack([u / w, v / w], axis=-1)
 
 
 def rays_from_pixel_idxs(ray_idxs, P_pinv, camera_center, height):
@@ -53,14 +69,18 @@ def rays_from_pixel_idxs(ray_idxs, P_pinv, camera_center, height):
     y = (ray_idxs % height).astype(jnp.float32)
 
     # The reference evaluates this projection in double precision
-    # (sampling_schemes.cu:15-39). On TPU, f64 is emulated and slow, so we
-    # use compensated f32 only where it matters: the dehomogenization. In
-    # practice P_pinv entries are O(1)-O(10) and f32 matches double to ~1e-6
-    # relative, well inside the 0.999-agreement budget; tests compare against
-    # the f64 numpy oracle.
-    px = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # (N, 3)
-    hom = px @ P_pinv.T.astype(jnp.float32)  # (N, 4)
-    dest = hom[:, :3] / hom[:, 3:4]
+    # (sampling_schemes.cu:15-39). On TPU, f64 is emulated and slow; a
+    # scalar f32 multiply-add chain is exact (an f32 matmul would hit the
+    # MXU at DEFAULT precision — bf16-truncated operands, see
+    # project_points) and matches double to ~1e-6 relative for O(1)-O(10)
+    # P_pinv entries, well inside the 0.999-agreement budget.
+    Pp = P_pinv.astype(jnp.float32)
+    hom = [
+        Pp[i, 0] * x + Pp[i, 1] * y + Pp[i, 2] for i in range(4)
+    ]
+    dest = jnp.stack(
+        [hom[0] / hom[3], hom[1] / hom[3], hom[2] / hom[3]], axis=-1
+    )
     return dest - camera_center[None, :]
 
 
@@ -93,7 +113,12 @@ def rays_entry_exit_bbox(directions, camera_center, bbox_min, bbox_max):
     t_near_actual = jnp.where(near_mask, t_near, t_far)
     t_far_actual = jnp.where(near_mask, t_far, t_near)
     miss = t_near > t_far
+    # Zero direction components put +-inf in t_near/t_far (inf - inf =
+    # NaN); fall back to t = 0 — the camera center, which is outside the
+    # box whenever any ray misses (a line through an interior point
+    # always hits), preserving the zero-length-outside invariant.
     t_mid = 0.5 * (t_near + t_far)
+    t_mid = jnp.where(jnp.isfinite(t_mid), t_mid, 0.0)
     t_near_actual = jnp.where(miss, t_mid, t_near_actual)
     t_far_actual = jnp.where(miss, t_mid, t_far_actual)
 

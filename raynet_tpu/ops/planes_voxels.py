@@ -47,9 +47,10 @@ def project_voxels_to_rays(voxel_centers, ray_start, ray_end, clip=True):
     """
     ray = ray_end - ray_start  # (N, 3)
     vdir = voxel_centers - ray_start[:, None, :]  # (N, M, 3)
-    t = jnp.einsum("nmc,nc->nm", vdir, ray) / jnp.einsum(
-        "nc,nc->n", ray, ray
-    )[:, None]
+    # elementwise mul + reduce, NOT an einsum: an f32 einsum lowers to
+    # the MXU at DEFAULT precision (bf16-truncated operands) on TPU —
+    # see ops/geometry.project_points
+    t = (vdir * ray[:, None, :]).sum(-1) / (ray * ray).sum(-1)[:, None]
     if clip:
         t = jnp.clip(t, _EPS_T, 1 - _EPS_T)
     return t
@@ -132,8 +133,12 @@ def depth_planes_to_voxels_quadratic(S_planes, t, counts, depth_planes):
     breaks = jnp.asarray(breaks_np)
     C = jnp.asarray(C_np)
 
-    # Per-ray polynomial tables: (N, K, 3)
-    T = jnp.einsum("kjd,nd->nkj", C, S_planes)
+    # Per-ray polynomial tables: (N, K, 3). HIGHEST precision: the MXU's
+    # DEFAULT f32 einsum truncates operands to bf16 (ops/geometry note).
+    T = jnp.einsum(
+        "kjd,nd->nkj", C, S_planes,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     idx = jnp.clip(
         jnp.searchsorted(breaks, t, side="right") - 1, 0, C.shape[0] - 1
     )  # (N, M)
@@ -219,7 +224,7 @@ def planes_to_voxels_mapping_by_name(
     if interpolation == "kde":
         t = project_voxels_to_rays(centers, ray_start, ray_end, clip=False)
         ray = ray_end - ray_start
-        ray_norm_sq = jnp.einsum("nc,nc->n", ray, ray)
+        ray_norm_sq = (ray * ray).sum(-1)
         return depth_planes_to_voxels_kde(
             S_planes, t, ray_norm_sq, counts, depth_planes, gamma
         )

@@ -374,8 +374,10 @@ def test_snap_rays_batch_minimizes_pad():
     fp = ForwardPass.__new__(ForwardPass)
     fp.rays_batch = 65536
     assert fp._snap_rays_batch([921600, 921600], None) == 61440
-    # requested size restored as the basis for a new scene's snap
-    assert fp._rays_batch_requested == 65536
+    # the snap derives from the REQUESTED size even when rays_batch
+    # currently holds a previous scene's snapped value
+    fp._rays_batch_requested = 65536
+    fp.rays_batch = 61440
     assert fp._snap_rays_batch([65536 * 3], None) == 65536
 
     fp2 = ForwardPass.__new__(ForwardPass)
