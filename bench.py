@@ -370,7 +370,12 @@ def main():
                 DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
             )
             # host-staged variant: the full-DTU SINGLE-CHIP storage
-            # story (store exceeds HBM; f16 stage per image-sweep)
+            # story (store exceeds HBM; f16 stage per image-sweep).
+            # NOTE: on this platform the host<->device link is a remote
+            # tunnel measured at ~50-430 MB/s, so this metric is
+            # TRANSFER-bound and reflects the link, not the design; the
+            # companion bandwidth metric makes that legible (a local
+            # PCIe host moves the same bytes 30-100x faster).
             res_hs = run_scene_benchmark(
                 images=2, height=720, width=1280, focal=2200.0,
                 host_staged=True,
@@ -381,6 +386,12 @@ def main():
                 DTU_SCENE_TARGET_S
                 / res_hs["extrapolated_full_dtu_seconds"],
             )
+            if "staged_gbytes" in res_hs and res_hs.get("value"):
+                gbps = res_hs["staged_gbytes"] / res_hs["value"]
+                emit(
+                    "host_staged_link_gb_per_s", round(gbps, 3),
+                    "GB/s", gbps / 8.0,  # vs ~8 GB/s local PCIe3 x8
+                )
             if "accuracy_mean_dist" in res:
                 # scene-scale metric-path regression guards: mean
                 # cloud-to-cloud distances on the synthetic scene (GT is

@@ -119,10 +119,13 @@ def run_scene_benchmark(
 
     # best-of-3: axon tunnel dispatch latency varies ~20% run to run
     elapsed = float("inf")
+    staged_bytes = 0
     for _ in range(3):
+        fp.staged_bytes = 0
         t0 = time.perf_counter()
         maps = list(fp.forward_pass(scene, (0, args.images, 1)))
         elapsed = min(elapsed, time.perf_counter() - t0)
+        staged_bytes = fp.staged_bytes  # equal every run
 
     rays_full = args.images * h * w
     valid = (
@@ -151,6 +154,8 @@ def run_scene_benchmark(
         ),
         "extrapolated_full_dtu_seconds": round(est_dtu, 1),
     }
+    if staged_bytes:
+        out["staged_gbytes"] = round(staged_bytes / 1e9, 3)
     if filter_rays:
         # Scene-level metric path (depth maps -> consistency-filtered
         # pointcloud -> accuracy/completeness vs the GT mesh): guards the

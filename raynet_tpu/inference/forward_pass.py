@@ -496,6 +496,9 @@ class RayNetForwardPass(ForwardPass):
     bp_classes = "auto"
     # Tests force the host-staged (upload/scan/download) path on CPU.
     force_host_staging = False
+    # cumulative bytes moved host<->device by the host-staged store path
+    # (telemetry: the path is link-bound; bench reports the bandwidth)
+    staged_bytes = 0
 
     def _bp_cfg(self, scene, ref_idx, ray_idxs=None, shards=1):
         """Plan (and cache) the BP beam kernel config for a reference view;
@@ -1159,11 +1162,15 @@ class RayNetForwardPass(ForwardPass):
                             overflows.append(ov.sum())
                             continue
                         if device_fast or host_staged:
-                            msgs_out = (
-                                jax.device_put(messages[ref_idx])
-                                if host_staged
-                                else messages[ref_idx]
-                            )
+                            if host_staged:
+                                self.staged_bytes += messages[
+                                    ref_idx
+                                ].nbytes
+                                msgs_out = jax.device_put(
+                                    messages[ref_idx]
+                                )
+                            else:
+                                msgs_out = messages[ref_idx]
                             s_full = (
                                 scores[ref_idx]
                                 if cache_scores
@@ -1199,6 +1206,9 @@ class RayNetForwardPass(ForwardPass):
                                 # than fall back)
                                 overflows.append(overflow)
                             if host_staged:
+                                self.staged_bytes += messages[
+                                    ref_idx
+                                ].nbytes
                                 messages[ref_idx][...] = np.asarray(
                                     msgs_out
                                 )
@@ -1414,6 +1424,7 @@ class RayNetForwardPass(ForwardPass):
                     continue
                 if host_staged:  # device_fast returned above
                     chunks_arr, _ = stacked[ref_idx]
+                    self.staged_bytes += messages[ref_idx].nbytes
                     msgs_in = jax.device_put(messages[ref_idx])
                     flat = np.zeros(
                         int(chunks_arr.shape[0]) * b, np.float32
