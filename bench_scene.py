@@ -21,10 +21,13 @@ import numpy as np
 def run_scene_benchmark(
     images=4, height=180, width=320, depth_planes=32,
     grid=(128, 128, 64), max_voxels=384, rays_batch=65536, focal=400.0,
-    filter_rays=False, host_staged=False,
+    filter_rays=False, host_staged=False, scan_dir=None, scan_format=None,
 ):
-    """Build a synthetic ring scene and reconstruct it through the REAL
-    orchestration path (RayNetForwardPass). Returns the metrics dict."""
+    """Build a synthetic ring scene — or load a REAL scan directory when
+    ``scan_dir`` is given (VERDICT r2: real-data validation hook;
+    ``scan_format`` "restrepo" or "dtu", default by layout sniffing) —
+    and reconstruct it through the REAL orchestration path
+    (RayNetForwardPass). Returns the metrics dict."""
     import types
 
     args = types.SimpleNamespace(
@@ -60,39 +63,62 @@ def run_scene_benchmark(
     import jax.numpy as jnp
 
     h, w = args.height, args.width
-    root = tempfile.mkdtemp(prefix="bench_scene_")
-    os.makedirs(root + "/imgs")
-    os.makedirs(root + "/cams_krt")
-    rng = np.random.RandomState(0)
-    for i in range(args.images + 4):
-        imageio.imwrite(
-            root + "/imgs/frame%05d.png" % (i + 1,),
-            (rng.rand(h, w, 3) * 255).astype(np.uint8),
+    root = None
+    if scan_dir is None:
+        root = tempfile.mkdtemp(prefix="bench_scene_")
+    if scan_dir is None:
+        os.makedirs(root + "/imgs")
+        os.makedirs(root + "/cams_krt")
+        rng = np.random.RandomState(0)
+        for i in range(args.images + 4):
+            imageio.imwrite(
+                root + "/imgs/frame%05d.png" % (i + 1,),
+                (rng.rand(h, w, 3) * 255).astype(np.uint8),
+            )
+            K, R, t = _make_ring_camera((i - args.images / 2) * 0.04, h, w)
+            rows = (
+                [" ".join("%.9g" % v for v in row) for row in K]
+                + [" ".join("%.9g" % v for v in row) for row in R]
+                + [" ".join("%.9g" % v for v in t.ravel())]
+            )
+            open(root + "/cams_krt/frame%05d_cam.txt" % (i + 1,), "w").write(
+                "\n".join(rows) + "\n"
+            )
+        open(root + "/scene_info.xml", "w").write(
+            '<?xml version="1.0"?>\n<info>\n'
+            '  <bbox minx="-3" miny="-3" minz="-3" maxx="3" maxy="3" maxz="3"/>\n'
+            "</info>\n"
         )
-        K, R, t = _make_ring_camera((i - args.images / 2) * 0.04, h, w)
-        rows = (
-            [" ".join("%.9g" % v for v in row) for row in K]
-            + [" ".join("%.9g" % v for v in row) for row in R]
-            + [" ".join("%.9g" % v for v in t.ravel())]
-        )
-        open(root + "/cams_krt/frame%05d_cam.txt" % (i + 1,), "w").write(
-            "\n".join(rows) + "\n"
-        )
-    open(root + "/scene_info.xml", "w").write(
-        '<?xml version="1.0"?>\n<info>\n'
-        '  <bbox minx="-3" miny="-3" minz="-3" maxx="3" maxy="3" maxz="3"/>\n'
-        "</info>\n"
-    )
-    if filter_rays:
-        # GT quad at z=0 covering the bbox footprint: like DTU's
-        # ObsMask/GT filter, only rays with ground truth are predicted
-        open(root + "/gt_mesh.obj", "w").write(
-            "v -3 -3 0\nv 3 -3 0\nv 3 3 0\nv -3 3 0\n"
-            "vn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\n"
-            "f 1//1 2//2 3//3\nf 1//1 3//3 4//4\n"
-        )
+        if filter_rays:
+            # GT quad at z=0 covering the bbox footprint: like DTU's
+            # ObsMask/GT filter, only rays with ground truth are predicted
+            open(root + "/gt_mesh.obj", "w").write(
+                "v -3 -3 0\nv 3 -3 0\nv 3 3 0\nv -3 3 0\n"
+                "vn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\n"
+                "f 1//1 2//2 3//3\nf 1//1 3//3 4//4\n"
+            )
 
-    scene = RestrepoScene(root)
+    if scan_dir is not None:
+        import os as _os
+
+        fmt = scan_format
+        if fmt is None:
+            fmt = (
+                "restrepo"
+                if _os.path.isdir(_os.path.join(scan_dir, "cams_krt"))
+                else "dtu"
+            )
+        if fmt == "restrepo":
+            scene = RestrepoScene(scan_dir)
+        else:
+            from raynet_tpu.common.scene import DTUScene
+
+            scene = DTUScene(scan_dir)
+        root = scan_dir
+        h, w = scene.image_shape
+        args.images = min(images, scene.n_images)
+    else:
+        scene = RestrepoScene(root)
     gp = GenerationParameters(
         depth_planes=args.depth_planes,
         neighbors=4,
@@ -201,10 +227,17 @@ def main():
                    help="GT-mask the rays (DTU filter_out_rays analog)")
     p.add_argument("--host_staged", action="store_true",
                    help="force the f16 host-staged message store path")
+    p.add_argument("--scan_dir", default=None,
+                   help="REAL scan directory (Restrepo imgs/cams_krt or "
+                        "DTU scan layout) instead of the synthetic scene")
+    p.add_argument("--scan_format", default=None,
+                   choices=(None, "restrepo", "dtu"),
+                   help="force the scan layout (default: sniff)")
     a = p.parse_args()
     print(json.dumps(run_scene_benchmark(
         a.images, a.height, a.width, a.depth_planes, tuple(a.grid),
         a.max_voxels, a.rays_batch, a.focal, a.filter, a.host_staged,
+        a.scan_dir, a.scan_format,
     )))
 
 
