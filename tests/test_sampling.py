@@ -111,3 +111,38 @@ def test_sample_in_range_metric_depths(rng):
     np.testing.assert_allclose(
         dists, np.broadcast_to(expected[None], dists.shape), rtol=1e-4
     )
+
+
+def test_projections_never_lower_to_dot():
+    """Geometry projections must stay OFF the MXU: an f32 dot/einsum
+    lowers at DEFAULT precision on TPU (operands truncated to bf16),
+    which the w->0 dehomogenization amplifies to thousands of pixels
+    near the epipole (round-3 regression: on-device agreement 1.0 ->
+    0.066, invisible to CPU/interpret tests). Guard the lowering: no
+    dot ops in the jaxpr/HLO of the projection helpers."""
+    import jax
+
+    from raynet_tpu.ops.geometry import (
+        project_points,
+        rays_from_pixel_idxs,
+    )
+    from raynet_tpu.ops.planes_voxels import project_voxels_to_rays
+
+    P = jnp.zeros((5, 3, 4))
+    pts = jnp.zeros((7, 3))
+    txt = jax.jit(project_points).lower(P, pts).as_text()
+    assert "dot_general" not in txt and " dot(" not in txt
+
+    pp = jnp.zeros((4, 3))
+    c = jnp.zeros((3,))
+    idx = jnp.zeros((13,), jnp.int32)
+    txt = jax.jit(rays_from_pixel_idxs, static_argnums=3).lower(
+        idx, pp, c, 36
+    ).as_text()
+    assert "dot_general" not in txt and " dot(" not in txt
+
+    centers = jnp.zeros((7, 4, 3))
+    s = jnp.zeros((7, 3))
+    e = jnp.ones((7, 3))
+    txt = jax.jit(project_voxels_to_rays).lower(centers, s, e).as_text()
+    assert "dot_general" not in txt and " dot(" not in txt
