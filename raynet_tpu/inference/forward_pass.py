@@ -136,6 +136,13 @@ class ForwardPass:
                 self._bp_class_cache.clear()
             if hasattr(self, "_orch_cache"):
                 self._orch_cache.clear()
+            # compiled sharded steps bake H/W/batch into their closures;
+            # their keys carry those too, but clear anyway so a long-lived
+            # ForwardPass does not accumulate stale compilations
+            if hasattr(self, "_sharded_scan_cache"):
+                self._sharded_scan_cache.clear()
+            if hasattr(self, "_beam_sharded_cache"):
+                self._beam_sharded_cache.clear()
 
     def _band_specs(self, scene, ref_idx, features, ray_idxs=None):
         """Static epipolar-band boxes for the banded plane-sweep kernel
@@ -349,10 +356,13 @@ class ForwardPass:
                 np.ascontiguousarray(chunk)
             )
 
-    def _stacked_batches(self, ray_idxs):
+    def _stacked_batches(self, ray_idxs, commit=True):
         """All batches of an image as one committed (nb, B) tensor plus a
         (nb,) valid-count vector — the per-(image, sweep) single-dispatch
-        path scans over them on device."""
+        path scans over them on device. ``commit=False`` returns host
+        arrays (the sharded path re-layouts device-major before its own
+        sharded device_put; committing here would pay a needless
+        device->host round trip through the tunnel)."""
         b = self.rays_batch
         n = len(ray_idxs)
         nb = max(1, -(-n // b))
@@ -361,6 +371,8 @@ class ForwardPass:
         padded = np.full(nb * b, fill, np.int32)
         padded[:n] = ray_idxs
         n_valids = np.minimum(b, n - np.arange(nb) * b).astype(np.int32)
+        if not commit:
+            return padded.reshape(nb, b), n_valids
         return (
             jax.device_put(padded.reshape(nb, b)),
             jax.device_put(n_valids),
@@ -644,7 +656,8 @@ class RayNetForwardPass(ForwardPass):
 
         if not hasattr(self, "_sharded_scan_cache"):
             self._sharded_scan_cache = {}
-        key = (cfg, bands, kind, cache_scores)
+        key = (cfg, bands, kind, cache_scores, H, W, self.rays_batch,
+               grid_shape, M)
         if key not in self._sharded_scan_cache:
             common = dict(
                 batch=self.rays_batch, height=H, width=W,
@@ -676,7 +689,7 @@ class RayNetForwardPass(ForwardPass):
 
         if not hasattr(self, "_beam_sharded_cache"):
             self._beam_sharded_cache = {}
-        key = (cfg, bands, kind)
+        key = (cfg, bands, kind, H, W)
         if key not in self._beam_sharded_cache:
             gp = self._generation_params
             if kind == "depth":
@@ -974,7 +987,9 @@ class RayNetForwardPass(ForwardPass):
             unit = b // n_dev
             if device_fast or host_staged or sharded_fast:
                 stacked = {
-                    i: self._stacked_batches(ray_idxs_per_image[i])
+                    i: self._stacked_batches(
+                        ray_idxs_per_image[i], commit=not sharded_fast
+                    )
                     for i in ref_indices
                 }
                 batches_per_image = None

@@ -67,6 +67,20 @@ _EPS_T = 1e-4
 # --------------------------------------------------------------------- #
 
 
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _plan_segments(idxs, P_pinv, center, bbox, height):
+    """Planner-side ray segments. Module-level jit with ``idxs`` as an
+    ARGUMENT: a per-call closure would bake the (up to ~2M-row) index
+    array in as an HLO constant — a fresh remote compile carrying the
+    constant through the tunnel for every reference view (CLAUDE.md
+    dispatch rules)."""
+    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
+
+    d = rays_from_pixel_idxs(idxs, P_pinv, center, height)
+    return rays_entry_exit_bbox(d, center, bbox[:3], bbox[3:])
+
+
 def _reject(reason, explain):
     return (None, reason) if explain else None
 
@@ -155,6 +169,88 @@ class BpBeamConfig:
         )
 
 
+def _plan_prologue(
+    P_pinv, camera_center, bbox, grid_shape, height, width,
+    ray_idxs, rays, k_cap, sample_stride=None,
+):
+    """Shared planner front half: ray-list decode/pad (or tile-ordered
+    block sampling when ``sample_stride`` is set and no list is given),
+    segments, dominant axis + march direction over bbox-hitting rays,
+    exact K, and the S%8/nb gates. Returns (state_dict, "ok") or
+    (None, reason)."""
+    from .planesweep import tile_order
+
+    bbox = np.asarray(bbox, np.float64).reshape(6)
+    grid_shape = tuple(int(g) for g in grid_shape)
+    n = height * width
+    if ray_idxs is not None:
+        keep_idxs = np.asarray(ray_idxs, np.int32)
+        # negative-encoded pad entries duplicate the preceding ray
+        keep_idxs = np.where(keep_idxs < 0, -keep_idxs - 1, keep_idxs)
+        if len(keep_idxs) == 0:
+            return None, "empty-rays"
+        pad = (-len(keep_idxs)) % rays
+        if pad:  # runtime pads partial blocks by repeating the last ray
+            keep_idxs = np.concatenate(
+                [keep_idxs, np.full(pad, keep_idxs[-1], np.int32)]
+            )
+        idxs = jnp.asarray(keep_idxs)
+    elif sample_stride is not None:
+        # Sample whole TILE-ORDERED blocks (strided single rays would
+        # fake blocks spanning many tiles and blow the box estimates).
+        all_idxs = jnp.arange(n, dtype=jnp.int32)
+        perm_t, _ = tile_order(all_idxs, height)
+        nblk = max(n // rays, 1)
+        blocks = np.arange(0, nblk, sample_stride)
+        keep = (blocks[:, None] * rays + np.arange(rays)[None]).reshape(-1)
+        keep = keep[keep < n]
+        idxs = perm_t[jnp.asarray(keep, jnp.int32)]
+    else:
+        # walk EVERY block exactly as the runtime forms them
+        all_idxs = jnp.arange(n, dtype=jnp.int32)
+        perm_t, _ = tile_order(all_idxs, height)
+        pad = (-n) % rays
+        if pad:
+            perm_t = jnp.concatenate([perm_t, perm_t[-1:].repeat(pad)])
+        idxs = perm_t
+
+    s, e = _plan_segments(
+        idxs,
+        jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(camera_center, jnp.float32),
+        jnp.asarray(bbox, jnp.float32),
+        height,
+    )
+    s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
+    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
+    s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, rays)
+    if flip is None:
+        return None, reason
+    others = [a for a in range(3) if a != dom]
+    perm = (dom, others[0], others[1])
+
+    # K = 1 (slice-entry voxel) + max lateral DDA steps inside ANY single
+    # slice, counted EXACTLY per (ray, slice) with a conservative
+    # boundary slack. The old closed-form bound ceil(la)+ceil(lb)+1
+    # budgeted a lateral slot per axis per slice even when a ray takes
+    # one lateral step every ~10 slices.
+    k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
+    if k > k_cap:
+        return None, "k-cap"
+
+    S = grid_shape[dom]
+    if S % 8:
+        return None, "s-mod-8"
+    nb = len(s) // rays
+    if nb == 0:
+        return None, "no-blocks"
+    return dict(
+        s=s, e=e, bins=bins, bbox=bbox, grid_shape=grid_shape, perm=perm,
+        others=others, flip=flip, k=k, S=S, A=grid_shape[others[0]],
+        B=grid_shape[others[1]], nb=nb,
+    ), "ok"
+
+
 def plan_bp_config(
     P_pinv, camera_center, bbox, grid_shape, height, width,
     depth_planes, max_voxels, gamma=0.05, k_cap=8, ba_cap=128,
@@ -169,77 +265,23 @@ def plan_bp_config(
     The planner then walks every 256-ray block exactly as the runtime will
     form them (``sample_stride`` is ignored: filtered blocks can span
     distant tiles, so sampling could miss the widest block)."""
-    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
-    from .planesweep import tile_order
-
-    bbox = np.asarray(bbox, np.float64).reshape(6)
-    grid_shape = tuple(int(g) for g in grid_shape)
-    n = height * width
-    if ray_idxs is not None:
-        keep_idxs = np.asarray(ray_idxs, np.int32)
-        # negative-encoded pad entries duplicate the preceding ray
-        keep_idxs = np.where(keep_idxs < 0, -keep_idxs - 1, keep_idxs)
-        if len(keep_idxs) == 0:
-            return _reject("empty-rays", explain)
-        pad = (-len(keep_idxs)) % rays
-        if pad:  # runtime pads partial blocks by repeating the last ray
-            keep_idxs = np.concatenate(
-                [keep_idxs, np.full(pad, keep_idxs[-1], np.int32)]
-            )
-        idxs = jnp.asarray(keep_idxs)
-    else:
-        # Sample whole 256-ray TILE-ORDERED blocks (strided single rays
-        # would fake blocks spanning many tiles and blow the box estimates).
-        all_idxs = jnp.arange(n, dtype=jnp.int32)
-        perm_t, _ = tile_order(all_idxs, height)
-        nblk = max(n // rays, 1)
-        blocks = np.arange(0, nblk, sample_stride)
-        keep = (blocks[:, None] * rays + np.arange(rays)[None]).reshape(-1)
-        keep = keep[keep < n]
-        idxs = perm_t[jnp.asarray(keep, jnp.int32)]
-
-    @jax.jit
-    def seg_of(P_pinv, center, bbox_):
-        d = rays_from_pixel_idxs(idxs, P_pinv, center, height)
-        return rays_entry_exit_bbox(d, center, bbox_[:3], bbox_[3:])
-
-    s, e = seg_of(
-        jnp.asarray(P_pinv, jnp.float32),
-        jnp.asarray(camera_center, jnp.float32),
-        jnp.asarray(bbox, jnp.float32),
+    st, reason = _plan_prologue(
+        P_pinv, camera_center, bbox, grid_shape, height, width,
+        ray_idxs, rays, k_cap,
+        sample_stride=None if ray_idxs is not None else sample_stride,
     )
-    s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
-    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
-    s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, rays)
-    if flip is None:
+    if st is None:
         return _reject(reason, explain)
-    others = [a for a in range(3) if a != dom]
-    perm = (dom, others[0], others[1])
-
-    # K = 1 (slice-entry voxel) + max lateral DDA steps inside ANY single
-    # slice, computed by EXACT crossing counting per (ray, slice) with a
-    # conservative boundary slack. The old closed-form bound
-    # ceil(la)+ceil(lb)+1 budgeted a lateral slot per axis per slice even
-    # when a ray takes one lateral step every ~10 slices — K=3 for every
-    # block at DTU-like geometry where the true max is 2 (33% of the
-    # kernel's slots, march substeps and recurrences).
-    k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
-    if k > k_cap:
-        return _reject("k-cap", explain)
-
-    S = grid_shape[dom]
-    A = grid_shape[others[0]]
-    B = grid_shape[others[1]]
-    if S % 8:
-        return _reject("s-mod-8", explain)
+    s, e, bins, bbox = st["s"], st["e"], st["bins"], st["bbox"]
+    grid_shape, perm, others = st["grid_shape"], st["perm"], st["others"]
+    flip, k, S, A, B, nb = (
+        st["flip"], st["k"], st["S"], st["A"], st["B"], st["nb"]
+    )
 
     # Per-(block, 8-slice-group) box spans: the beam origin DRIFTS with the
     # slice group, so the static box only has to cover a group's footprint
     # (tile + divergence + in-group drift), not the whole path's lateral
     # travel — typically 8-16 cells instead of 50-130.
-    nb = len(s) // rays
-    if nb == 0:
-        return _reject("no-blocks", explain)
     trim = nb * rays
     ngrp = S // 8
     span_a, span_b = _group_spans(
@@ -296,59 +338,17 @@ def plan_bp_classes(
       cfg_small: BpBeamConfig or None (single class)
       small_mask: (nb,) bool — block fits the small class
     """
-    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
-    from .planesweep import tile_order
-
-    bbox = np.asarray(bbox, np.float64).reshape(6)
-    grid_shape = tuple(int(g) for g in grid_shape)
-    n = height * width
-    if ray_idxs is not None:
-        keep_idxs = np.asarray(ray_idxs, np.int32)
-        keep_idxs = np.where(keep_idxs < 0, -keep_idxs - 1, keep_idxs)
-        if len(keep_idxs) == 0:
-            return None
-        pad = (-len(keep_idxs)) % rays
-        if pad:
-            keep_idxs = np.concatenate(
-                [keep_idxs, np.full(pad, keep_idxs[-1], np.int32)]
-            )
-        idxs = jnp.asarray(keep_idxs)
-    else:
-        all_idxs = jnp.arange(n, dtype=jnp.int32)
-        perm_t, _ = tile_order(all_idxs, height)
-        pad = (-n) % rays
-        if pad:
-            perm_t = jnp.concatenate([perm_t, perm_t[-1:].repeat(pad)])
-        idxs = perm_t
-
-    @jax.jit
-    def seg_of(P_pinv, center, bbox_):
-        d = rays_from_pixel_idxs(idxs, P_pinv, center, height)
-        return rays_entry_exit_bbox(d, center, bbox_[:3], bbox_[3:])
-
-    s, e = seg_of(
-        jnp.asarray(P_pinv, jnp.float32),
-        jnp.asarray(camera_center, jnp.float32),
-        jnp.asarray(bbox, jnp.float32),
+    st, _reason = _plan_prologue(
+        P_pinv, camera_center, bbox, grid_shape, height, width,
+        ray_idxs, rays, k_cap,
     )
-    s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
-    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
-    s, e, dom, flip, _reason = _dom_sign_and_fill(s, e, bins, rays)
-    if flip is None:
-        return None  # nothing hits, or genuinely mixed dominant sign
-    others = [a for a in range(3) if a != dom]
-    perm = (dom, others[0], others[1])
-    k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
-    if k > k_cap:
+    if st is None:
         return None
-    S = grid_shape[dom]
-    A = grid_shape[others[0]]
-    B = grid_shape[others[1]]
-    if S % 8:
-        return None
-    nb = len(s) // rays
-    if nb == 0:
-        return None
+    s, e, bins, bbox = st["s"], st["e"], st["bins"], st["bbox"]
+    grid_shape, perm = st["grid_shape"], st["perm"]
+    flip, k, S, A, B, nb = (
+        st["flip"], st["k"], st["S"], st["A"], st["B"], st["nb"]
+    )
 
     span_a, span_b = _group_spans(
         s, e, bbox, bins, perm, S, S // 8, rays=rays, flip=flip,

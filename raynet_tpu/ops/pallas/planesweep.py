@@ -562,25 +562,9 @@ def banded_similarities(
     assert n % RAYS_PER_BLOCK == 0
     nb = n // RAYS_PER_BLOCK
 
-    # Pack 4 x-adjacent cells per 128-lane row. Pad Wf so group counts and
-    # clamped origins stay 8-group aligned, and Hf for box clamping;
-    # padded cells are never selected.
-    wg = -(-wf // 32) * 8
-    hfp = max(hf, -(-hf // 8) * 8 + max(s[0] for s in box_specs))
-    wgp = wg + max(s[1] for s in box_specs)  # room for the clamped origin
-    feats = features.astype(jnp.bfloat16)
-    # Pack BEFORE the big pad: padding the (..., 32)-minor tensor lets
-    # XLA's layout assignment pick a V-minor layout for the temp (measured
-    # 25.6x = 128/V tile expansion, 12.7 GB at 720p). Pad x to a multiple
-    # of 4 (cheap), reshape so the minor dim is the full 128-lane packed
-    # row, then pad the OUTER dims in packed space.
-    wf4 = -(-wf // 4) * 4
-    feats = jnp.pad(feats, ((0, 0), (0, 0), (0, wf4 - wf), (0, 0)))
-    feats_packed = feats.reshape(v, hf, wf4 // 4, 128)
-    feats_packed = jnp.pad(
-        feats_packed,
-        ((0, 0), (0, hfp - hf), (0, wgp - wf4 // 4), (0, 0)),
-    )
+    # one packing implementation: the kernel's DMA-origin clamps must
+    # match the padding math exactly (see _pack_features)
+    feats_packed, hfp, wgp = _pack_features(features, box_specs)
 
     mins, _ = compute_band_boxes(fidx, d)  # (NB, G, V, 2)
     bhs = jnp.asarray([s[0] for s in box_specs], jnp.int32)
