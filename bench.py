@@ -337,45 +337,20 @@ def main():
     # Emitted last so earlier metrics survive any time budget; this is the
     # honest end-to-end number (features, batching, message storage, all 4
     # sweeps) rather than the single-step extrapolation above.
+    # Ordering: the headline dtu_scene_orchestrated_s is emitted LAST (the
+    # driver's "parsed" result is the final JSON line); each variant is
+    # guarded separately so a late failure cannot erase earlier metrics.
     if on_tpu:
-        try:
-            from bench_scene import run_scene_benchmark
+        from bench_scene import run_scene_benchmark
 
-            # DTU-realistic geometry: megapixel images, focal ~2.2x width
-            # (the 180x320 tracker over-estimates DTU 3x — per-image
-            # overheads do not amortize at 57k rays/image)
-            res = run_scene_benchmark(
-                images=2, height=720, width=1280, focal=2200.0
-            )
-            emit(
-                "raynet_scene_rays_per_second",
-                res["rays_per_second_full_pipeline"], "rays/s",
-                res["rays_per_second_full_pipeline"] / BASELINE_RAYS_PER_S,
-            )
-            emit(
-                "dtu_scene_orchestrated_s",
-                res["extrapolated_full_dtu_seconds"], "s",
-                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
-            )
-            # GT-masked variant: only rays with ground truth are
-            # predicted (DTU's ObsMask/GT filter keeps ~50-70%); this is
-            # how the reference pipeline is actually evaluated
-            res = run_scene_benchmark(
-                images=2, height=720, width=1280, focal=2200.0,
-                filter_rays=True,
-            )
-            emit(
-                "dtu_scene_gt_masked_s",
-                res["extrapolated_full_dtu_seconds"], "s",
-                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
-            )
-            # host-staged variant: the full-DTU SINGLE-CHIP storage
-            # story (store exceeds HBM; f16 stage per image-sweep).
-            # NOTE: on this platform the host<->device link is a remote
-            # tunnel measured at ~50-430 MB/s, so this metric is
-            # TRANSFER-bound and reflects the link, not the design; the
-            # companion bandwidth metric makes that legible (a local
-            # PCIe host moves the same bytes 30-100x faster).
+        # host-staged variant: the full-DTU SINGLE-CHIP storage
+        # story (store exceeds HBM; f16 stage per image-sweep).
+        # NOTE: on this platform the host<->device link is a remote
+        # tunnel measured at ~50-430 MB/s, so this metric is
+        # TRANSFER-bound and reflects the link, not the design; the
+        # companion bandwidth metric makes that legible (a local
+        # PCIe host moves the same bytes 30-100x faster).
+        try:
             res_hs = run_scene_benchmark(
                 images=2, height=720, width=1280, focal=2200.0,
                 host_staged=True,
@@ -392,6 +367,17 @@ def main():
                     "host_staged_link_gb_per_s", round(gbps, 3),
                     "GB/s", gbps / 8.0,  # vs ~8 GB/s local PCIe3 x8
                 )
+        except Exception as e:
+            print("host-staged scene bench failed: %r" % (e,),
+                  file=sys.stderr)
+        # GT-masked variant: only rays with ground truth are
+        # predicted (DTU's ObsMask/GT filter keeps ~50-70%); this is
+        # how the reference pipeline is actually evaluated
+        try:
+            res = run_scene_benchmark(
+                images=2, height=720, width=1280, focal=2200.0,
+                filter_rays=True,
+            )
             if "accuracy_mean_dist" in res:
                 # scene-scale metric-path regression guards: mean
                 # cloud-to-cloud distances on the synthetic scene (GT is
@@ -406,7 +392,31 @@ def main():
                     res["completeness_mean_dist"], "world units",
                     res["completeness_mean_dist"],
                 )
-        except Exception as e:  # keep the earlier metrics on any failure
+            emit(
+                "dtu_scene_gt_masked_s",
+                res["extrapolated_full_dtu_seconds"], "s",
+                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
+            )
+        except Exception as e:
+            print("GT-masked scene bench failed: %r" % (e,), file=sys.stderr)
+        # DTU-realistic geometry: megapixel images, focal ~2.2x width
+        # (the 180x320 tracker over-estimates DTU 3x — per-image
+        # overheads do not amortize at 57k rays/image)
+        try:
+            res = run_scene_benchmark(
+                images=2, height=720, width=1280, focal=2200.0
+            )
+            emit(
+                "raynet_scene_rays_per_second",
+                res["rays_per_second_full_pipeline"], "rays/s",
+                res["rays_per_second_full_pipeline"] / BASELINE_RAYS_PER_S,
+            )
+            emit(
+                "dtu_scene_orchestrated_s",
+                res["extrapolated_full_dtu_seconds"], "s",
+                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
+            )
+        except Exception as e:
             print("scene benchmark failed: %r" % (e,), file=sys.stderr)
 
 
