@@ -290,6 +290,50 @@ def main():
     vagree = float(np.isclose(v_p, v_s, rtol=1e-3, atol=1e-3).mean())
     emit("voxel_depth_agreement", vagree, "fraction", vagree / AGREEMENT_BAR)
 
+    # --------------- 4a'. MVCNN pretrain epoch (reference headline) ------
+    # The reference's getting-started transcript: 500 steps x batch 32
+    # (simple_cnn siamese, D=32 planes, 5 views, 11x11x3 patches) in
+    # 66-69 s on a 2018 TITAN X (BASELINE.md row 1). Same shapes here.
+    from raynet_tpu.train.pretrain import (
+        create_pretrain_state, make_pretrain_step,
+    )
+
+    b, d_tr, n_tr = 32, 32, 5
+    model_tr, state_tr, loss_fn_tr, wd_tr = create_pretrain_state(
+        jax.random.PRNGKey(0), (d_tr, n_tr, 11, 11, 3)
+    )
+    train_step, _ = make_pretrain_step(model_tr, loss_fn_tr, wd_tr)
+    x1 = jax.device_put(
+        np.asarray(rng.rand(b, d_tr, n_tr, 11, 11, 3), np.float32)
+    )
+    x2 = jax.device_put(
+        np.asarray(rng.rand(b, d_tr, n_tr, 11, 11, 3), np.float32)
+    )
+    y_tr = np.zeros((b, d_tr), np.float32)
+    y_tr[np.arange(b), rng.randint(0, d_tr, b)] = 1.0
+    y_tr = jax.device_put(y_tr)
+
+    def steps(n, st):
+        # chained states keep every dispatch's args device-committed;
+        # ONE sync on the summed losses
+        losses = []
+        for _ in range(n):
+            st, m = train_step(st, x1, x2, y_tr)
+            losses.append(m["loss"])
+        return st, float(jnp.stack(losses).sum())
+
+    state_tr, _ = steps(2, state_tr)  # warmup/compile
+    state_tr, _ = steps(5, state_tr)  # warm-in
+    step_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state_tr, _ = steps(20, state_tr)
+        step_s = min(step_s, (time.perf_counter() - t0) / 20)
+    emit(
+        "pretrain_epoch_s", 500 * step_s, "s",
+        66.0 / (500 * step_s),  # reference: 66-69 s/epoch
+    )
+
     # ------------------- 4b. beam planner acceptance over camera rigs ----
     # VERDICT r3: fraction of synthetic rigs (ring/oblique/elevated/
     # mirrored, DTU-like radii+focals) the per-block class planner covers
