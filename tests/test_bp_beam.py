@@ -663,3 +663,41 @@ def test_bp_beam_bbox_miss_rays(rng):
     km = np.pad(km, ((0, 0), (0, wmax - km.shape[1])))
     xm = np.pad(xm, ((0, 0), (0, wmax - xm.shape[1])))
     _assert_mostly_close(_sorted_rows(km), _sorted_rows(xm))
+
+
+def test_planner_accepts_bench_rig_sweep():
+    """The bench's planner_acceptance sweep (8 azimuths x 2 elevations,
+    ring/oblique/elevated/mirrored DTU-like rigs) must plan exact beam
+    configs at every geometry — guards the round-3 acceptance fixes
+    (bbox-miss segment collapse, hits-only statistics, sign handling)
+    on CPU at reduced resolution."""
+    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
+
+    h, w = 128, 160
+
+    def _rig(azim, elev, focal=550.0):
+        Kr = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
+        c = 16.0 * np.array(
+            [np.cos(elev) * np.sin(azim), np.sin(elev),
+             -np.cos(elev) * np.cos(azim)]
+        )
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        return (
+            np.linalg.pinv(Kr @ np.hstack([R, -R @ c.reshape(3, 1)])), c
+        )
+
+    rejected = []
+    for azim_d in (0, 30, 90, 150, 180, 210, 270, 330):
+        for elev_d in (0, 25):
+            pp, cc = _rig(np.radians(azim_d), np.radians(elev_d))
+            info = plan_bp_classes(
+                pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
+                (64, 64, 32), h, w, 16, 192, rays=512,
+            )
+            if info is None:
+                rejected.append((azim_d, elev_d))
+    assert not rejected, "planner rejected rigs: %r" % (rejected,)
