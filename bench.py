@@ -69,6 +69,27 @@ def emit(metric, value, unit, vs_baseline):
 
 
 def main():
+    import subprocess
+
+    # The tunneled TPU backend can hang indefinitely at first use when the
+    # tunnel is down (observed round 3), and the hung C call HOLDS THE GIL
+    # — an in-process watchdog thread never gets scheduled. Probe in a
+    # SUBPROCESS with a bounded wait and fail fast with a legible error
+    # instead of wedging the driver.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=600, check=True, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print("bench: backend unreachable after 600 s (tunnel down?)",
+              file=sys.stderr)
+        sys.exit(1)
+    except subprocess.CalledProcessError as e:
+        print("bench: backend probe failed:\n%s" % e.stderr.decode()[-2000:],
+              file=sys.stderr)
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
