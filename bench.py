@@ -476,6 +476,21 @@ def main():
                 res["rays_per_second_full_pipeline"], "rays/s",
                 res["rays_per_second_full_pipeline"] / BASELINE_RAYS_PER_S,
             )
+            # CNN feature computation per 5-view set (reference headline:
+            # 0.63-0.70 s on a 2018 TITAN X, getting-started.md:118-157);
+            # includes the image upload, which rides the slow tunnel here
+            emit(
+                "feature_set_s", res["feature_set_seconds"], "s",
+                0.65 / max(res["feature_set_seconds"], 1e-9),
+            )
+            # scene wall-clock INCLUDING 49 cold view-set feature
+            # computations (the warm-cache number below amortizes them)
+            emit(
+                "dtu_scene_cold_features_s",
+                res["extrapolated_full_dtu_cold_seconds"], "s",
+                DTU_SCENE_TARGET_S
+                / res["extrapolated_full_dtu_cold_seconds"],
+            )
             emit(
                 "dtu_scene_orchestrated_s",
                 res["extrapolated_full_dtu_seconds"], "s",

@@ -154,6 +154,24 @@ def run_scene_benchmark(
         elapsed = min(elapsed, time.perf_counter() - t0)
         staged_bytes = fp.staged_bytes  # equal every run
 
+    # Cold CNN-feature phase, measured separately: the best-of-5 loop
+    # above runs with a warm per-scene feature cache (legitimate within
+    # one scene pass — each of DTU's 49 view sets is computed once), so
+    # the ray-pipeline number excludes it. A real 49-image scan computes
+    # 49 view sets; extrapolate that cost from an explicit cold re-prime.
+    # NOTE: on this platform the image upload rides the slow axon tunnel,
+    # so this is an upper bound vs a local PCIe host.
+    feat_s = float("inf")
+    for _ in range(2):
+        fp._feature_cache.clear()
+        t0 = time.perf_counter()
+        for i in range(args.images):
+            fp._features_and_cameras(scene, i)
+        last = fp._feature_cache[args.images - 1][0]
+        float(jnp.sum(last.astype(jnp.float32)))  # device sync
+        feat_s = min(feat_s, time.perf_counter() - t0)
+    feat_per_set = feat_s / args.images
+
     rays_full = args.images * h * w
     valid = (
         sum(
@@ -180,6 +198,12 @@ def run_scene_benchmark(
             valid * sweeps / elapsed, 1
         ),
         "extrapolated_full_dtu_seconds": round(est_dtu, 1),
+        "feature_set_seconds": round(feat_per_set, 3),
+        # feature cost scales per view set x pixels (49 sets at
+        # 1600x1200), not per ray — extrapolated separately
+        "extrapolated_full_dtu_cold_seconds": round(
+            est_dtu + feat_per_set * 49 * (1600 * 1200) / (h * w), 1
+        ),
     }
     if staged_bytes:
         out["staged_gbytes"] = round(staged_bytes / 1e9, 3)
