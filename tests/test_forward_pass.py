@@ -387,3 +387,22 @@ def test_snap_rays_batch_minimizes_pad():
     fp3 = ForwardPass.__new__(ForwardPass)
     fp3.rays_batch = 65536
     assert fp3._snap_rays_batch([921600], {"n_dev": 8}) == 65536
+
+
+def test_host_staged_filtered_messages_match(setup):
+    """Host staging x GT ray filtering (the real full-DTU single-chip
+    configuration): staged stores over tile-run-padded filtered ray
+    lists must reproduce the unstaged filtered run's depth maps."""
+    scene, gp, model, scheme = setup
+    ref_fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, 700, filter_out_rays=True
+    )
+    ref = list(ref_fp.forward_pass(scene, (0, 2, 1)))
+
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, 700, filter_out_rays=True
+    )
+    fp.force_host_staging = True
+    maps = list(fp.forward_pass(scene, (0, 2, 1)))
+    for a, b in zip(maps, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
