@@ -406,3 +406,31 @@ def test_host_staged_filtered_messages_match(setup):
     maps = list(fp.forward_pass(scene, (0, 2, 1)))
     for a, b in zip(maps, ref):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_raynet_multichip_filtered_matches_single_device(setup):
+    """Sharded orchestration x GT ray filtering: the auto-sharded run
+    over a tile-run-padded filtered ray list must match the forced
+    single-device filtered run."""
+    scene, gp, model, scheme = setup
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H, filter_out_rays=True
+    )
+    assert fp._sharded_steps(
+        H, W, gp, tuple(int(g) for g in gp.grid_shape),
+        gp.max_number_of_marched_voxels,
+    ) is not None
+    sharded_maps = list(fp.forward_pass(scene, (0, 2, 1)))
+
+    fp_single = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H, filter_out_rays=True
+    )
+    fp_single.multichip = "off"
+    single_maps = list(fp_single.forward_pass(scene, (0, 2, 1)))
+
+    for a, b in zip(sharded_maps, single_maps):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
