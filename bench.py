@@ -382,7 +382,9 @@ def main():
         )
 
     acc = tot = 0
-    for azim_d in (0, 30, 90, 150, 180, 210, 270, 330):
+    # diagonal azimuths included: dominant-axis-ambiguous viewing is the
+    # historical k-cap/ba-cap failure mode (round-3 dense sweep: 44/44)
+    for azim_d in (0, 45, 90, 135, 180, 225, 270, 315):
         for elev_d in (0, 25):
             pp, cc = _rig(
                 np.radians(azim_d), np.radians(elev_d), 2200.0

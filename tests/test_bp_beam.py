@@ -665,35 +665,42 @@ def test_bp_beam_bbox_miss_rays(rng):
     _assert_mostly_close(_sorted_rows(km), _sorted_rows(xm))
 
 
+def _acceptance_rig(azim, elev, h, w, focal=550.0, radius=16.0):
+    Kr = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
+    c = radius * np.array(
+        [np.cos(elev) * np.sin(azim), np.sin(elev),
+         -np.cos(elev) * np.cos(azim)]
+    )
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    return (
+        np.linalg.pinv(Kr @ np.hstack([R, -R @ c.reshape(3, 1)])), c
+    )
+
+
 def test_planner_accepts_bench_rig_sweep():
-    """The bench's planner_acceptance sweep (8 azimuths x 2 elevations,
-    ring/oblique/elevated/mirrored DTU-like rigs) must plan exact beam
-    configs at every geometry — guards the round-3 acceptance fixes
-    (bbox-miss segment collapse, hits-only statistics, sign handling)
-    on CPU at reduced resolution."""
+    """The bench's planner_acceptance sweep (azimuths incl. the 45-deg
+    diagonals x elevations up to 60 deg, ring/oblique/elevated/mirrored
+    DTU-like rigs) must plan exact beam configs at every geometry —
+    guards the round-3 acceptance fixes (bbox-miss segment collapse,
+    hits-only statistics, sign handling, per-block box classes) on CPU
+    at reduced resolution. The diagonal azimuths are the historical
+    k-cap/ba-cap failures: dominant-axis-ambiguous viewing needs the
+    extended BA buckets and the per-block class split."""
     from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
 
     h, w = 128, 160
 
-    def _rig(azim, elev, focal=550.0):
-        Kr = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
-        c = 16.0 * np.array(
-            [np.cos(elev) * np.sin(azim), np.sin(elev),
-             -np.cos(elev) * np.cos(azim)]
-        )
-        z = -c / np.linalg.norm(c)
-        x = np.cross([0, 1, 0], z)
-        x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        R = np.stack([x, y, z])
-        return (
-            np.linalg.pinv(Kr @ np.hstack([R, -R @ c.reshape(3, 1)])), c
-        )
-
     rejected = []
-    for azim_d in (0, 30, 90, 150, 180, 210, 270, 330):
-        for elev_d in (0, 25):
-            pp, cc = _rig(np.radians(azim_d), np.radians(elev_d))
+    for azim_d in (0, 30, 45, 60, 90, 135, 150, 180, 210, 225, 270,
+                   315, 330):
+        for elev_d in (0, 25, 55):
+            pp, cc = _acceptance_rig(
+                np.radians(azim_d), np.radians(elev_d), h, w
+            )
             info = plan_bp_classes(
                 pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
                 (64, 64, 32), h, w, 16, 192, rays=512,
@@ -701,3 +708,32 @@ def test_planner_accepts_bench_rig_sweep():
             if info is None:
                 rejected.append((azim_d, elev_d))
     assert not rejected, "planner rejected rigs: %r" % (rejected,)
+
+
+def test_planner_rejects_inside_bbox_camera_cleanly():
+    """The documented acceptance bound (docs/performance.md): a WIDE-FOV
+    camera inside the scene bbox sees voxels along BOTH signs of the
+    dominant axis — the planner must REJECT these cleanly (caller keeps
+    the exact XLA path), never return a config that would overflow at
+    runtime. Outside-looking-in rigs (every DTU/Restrepo camera) are
+    covered by the acceptance sweep above."""
+    from raynet_tpu.ops.pallas.bp_beam import (
+        plan_bp_classes, plan_bp_config,
+    )
+
+    h, w = 128, 160
+    # bbox half-extent 3, camera INSIDE at radius 1 with a ~106-deg FOV
+    pp, cc = _acceptance_rig(
+        np.radians(0), np.radians(20), h, w, focal=60.0, radius=1.0
+    )
+    info = plan_bp_classes(
+        pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
+        (64, 64, 32), h, w, 16, 192, rays=512,
+    )
+    assert info is None
+    cfg, reason = plan_bp_config(
+        pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
+        (64, 64, 32), h, w, 16, 192, rays=512, explain=True,
+    )
+    assert cfg is None
+    assert reason == "mixed-dominant-sign"
