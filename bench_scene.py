@@ -22,6 +22,7 @@ def run_scene_benchmark(
     images=4, height=180, width=320, depth_planes=32,
     grid=(128, 128, 64), max_voxels=384, rays_batch=65536, focal=400.0,
     filter_rays=False, host_staged=False, scan_dir=None, scan_format=None,
+    profile=False,
 ):
     """Build a synthetic ring scene — or load a REAL scan directory when
     ``scan_dir`` is given (VERDICT r2: real-data validation hook;
@@ -143,6 +144,29 @@ def run_scene_benchmark(
     # coalescing makes the static configs depend on the image set
     _ = list(fp.forward_pass(scene, (0, args.images, 1)))
 
+    if profile:
+        # One profiled pass with per-phase device syncs: attributes wall
+        # time to msg sweeps / depth sweep / downloads. Syncs break the
+        # dispatch pipelining, so this pass's total EXCEEDS the honest
+        # timed runs below — attribution only.
+        fp.timer.totals.clear()
+        fp.timer.counts.clear()
+        fp.profile_sync = True
+        t0 = time.perf_counter()
+        _ = list(fp.forward_pass(scene, (0, args.images, 1)))
+        prof_total = time.perf_counter() - t0
+        fp.profile_sync = False
+        print(
+            "profiled pass: %.3f s; phases:" % prof_total,
+            json.dumps(
+                {
+                    k: round(v["total_s"], 3)
+                    for k, v in sorted(fp.timer.summary().items())
+                }
+            ),
+            file=sys.stderr,
+        )
+
     # best-of-5: axon tunnel dispatch latency adds a one-sided ~20%
     # run-to-run spread; the minimum is the honest device-limited number
     elapsed = float("inf")
@@ -252,6 +276,9 @@ def main():
                    help="GT-mask the rays (DTU filter_out_rays analog)")
     p.add_argument("--host_staged", action="store_true",
                    help="force the f16 host-staged message store path")
+    p.add_argument("--profile", action="store_true",
+                   help="run one pass with per-phase device syncs and "
+                        "print the attribution (see profile_sync)")
     p.add_argument("--scan_dir", default=None,
                    help="REAL scan directory (Restrepo imgs/cams_krt or "
                         "DTU scan layout) instead of the synthetic scene")
@@ -262,7 +289,7 @@ def main():
     print(json.dumps(run_scene_benchmark(
         a.images, a.height, a.width, a.depth_planes, tuple(a.grid),
         a.max_voxels, a.rays_batch, a.focal, a.filter, a.host_staged,
-        a.scan_dir, a.scan_format,
+        a.scan_dir, a.scan_format, a.profile,
     )))
 
 

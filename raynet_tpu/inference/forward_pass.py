@@ -14,6 +14,8 @@ Design deltas vs the reference, deliberate:
 - BP messages stay in device/host arrays keyed by image (the reference used
   np.memmap scratch files).
 """
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -713,6 +715,23 @@ class RayNetForwardPass(ForwardPass):
     # then memmap spill.
     messages_device_budget = 4 << 30
 
+    # Profiling mode (bench_scene --profile): force a device sync after
+    # each (image, sweep) dispatch and record fine-grained wall times in
+    # self.timer. Syncs break dispatch pipelining (each round trip costs
+    # ~40 ms on axon), so the per-phase totals are attributions, not the
+    # production wall clock — run without it for the honest number.
+    profile_sync = False
+
+    def _psync(self, label, t0, *vals):
+        """Profile-mode sync point: materialize ``vals`` (device scalars
+        whose computation depends on the phase's dispatches) and record
+        the elapsed time under ``label``."""
+        if not self.profile_sync:
+            return
+        for v in vals:
+            float(jnp.asarray(v).sum())
+        self.timer.add(label, time.perf_counter() - t0)
+
     def _messages_on_device(self, ray_idxs_per_image, cols_per_image,
                             extra_cols=0):
         """True when the scene's per-image state (messages + optionally the
@@ -833,6 +852,7 @@ class RayNetForwardPass(ForwardPass):
              rows, seg_data, score_dummy, _shard_alloc) = _orch
             self.rays_batch = b
         else:
+            t_plan = time.perf_counter()
             ref_indices = list(range(start, end, skip))
             ray_idxs_per_image = {
                 i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
@@ -1082,6 +1102,9 @@ class RayNetForwardPass(ForwardPass):
              sharded_fast, cache_scores, _dummy_features, device_fast,
              host_staged, b, n_dev, unit, stacked, batches_per_image,
              rows, seg_data, score_dummy, _shard_alloc)
+            self.timer.add(
+                "Orchestration plan (cold)", time.perf_counter() - t_plan
+            )
         scores = None
         if cache_scores:
             if sharded_fast:
@@ -1177,6 +1200,8 @@ class RayNetForwardPass(ForwardPass):
                             overflows.append(ov.sum())
                             continue
                         if device_fast or host_staged:
+                            t_prof = time.perf_counter()
+                            seg_ovs = []
                             if host_staged:
                                 self.staged_bytes += messages[
                                     ref_idx
@@ -1220,6 +1245,16 @@ class RayNetForwardPass(ForwardPass):
                                 # are garbage on violation; abort rather
                                 # than fall back)
                                 overflows.append(overflow)
+                                seg_ovs.append(overflow)
+                            self._psync(
+                                "profile:msg_sweep_it%d%s" % (
+                                    iteration,
+                                    "_sims" if (
+                                        iteration == 0 or not cache_scores
+                                    ) else "",
+                                ),
+                                t_prof, *seg_ovs,
+                            )
                             if host_staged:
                                 self.staged_bytes += messages[
                                     ref_idx
@@ -1326,6 +1361,7 @@ class RayNetForwardPass(ForwardPass):
                 all_bads = [overflow_total]
                 bad_by_img = {}
                 for ref_idx in ref_indices:
+                    t_prof = time.perf_counter()
                     features, P, P_pinv, center = (
                         self._features_and_cameras(scene, ref_idx)
                     )
@@ -1367,6 +1403,10 @@ class RayNetForwardPass(ForwardPass):
                         all_bads.append(bad)
                         bad_by_img.setdefault(ref_idx, []).append(bad)
                     pending.append((ref_idx, parts))
+                    self._psync(
+                        "profile:depth_sweep", t_prof,
+                        *bad_by_img[ref_idx],
+                    )
                 if float(jnp.stack(all_bads).sum()):
                     if float(overflow_total):
                         raise RuntimeError(
@@ -1387,6 +1427,7 @@ class RayNetForwardPass(ForwardPass):
                         "final depth sweep of image(s) %s" % (bad_imgs,)
                     )
                 for ref_idx, parts in pending:
+                    t_prof = time.perf_counter()
                     ray_idxs = ray_idxs_per_image[ref_idx]
                     nchunks = stacked[ref_idx][0].shape[0]
                     flat = np.zeros(int(nchunks) * b, np.float32)
@@ -1394,6 +1435,11 @@ class RayNetForwardPass(ForwardPass):
                         flat[c0 * b : c1 * b] = np.asarray(
                             depths
                         ).reshape(-1)
+                    if self.profile_sync:
+                        self.timer.add(
+                            "profile:depth_download",
+                            time.perf_counter() - t_prof,
+                        )
                     depth_map = np.zeros(H * W, dtype=np.float32)
                     keep = ray_idxs >= 0  # drop tile-run pad entries
                     depth_map[ray_idxs[keep]] = flat[: len(ray_idxs)][

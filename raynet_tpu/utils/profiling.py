@@ -30,6 +30,12 @@ class PhaseTimer:
         if self.verbose:
             print("%s - %s" % (label, dt))
 
+    def add(self, label, dt):
+        """Record an externally measured duration (profile-sync paths
+        time around explicit device syncs rather than a context)."""
+        self.totals[label] = self.totals.get(label, 0.0) + dt
+        self.counts[label] = self.counts.get(label, 0) + 1
+
     def summary(self):
         return {
             k: {"total_s": v, "count": self.counts[k]}
