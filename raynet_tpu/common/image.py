@@ -18,8 +18,20 @@ class Image:
         self._image = image_data
         if self._image.ndim == 2:
             self._image = self._image[:, :, np.newaxis]
+        # Keep the raw uint8 alongside the normalized float view: the
+        # feature-extraction path ships u8 to the device (4x fewer bytes
+        # over the host link) and divides by 255 there — numerically
+        # identical, f32 division of the same integers either side.
+        self._image_u8 = None
         if normalize:
+            if self._image.dtype == np.uint8:
+                self._image_u8 = self._image
             self._image = self._image.astype(np.float32) / np.float32(255.0)
+
+    @property
+    def image_u8(self):
+        """Raw uint8 pixels when the source was 8-bit (else None)."""
+        return self._image_u8
 
     @classmethod
     def from_file(cls, image_file, camera_poses):

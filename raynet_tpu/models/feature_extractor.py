@@ -29,17 +29,28 @@ class FeatureExtractor:
             variables = self.model.init(jax.random.PRNGKey(seed), dummy)
         self.variables = variables
         out_dt = output_dtype
-        self._apply = jax.jit(
-            lambda v, x: (
-                self.model.apply(v, x, train=False).astype(out_dt)
-                if out_dt is not None
-                else self.model.apply(v, x, train=False)
-            )
-        )
+        in_dt = dtype
+
+        def _fwd(v, x):
+            # uint8 inputs normalize ON DEVICE: shipping u8 moves 4x
+            # fewer bytes over the host link than pre-normalized f32,
+            # and u8/255 in f32 is the same correctly-rounded division
+            # the host path performs — bit-identical features.
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(in_dt) / jnp.asarray(255.0, in_dt)
+            out = self.model.apply(v, x, train=False)
+            return out.astype(out_dt) if out_dt is not None else out
+
+        self._apply = jax.jit(_fwd)
 
     def predict(self, images):
-        """images: (V, H, W, C) float array -> (V, Hf, Wf, F) features."""
-        return self._apply(self.variables, jnp.asarray(images, self.dtype))
+        """images: (V, H, W, C) float array in [0, 1] — or uint8, which
+        is transferred raw and normalized on device — -> (V, Hf, Wf, F)
+        features."""
+        arr = np.asarray(images) if not hasattr(images, "dtype") else images
+        if arr.dtype == np.uint8:
+            return self._apply(self.variables, jnp.asarray(arr))
+        return self._apply(self.variables, jnp.asarray(arr, self.dtype))
 
     # -- persistence ---------------------------------------------------
     def save_weights(self, path):
@@ -113,10 +124,23 @@ def upsample_features(features, cnn_name):
 def zeropad_images(images, padding):
     """Stack Image objects into one zero-padded (V, H+2p, W+2p, C) array.
 
+    When every view's source was 8-bit, the stack stays uint8 (the
+    zero-pad border is 0 either way) so the device upload moves 4x fewer
+    bytes; FeatureExtractor.predict normalizes u8 on device with the
+    same /255 f32 division the host path uses — identical features.
+
     Parity: forward_pass.py:181-198 (_to_list_with_zeropadded_images).
     """
     h, w, c = images[0].image.shape
     p = padding
+    u8s = [getattr(im, "image_u8", None) for im in images]
+    if all(u is not None for u in u8s):
+        out = np.zeros(
+            (len(images), h + 2 * p, w + 2 * p, c), dtype=np.uint8
+        )
+        for i, u in enumerate(u8s):
+            out[i, p : p + h, p : p + w, :] = u
+        return out
     out = np.zeros((len(images), h + 2 * p, w + 2 * p, c), dtype=np.float32)
     for i, im in enumerate(images):
         out[i, p : p + h, p : p + w, :] = im.image

@@ -83,3 +83,42 @@ def test_masked_softmax():
     np.testing.assert_array_equal(y[1, 2:], 0)
     np.testing.assert_allclose(y.sum(-1), 1.0, rtol=1e-6)
     np.testing.assert_allclose(y[1, 0], 0.5, rtol=1e-6)
+
+
+def test_uint8_feature_path_matches_f32():
+    """uint8 images normalized ON DEVICE must match the host-normalized
+    f32 path to within 1 ulp of input quantization (XLA compiles the
+    constant /255 as a reciprocal multiply, so the normalized inputs may
+    differ in the last bit; the u8 upload moves 4x fewer bytes over the
+    host link — raynet_tpu.models.feature_extractor
+    predict/zeropad_images)."""
+    from raynet_tpu.common.camera import Camera
+    from raynet_tpu.common.image import Image
+    from raynet_tpu.models.feature_extractor import (
+        FeatureExtractor, zeropad_images,
+    )
+
+    rng = np.random.RandomState(3)
+    raw = (rng.rand(2, 12, 16, 3) * 255).astype(np.uint8)
+    K = np.eye(3)
+    K[0, 2], K[1, 2] = 8, 6
+    cam = Camera(K=K, R=np.eye(3), t=np.zeros((3, 1)))
+    imgs = [Image(cam, raw[i]) for i in range(2)]
+
+    padded = zeropad_images(imgs, 4)
+    assert padded.dtype == np.uint8  # u8 sources keep the u8 fast path
+
+    fe = FeatureExtractor("simple_cnn", seed=0)
+    feats_u8 = np.asarray(fe.predict(padded))
+    f32 = np.zeros(padded.shape, np.float32)
+    for i, im in enumerate(imgs):
+        f32[i, 4:-4 or None, 4:-4 or None][: im.image.shape[0],
+                                           : im.image.shape[1]] = im.image
+    feats_f32 = np.asarray(fe.predict(f32))
+    scale = float(np.abs(feats_f32).max())
+    np.testing.assert_allclose(feats_u8, feats_f32, atol=1e-5 * scale)
+
+    # float-sourced images keep the f32 stacking path
+    imgs_f = [Image(cam, raw[i].astype(np.float64), normalize=False)
+              for i in range(2)]
+    assert zeropad_images(imgs_f, 4).dtype == np.float32
