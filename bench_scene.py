@@ -188,13 +188,23 @@ def run_scene_benchmark(
     feat_s = float("inf")
     for _ in range(2):
         fp._feature_cache.clear()
+        fp._image_feature_cache.clear()
         t0 = time.perf_counter()
         for i in range(args.images):
             fp._features_and_cameras(scene, i)
         last = fp._feature_cache[args.images - 1][0]
         float(jnp.sum(last.astype(jnp.float32)))  # device sync
         feat_s = min(feat_s, time.perf_counter() - t0)
-    feat_per_set = feat_s / args.images
+    # Per-image feature dedup makes the cost scale with UNIQUE images
+    # (sets + neighbors on a sequential scan), not sets x views. Report
+    # the reference-comparable per-5-view-set cost and extrapolate the
+    # DTU feature phase over its ~(49 + neighbors) unique images.
+    uniq = len(
+        {j for i in range(args.images) for j in scene.get_view_idxs(i, 4)}
+    )
+    feat_per_image = feat_s / max(uniq, 1)
+    feat_per_set = 5 * feat_per_image
+    dtu_unique_images = 49 + 4
 
     rays_full = args.images * h * w
     valid = (
@@ -223,10 +233,13 @@ def run_scene_benchmark(
         ),
         "extrapolated_full_dtu_seconds": round(est_dtu, 1),
         "feature_set_seconds": round(feat_per_set, 3),
-        # feature cost scales per view set x pixels (49 sets at
-        # 1600x1200), not per ray — extrapolated separately
+        # feature cost scales per UNIQUE image x pixels (53 unique
+        # images over DTU's 49 sequential view sets), not per ray —
+        # extrapolated separately
         "extrapolated_full_dtu_cold_seconds": round(
-            est_dtu + feat_per_set * 49 * (1600 * 1200) / (h * w), 1
+            est_dtu
+            + feat_per_image * dtu_unique_images * (1600 * 1200) / (h * w),
+            1,
         ),
     }
     if staged_bytes:

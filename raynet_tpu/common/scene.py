@@ -91,10 +91,17 @@ class Scene:
     def get_random_image(self, rng=np.random):
         return self.get_image(rng.choice(np.arange(0, self.n_images)))
 
-    def get_image_with_neighbors(self, i, neighbors=4):
-        return [self.get_image(i)] + [
-            self.get_image(int(n)) for n in self._get_neighbor_idxs(i, neighbors)
+    def get_view_idxs(self, i, neighbors=4):
+        """Reference view index followed by its neighbor indices — the
+        exact order get_image_with_neighbors loads them. Public so
+        callers can key per-IMAGE caches (consecutive reference views
+        share most of their neighbors)."""
+        return [i] + [
+            int(n) for n in self._get_neighbor_idxs(i, neighbors)
         ]
+
+    def get_image_with_neighbors(self, i, neighbors=4):
+        return [self.get_image(j) for j in self.get_view_idxs(i, neighbors)]
 
     def get_depth_for_pixel(self, i, y, x):
         raise NotImplementedError()

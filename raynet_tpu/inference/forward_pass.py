@@ -111,6 +111,12 @@ class ForwardPass:
 
         self._feature_cache = OrderedDict()
         self.max_cached_view_sets = 12
+        # Per-IMAGE feature maps, deduplicated across view sets:
+        # consecutive reference views share most of their neighbors, so
+        # a DTU scan computes 53 unique image features instead of
+        # 49 sets x 5 views = 245 (the upload and the CNN both cut ~5x).
+        self._image_feature_cache = OrderedDict()
+        self.max_cached_image_features = 12
         self._band_cache = {}
         self._scene_token = None
         self.timer = PhaseTimer(verbose=False)
@@ -131,6 +137,7 @@ class ForwardPass:
             except TypeError:  # non-weakrefable scene object
                 self._scene_token = lambda s=scene: s
             self._feature_cache.clear()
+            self._image_feature_cache.clear()
             self._band_cache.clear()
             if hasattr(self, "_bp_cfg_cache"):
                 self._bp_cfg_cache.clear()
@@ -302,27 +309,47 @@ class ForwardPass:
 
         return idxs[np.argsort(tile_ids(idxs, height), kind="stable")]
 
+    def _image_features(self, scene, img_idx):
+        """Feature map of ONE image, cached per image index. View sets
+        overlap heavily (consecutive reference views share most
+        neighbors), so caching per IMAGE instead of per set cuts the
+        cold-feature cost ~(neighbors+1)x on a sequential scan: a DTU
+        run computes 53 unique maps instead of 49 sets x 5 views."""
+        cache = self._image_feature_cache
+        if img_idx in cache:
+            cache.move_to_end(img_idx)
+            return cache[img_idx]
+        image = scene.get_image(img_idx)
+        padded = zeropad_images([image], self._generation_params.padding)
+        with self.timer.phase("Features computation"):
+            feats = self._model.predict(padded)
+            cnn_name = getattr(self._model, "cnn_name", None)
+            if cnn_name == "hartmann_cnn":
+                feats = jnp.asarray(upsample_features(feats, cnn_name))
+        # COMMIT to the device: on axon a host-backed array argument is
+        # re-shipped on every dispatch (~70 ms per ~30 MB); device_put
+        # is a no-op for arrays that are already device-resident.
+        feats = jax.device_put(feats[0])
+        cache[img_idx] = feats
+        while len(cache) > self.max_cached_image_features:
+            cache.popitem(last=False)
+        return feats
+
     def _features_and_cameras(self, scene, ref_idx):
         """CNN features + camera tensors for a reference view set, cached."""
         if ref_idx in self._feature_cache:
             self._feature_cache.move_to_end(ref_idx)
         else:
-            images = scene.get_image_with_neighbors(
+            view_idxs = scene.get_view_idxs(
                 ref_idx, self._generation_params.neighbors
             )
-            padded = zeropad_images(images, self._generation_params.padding)
-            with self.timer.phase("Features computation"):
-                features = self._model.predict(padded)
-                cnn_name = getattr(self._model, "cnn_name", None)
-                if cnn_name == "hartmann_cnn":
-                    features = jnp.asarray(
-                        upsample_features(features, cnn_name)
-                    )
-            # COMMIT the big feature stack to the device: on axon a
-            # host-backed array argument is re-shipped on every dispatch
-            # (~70 ms per ~30 MB); device_put is a no-op for arrays that
-            # are already device-resident.
-            features = jax.device_put(features)
+            images = [scene.get_image(j) for j in view_idxs]
+            # Assemble the (V, Hf, Wf, F) set stack from per-image cached
+            # maps: one device-side stack (HBM copy, ~ms) instead of a
+            # fresh 5-view upload + CNN forward per set.
+            features = jnp.stack(
+                [self._image_features(scene, j) for j in view_idxs]
+            )
             P = jnp.asarray(
                 np.stack([im.camera.P for im in images]), dtype=jnp.float32
             )

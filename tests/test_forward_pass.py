@@ -434,3 +434,45 @@ def test_raynet_multichip_filtered_matches_single_device(setup):
 
     for a, b in zip(sharded_maps, single_maps):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_per_image_feature_dedup(setup):
+    """Overlapping view sets must compute each image's CNN features ONCE
+    (per-image cache): two consecutive reference views share 4 of their
+    5 images, so 2 sets cost at most images+neighbors unique predicts —
+    the DTU cold-feature phase scales with ~53 unique images, not
+    49 x 5 views."""
+    scene, gp, model, scheme = setup
+    fp = get_forward_pass_factory("raynet")(
+        model, gp, scheme, scene.image_shape, W * H
+    )
+    calls = []
+    orig_predict = model.predict
+
+    def counting_predict(images):
+        calls.append(np.asarray(images).shape)
+        return orig_predict(images)
+
+    model.predict = counting_predict
+    try:
+        f0 = fp._features_and_cameras(scene, 0)[0]
+        f1 = fp._features_and_cameras(scene, 1)[0]
+    finally:
+        model.predict = orig_predict
+    uniq = {
+        j
+        for i in (0, 1)
+        for j in scene.get_view_idxs(i, gp.neighbors)
+    }
+    assert len(calls) == len(uniq)
+    assert all(s[0] == 1 for s in calls)  # per-image predicts
+    # the stacks are per-view-set assemblies of the shared maps
+    v0 = scene.get_view_idxs(0, gp.neighbors)
+    v1 = scene.get_view_idxs(1, gp.neighbors)
+    shared0 = [k for k, j in enumerate(v0) if j in v1]
+    assert shared0, "mock scene view sets should overlap"
+    k0 = shared0[0]
+    k1 = v1.index(v0[k0])
+    np.testing.assert_array_equal(
+        np.asarray(f0[k0]), np.asarray(f1[k1])
+    )
