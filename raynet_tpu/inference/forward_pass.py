@@ -578,10 +578,11 @@ class RayNetForwardPass(ForwardPass):
             )
         return self._bp_cfg_cache[ref_idx]
 
-    def _bp_classes(self, scene, ref_idx, ray_idxs):
+    def _bp_classes(self, scene, ref_idx, ray_idxs, shards=1):
         """Plan per-block beam box classes for a reference view (cached);
-        None -> XLA path for that image. See
-        ops.pallas.bp_beam.plan_bp_classes."""
+        None -> XLA path for that image. ``shards``: device count the
+        batch splits over (block size must divide the per-device unit).
+        See ops.pallas.bp_beam.plan_bp_classes."""
         if not hasattr(self, "_bp_class_cache"):
             self._bp_class_cache = {}
         if ref_idx not in self._bp_class_cache:
@@ -591,7 +592,8 @@ class RayNetForwardPass(ForwardPass):
             gp = self._generation_params
             H, W = scene.image_shape
             gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
-            rays = 512 if self.rays_batch % 512 == 0 else 256
+            unit = self.rays_batch // shards
+            rays = 512 if unit % 512 == 0 else 256
             self._bp_class_cache[ref_idx] = plan_bp_classes(
                 np.asarray(P_pinv), np.asarray(center),
                 scene.bbox.reshape(-1), gp.grid_shape, H, W,
@@ -917,19 +919,28 @@ class RayNetForwardPass(ForwardPass):
             small_cfgs = {}
             small_chunks = {}
             band_specs = {}
+            # Classes run on every SCAN path (single-device, host-staged,
+            # AND the sharded single-dispatch scan); only the per-batch
+            # sharded fallback keeps single-config images. On a mesh the
+            # block size must divide the per-device unit so class
+            # boundaries stay on whole per-device blocks.
+            n_shards = sharded["n_dev"] if sharded is not None else 1
             use_classes = (
-                sharded is None
-                and self.bp_beam != "off"
+                self.bp_beam != "off"
                 and self.bp_classes != "off"
                 and _use_pallas()
                 and self.rays_batch % 256 == 0
+                and self.rays_batch % n_shards == 0
+                and (self.rays_batch // n_shards) % 256 == 0
             )
             for i in ref_indices:
                 features_i, *_ = self._features_and_cameras(scene, i)
                 small_cfgs[i] = None
                 small_chunks[i] = 0
                 if use_classes:
-                    info = self._bp_classes(scene, i, ray_idxs_per_image[i])
+                    info = self._bp_classes(
+                        scene, i, ray_idxs_per_image[i], shards=n_shards
+                    )
                     bp_cfgs[i] = info["cfg_large"] if info else None
                     if info is not None and info["cfg_small"] is not None:
                         rays_blk = info["cfg_large"].rays
@@ -1055,20 +1066,23 @@ class RayNetForwardPass(ForwardPass):
             # chunk offsets) are committed to the device ONCE here — a
             # host-backed array argument is re-shipped and a fresh slice is
             # its own dispatch (~5-15 ms each) through the axon tunnel.
+            def _seg_ranges(i, nchunks):
+                """Consecutive chunk ranges sharing one static cfg."""
+                nsb = min(small_chunks[i], nchunks)
+                if small_cfgs[i] is not None and 0 < nsb:
+                    segs = [(small_cfgs[i], 0, nsb)]
+                    if nsb < nchunks:
+                        segs.append((bp_cfgs[i], nsb, nchunks))
+                    return segs
+                return [(bp_cfgs[i], 0, nchunks)]
+
             seg_data = {}
             if device_fast or host_staged:
                 for i in ref_indices:
                     chunks_arr, n_valids_arr = stacked[i]
                     nchunks = int(chunks_arr.shape[0])
-                    nsb = min(small_chunks[i], nchunks)
-                    if small_cfgs[i] is not None and 0 < nsb:
-                        segs = [(small_cfgs[i], 0, nsb)]
-                        if nsb < nchunks:
-                            segs.append((bp_cfgs[i], nsb, nchunks))
-                    else:
-                        segs = [(bp_cfgs[i], 0, nchunks)]
                     out = []
-                    for seg_cfg, c0, c1 in segs:
+                    for seg_cfg, c0, c1 in _seg_ranges(i, nchunks):
                         if c0 == 0 and c1 == nchunks:
                             out.append(
                                 (seg_cfg, c0, c1, chunks_arr, n_valids_arr,
@@ -1101,20 +1115,46 @@ class RayNetForwardPass(ForwardPass):
                         out_shardings=row_sh,
                     )()
 
-                stacked = {
-                    i: (
-                        jax.device_put(
-                            np.ascontiguousarray(
-                                np.asarray(chunks_arr)
-                                .reshape(-1, n_dev, unit)
-                                .transpose(1, 0, 2)
-                            ),
-                            row_sh,
-                        ),
-                        jax.device_put(np.asarray(n_valids_arr), rep_sh),
+                new_stacked = {}
+                for i, (chunks_arr, n_valids_arr) in stacked.items():
+                    dm = np.ascontiguousarray(
+                        np.asarray(chunks_arr)
+                        .reshape(-1, n_dev, unit)
+                        .transpose(1, 0, 2)
                     )
-                    for i, (chunks_arr, n_valids_arr) in stacked.items()
-                }
+                    nv = np.asarray(n_valids_arr)
+                    new_stacked[i] = (
+                        jax.device_put(dm, row_sh),
+                        jax.device_put(nv, rep_sh),
+                    )
+                    # Class segments on the mesh: per-segment device-major
+                    # chunk slices committed once; each segment scans its
+                    # chunk sub-range of the SHARED local store via the
+                    # chunk_offsets argument (one psum per segment).
+                    nchunks = dm.shape[1]
+                    out = []
+                    for seg_cfg, c0, c1 in _seg_ranges(i, nchunks):
+                        offs = jax.device_put(
+                            np.arange(c0, c1, dtype=np.int32) * unit,
+                            rep_sh,
+                        )
+                        if c0 == 0 and c1 == nchunks:
+                            out.append((
+                                seg_cfg, c0, c1,
+                                new_stacked[i][0], new_stacked[i][1], offs,
+                            ))
+                        else:
+                            out.append((
+                                seg_cfg, c0, c1,
+                                jax.device_put(
+                                    np.ascontiguousarray(dm[:, c0:c1]),
+                                    row_sh,
+                                ),
+                                jax.device_put(nv[c0:c1], rep_sh),
+                                offs,
+                            ))
+                    seg_data[i] = out
+                stacked = new_stacked
             if sharded_fast:
                 score_dummy = jax.device_put(
                     np.zeros((n_dev, 1, gp.depth_planes), np.float32), row_sh
@@ -1202,29 +1242,44 @@ class RayNetForwardPass(ForwardPass):
                             else features
                         )
                         if sharded_fast:
-                            chunks_st, n_valids = stacked[ref_idx]
-                            step = self._sharded_scan_step(
-                                sharded, cfg, band_specs[ref_idx],
-                                "first" if iteration == 0 else "rest",
-                                H, W, gp, grid_shape, M, cache_scores,
+                            t_prof = time.perf_counter()
+                            seg_ovs = []
+                            msgs_out = messages[ref_idx]
+                            s_full = (
+                                scores[ref_idx]
+                                if cache_scores
+                                else score_dummy
                             )
-                            (
-                                msgs_out, s_full, scatter_total, ov
-                            ) = step(
-                                messages[ref_idx],
+                            for (
+                                seg_cfg, c0, c1, seg_chunks, seg_nv, offs
+                            ) in seg_data[ref_idx]:
+                                step = self._sharded_scan_step(
+                                    sharded, seg_cfg, band_specs[ref_idx],
+                                    "first" if iteration == 0 else "rest",
+                                    H, W, gp, grid_shape, M, cache_scores,
+                                )
                                 (
-                                    scores[ref_idx]
-                                    if cache_scores
-                                    else score_dummy
-                                ),
-                                scatter_total, grid_acc,
-                                chunks_st, n_valids,
-                                feats_arg, P, P_pinv, center, bbox,
-                            )
+                                    msgs_out, s_full, scatter_total, ov
+                                ) = step(
+                                    msgs_out, s_full,
+                                    scatter_total, grid_acc,
+                                    seg_chunks, seg_nv, offs,
+                                    feats_arg, P, P_pinv, center, bbox,
+                                )
+                                overflows.append(ov.sum())
+                                seg_ovs.append(ov)
                             messages[ref_idx] = msgs_out
                             if cache_scores:
                                 scores[ref_idx] = s_full
-                            overflows.append(ov.sum())
+                            self._psync(
+                                "profile:msg_sweep_it%d%s" % (
+                                    iteration,
+                                    "_sims" if (
+                                        iteration == 0 or not cache_scores
+                                    ) else "",
+                                ),
+                                t_prof, *seg_ovs,
+                            )
                             continue
                         if device_fast or host_staged:
                             t_prof = time.perf_counter()
@@ -1488,20 +1543,33 @@ class RayNetForwardPass(ForwardPass):
                     else features
                 )
                 if sharded_fast:
-                    chunks_st, _ = stacked[ref_idx]
-                    step = self._sharded_scan_step(
-                        sharded, cfg, band_specs[ref_idx], "depth",
-                        H, W, gp, grid_shape, M, cache_scores,
-                    )
-                    depths, bads = step(
-                        messages[ref_idx],
-                        scores[ref_idx] if cache_scores else score_dummy,
-                        grid_acc, chunks_st,
-                        feats_arg, P, P_pinv, center, bbox,
-                    )
-                    # (n_dev, nb, unit) -> stacked (nb*batch,) ray order
-                    flat = np.asarray(depths).transpose(1, 0, 2).reshape(-1)
-                    if float(np.asarray(bads).sum()):
+                    flat = np.zeros(rows[ref_idx], np.float32)
+                    bad_total = 0.0
+                    for (
+                        seg_cfg, c0, c1, seg_chunks, seg_nv, offs
+                    ) in seg_data[ref_idx]:
+                        step = self._sharded_scan_step(
+                            sharded, seg_cfg, band_specs[ref_idx],
+                            "depth", H, W, gp, grid_shape, M,
+                            cache_scores,
+                        )
+                        depths, bads = step(
+                            messages[ref_idx],
+                            (
+                                scores[ref_idx]
+                                if cache_scores
+                                else score_dummy
+                            ),
+                            grid_acc, seg_chunks, offs,
+                            feats_arg, P, P_pinv, center, bbox,
+                        )
+                        # (n_dev, nb_seg, unit) -> global chunk-major rows
+                        flat[c0 * b : c1 * b] = (
+                            np.asarray(depths).transpose(1, 0, 2)
+                            .reshape(-1)
+                        )
+                        bad_total += float(np.asarray(bads).sum())
+                    if bad_total:
                         raise RuntimeError(
                             "kernel planner invariant violated in the "
                             "sharded depth sweep of image %d" % (ref_idx,)

@@ -243,8 +243,13 @@ def sharded_image_update(
     per-shard prior-initialized grids would count the prior n_dev times).
 
     Returns a step fn: (msgs_st, scores_st, scatter_prior, grid_acc,
-    chunks_st, n_valids, features, P, P_pinv, center, bbox) ->
-    (msgs_st, scores_st, scatter_total, overflow_sum).
+    chunks_st, n_valids, chunk_offsets, features, P, P_pinv, center,
+    bbox) -> (msgs_st, scores_st, scatter_total, overflow_sum).
+
+    ``chunk_offsets``: (nb,) int32 LOCAL-store row offsets — a class
+    SEGMENT scans a chunk sub-range [c0, c1) of the image against the
+    full local store, so chunk c sits at rows (c0 + c) * unit of each
+    device's shard (pass arange(nb) * unit for a whole image).
     """
     from functools import partial as _partial
 
@@ -268,19 +273,21 @@ def sharded_image_update(
             P(),          # grid_acc
             P(RAY_AXIS),  # chunks_st
             P(),          # n_valids (global per chunk)
+            P(),          # chunk_offsets (local store rows)
             P(), P(), P(), P(), P(),
         ),
         out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P(RAY_AXIS)),
         check_vma=False,  # pallas_call out_shapes carry no vma info
     )
     def step(msgs_st, scores_st, scatter_prior, grid_acc, chunks_st,
-             n_valids, features, Pm, P_pinv, center, bbox):
+             n_valids, chunk_offsets, features, Pm, P_pinv, center, bbox):
         k = jax.lax.axis_index(RAY_AXIS)
         local_nv = jnp.clip(n_valids - k * unit, 0, unit)
         m, s, scat, ov = fused.raynet_image_update(
             msgs_st[0], scores_st[0], jnp.zeros_like(scatter_prior),
             grid_acc, chunks_st[0], local_nv,
-            features, Pm, P_pinv, center, bbox, **common,
+            features, Pm, P_pinv, center, bbox, chunk_offsets,
+            **common,
         )
         total = scatter_prior + jax.lax.psum(scat, RAY_AXIS)
         return m[None], s[None], total, jnp.broadcast_to(ov, (1,))
@@ -293,7 +300,9 @@ def sharded_image_depth(
     grid_shape, max_voxels, bp_cfg, band_specs, use_scores, use_pallas,
 ):
     """Sharded single-dispatch final depth sweep (grid read-only: no
-    collective). Returns (depths_st (n_dev, nb, unit), overflow_st)."""
+    collective). ``chunk_offsets`` as in sharded_image_update (class
+    segments scan a chunk sub-range of the image's store). Returns
+    (depths_st (n_dev, nb, unit), overflow_st)."""
     from functools import partial as _partial
 
     unit = batch // n_dev
@@ -309,17 +318,18 @@ def sharded_image_depth(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(RAY_AXIS), P(RAY_AXIS), P(), P(RAY_AXIS),
+            P(RAY_AXIS), P(RAY_AXIS), P(), P(RAY_AXIS), P(),
             P(), P(), P(), P(), P(),
         ),
         out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
         check_vma=False,
     )
-    def step(msgs_st, scores_st, grid_acc, chunks_st,
+    def step(msgs_st, scores_st, grid_acc, chunks_st, chunk_offsets,
              features, Pm, P_pinv, center, bbox):
         depths, bad = fused.raynet_image_depth(
             msgs_st[0], scores_st[0], grid_acc, chunks_st[0],
-            features, Pm, P_pinv, center, bbox, **common,
+            features, Pm, P_pinv, center, bbox, chunk_offsets,
+            **common,
         )
         return depths[None], jnp.broadcast_to(bad, (1,))
 

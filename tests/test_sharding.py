@@ -235,3 +235,113 @@ def test_e2e_train_step_runs_sharded(rng):
         sharded = shard_e2e_batch(mesh, batch)
         state, metrics = train_fn(state, sharded)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_scan_segments_match_full_range(rng):
+    """Class-segment plumbing of the sharded single-dispatch scan: two
+    segment calls scanning chunk sub-ranges of the shared device-major
+    store (via chunk_offsets, one psum per segment) must reproduce the
+    single full-range call — messages, scores, scatter. Runs the XLA
+    scan body; the beam-kernel segment scans against a shared store are
+    covered single-device in test_bp_beam (interpret-mode pallas inside
+    shard_map+scan deadlocks on the CPU backend)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from raynet_tpu.parallel.sharding import (
+        RAY_AXIS, make_ray_mesh, sharded_image_update,
+    )
+
+    h, w = 16, 32
+    grid = (8, 8, 8)
+    D, M = 4, 16
+    n_dev, batch = 8, 128
+    unit = batch // n_dev
+    nb = (h * w) // batch  # 4 chunks
+
+    ang = 0.1
+    c = np.array([20.0 * np.sin(ang), 0.0, -20.0 * np.cos(ang)])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0.0, 1.0, 0.0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    K = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]])
+    P1 = K @ np.hstack([R, -R @ c.reshape(3, 1)])
+    P_pinv = np.linalg.pinv(P1)
+    bbox = np.array([-3, -3, -3, 3, 3, 3], np.float32)
+
+    mesh = make_ray_mesh()
+    row_sh = NamedSharding(mesh, PartitionSpec(RAY_AXIS))
+    rep_sh = NamedSharding(mesh, PartitionSpec())
+
+    def build(first):
+        return sharded_image_update(
+            mesh, n_dev, batch=batch, height=h, width=w, padding=11,
+            depth_planes=D, grid_shape=grid, max_voxels=M, bp_cfg=None,
+            band_specs=None, first_iteration=first, use_scores=True,
+            use_pallas=False,
+        )
+
+    step = build(True)
+
+    chunks = np.arange(h * w, dtype=np.int32).reshape(nb, batch)
+    dm = np.ascontiguousarray(
+        chunks.reshape(nb, n_dev, unit).transpose(1, 0, 2)
+    )
+    g = int(np.prod(grid))
+    prior = float(np.log(0.05) - np.log(0.95))
+    feats = jnp.asarray(
+        rng.randn(3, h + 12, w + 12, 32).astype(np.float32)
+    )
+    Pms = jnp.asarray(np.stack([P1] * 3), jnp.float32)
+    args = (
+        feats, Pms, jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(c, jnp.float32), jnp.asarray(bbox),
+    )
+    msgs0 = rng.rand(n_dev, nb * unit, M).astype(np.float32)
+    nv = np.full((nb,), batch, np.int32)
+
+    def fresh():
+        return (
+            jax.device_put(msgs0.copy(), row_sh),
+            jax.device_put(
+                np.zeros((n_dev, nb * unit, D), np.float32), row_sh
+            ),
+            jax.device_put(np.full((g,), prior, np.float32), rep_sh),
+            jax.device_put(np.full((g,), prior, np.float32), rep_sh),
+        )
+
+    # one full-range call
+    msgs, scores, scat, acc = fresh()
+    m_full, s_full, tot_full, ov = step(
+        msgs, scores, scat, acc,
+        jax.device_put(dm, row_sh),
+        jax.device_put(nv, rep_sh),
+        jax.device_put((np.arange(nb) * unit).astype(np.int32), rep_sh),
+        *args,
+    )
+
+    # two segment calls over [0, 1) and [1, nb)
+    msgs, scores, scat, acc = fresh()
+    m_seg, s_seg = msgs, scores
+    tot = scat
+    for c0, c1 in ((0, 1), (1, nb)):
+        m_seg, s_seg, tot, ov2 = step(
+            m_seg, s_seg, tot, acc,
+            jax.device_put(np.ascontiguousarray(dm[:, c0:c1]), row_sh),
+            jax.device_put(nv[c0:c1], rep_sh),
+            jax.device_put(
+                (np.arange(c0, c1) * unit).astype(np.int32), rep_sh
+            ),
+            *args,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(m_seg), np.asarray(m_full), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_seg), np.asarray(s_full), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(tot), np.asarray(tot_full), rtol=1e-5, atol=1e-6
+    )
