@@ -20,8 +20,9 @@ class Image:
             self._image = self._image[:, :, np.newaxis]
         # Keep the raw uint8 alongside the normalized float view: the
         # feature-extraction path ships u8 to the device (4x fewer bytes
-        # over the host link) and divides by 255 there — numerically
-        # identical, f32 division of the same integers either side.
+        # over the host link) and divides by 255 there in f32 — equal to
+        # this host normalization within 1 f32 ulp (XLA may compile the
+        # constant division as a reciprocal multiply).
         self._image_u8 = None
         if normalize:
             if self._image.dtype == np.uint8:

@@ -115,8 +115,11 @@ class ForwardPass:
         # consecutive reference views share most of their neighbors, so
         # a DTU scan computes 53 unique image features instead of
         # 49 sets x 5 views = 245 (the upload and the CNN both cut ~5x).
+        # A sequential scan only revisits the last ~neighbors+2 images,
+        # and every cached single is also duplicated inside the cached
+        # per-set stacks — keep this window tight to bound HBM.
         self._image_feature_cache = OrderedDict()
-        self.max_cached_image_features = 12
+        self.max_cached_image_features = generation_params.neighbors + 2
         self._band_cache = {}
         self._scene_token = None
         self.timer = PhaseTimer(verbose=False)
@@ -1241,6 +1244,11 @@ class RayNetForwardPass(ForwardPass):
                             _dummy_features(features) if use_S
                             else features
                         )
+                        # profile attribution: sweeps that compute the
+                        # plane scores (vs reusing the cache) carry _sims
+                        prof_label = "profile:msg_sweep_it%d%s" % (
+                            iteration, "" if use_S else "_sims",
+                        )
                         if sharded_fast:
                             t_prof = time.perf_counter()
                             seg_ovs = []
@@ -1271,15 +1279,7 @@ class RayNetForwardPass(ForwardPass):
                             messages[ref_idx] = msgs_out
                             if cache_scores:
                                 scores[ref_idx] = s_full
-                            self._psync(
-                                "profile:msg_sweep_it%d%s" % (
-                                    iteration,
-                                    "_sims" if (
-                                        iteration == 0 or not cache_scores
-                                    ) else "",
-                                ),
-                                t_prof, *seg_ovs,
-                            )
+                            self._psync(prof_label, t_prof, *seg_ovs)
                             continue
                         if device_fast or host_staged:
                             t_prof = time.perf_counter()
@@ -1328,15 +1328,7 @@ class RayNetForwardPass(ForwardPass):
                                 # than fall back)
                                 overflows.append(overflow)
                                 seg_ovs.append(overflow)
-                            self._psync(
-                                "profile:msg_sweep_it%d%s" % (
-                                    iteration,
-                                    "_sims" if (
-                                        iteration == 0 or not cache_scores
-                                    ) else "",
-                                ),
-                                t_prof, *seg_ovs,
-                            )
+                            self._psync(prof_label, t_prof, *seg_ovs)
                             if host_staged:
                                 self.staged_bytes += messages[
                                     ref_idx
@@ -1543,8 +1535,13 @@ class RayNetForwardPass(ForwardPass):
                     else features
                 )
                 if sharded_fast:
-                    flat = np.zeros(rows[ref_idx], np.float32)
-                    bad_total = 0.0
+                    # Queue every segment's dispatch, start async host
+                    # copies, then ONE sync per image — a blocking
+                    # np.asarray + float() per segment would serialize
+                    # with the next segment's dispatch (~40 ms/round
+                    # trip on axon).
+                    parts = []
+                    bads_all = []
                     for (
                         seg_cfg, c0, c1, seg_chunks, seg_nv, offs
                     ) in seg_data[ref_idx]:
@@ -1563,16 +1560,23 @@ class RayNetForwardPass(ForwardPass):
                             grid_acc, seg_chunks, offs,
                             feats_arg, P, P_pinv, center, bbox,
                         )
+                        try:
+                            depths.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        parts.append((c0, c1, depths))
+                        bads_all.append(bads.sum())
+                    if float(jnp.stack(bads_all).sum()):
+                        raise RuntimeError(
+                            "kernel planner invariant violated in the "
+                            "sharded depth sweep of image %d" % (ref_idx,)
+                        )
+                    flat = np.zeros(rows[ref_idx], np.float32)
+                    for c0, c1, depths in parts:
                         # (n_dev, nb_seg, unit) -> global chunk-major rows
                         flat[c0 * b : c1 * b] = (
                             np.asarray(depths).transpose(1, 0, 2)
                             .reshape(-1)
-                        )
-                        bad_total += float(np.asarray(bads).sum())
-                    if bad_total:
-                        raise RuntimeError(
-                            "kernel planner invariant violated in the "
-                            "sharded depth sweep of image %d" % (ref_idx,)
                         )
                     keep = ray_idxs >= 0  # drop tile-run pad entries
                     depth_map[ray_idxs[keep]] = flat[: len(ray_idxs)][keep]

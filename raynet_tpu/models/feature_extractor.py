@@ -33,11 +33,13 @@ class FeatureExtractor:
 
         def _fwd(v, x):
             # uint8 inputs normalize ON DEVICE: shipping u8 moves 4x
-            # fewer bytes over the host link than pre-normalized f32,
-            # and u8/255 in f32 is the same correctly-rounded division
-            # the host path performs — bit-identical features.
+            # fewer bytes over the host link than pre-normalized f32.
+            # Normalize in f32 like the host path (Image.__init__), then
+            # cast to the model dtype; XLA compiles the constant /255 as
+            # a reciprocal multiply, so inputs may differ from the host
+            # path by 1 f32 ulp (bounded in test_models).
             if jnp.issubdtype(x.dtype, jnp.integer):
-                x = x.astype(in_dt) / jnp.asarray(255.0, in_dt)
+                x = (x.astype(jnp.float32) / 255.0).astype(in_dt)
             out = self.model.apply(v, x, train=False)
             return out.astype(out_dt) if out_dt is not None else out
 

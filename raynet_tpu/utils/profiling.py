@@ -25,8 +25,7 @@ class PhaseTimer:
         t0 = time.perf_counter()
         yield
         dt = time.perf_counter() - t0
-        self.totals[label] = self.totals.get(label, 0.0) + dt
-        self.counts[label] = self.counts.get(label, 0) + 1
+        self.add(label, dt)
         if self.verbose:
             print("%s - %s" % (label, dt))
 
