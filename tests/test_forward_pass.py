@@ -476,3 +476,68 @@ def test_per_image_feature_dedup(setup):
     np.testing.assert_array_equal(
         np.asarray(f0[k0]), np.asarray(f1[k1])
     )
+
+
+def test_classes_with_filtered_rays_match_single_config(setup):
+    """Per-block box classes x GT ray filtering on the device-fast scan
+    (both DEFAULT-ON in production): the class-reordered two-segment run
+    must reproduce the single-config run. Runs the real beam kernel in
+    interpret mode; the forced same-config split isolates the reorder /
+    segment machinery under tile-run-padded (negative-encoded) lists."""
+    import raynet_tpu.inference.forward_pass as fpm
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene, gp, model, scheme = setup
+
+    def forced_classes(self, scene_, ref_idx, ray_idxs, shards=1):
+        from raynet_tpu.ops.pallas.bp_beam import plan_bp_config
+
+        _, P, P_pinv, center = self._feature_cache[ref_idx]
+        H, W = scene_.image_shape
+        cfg = plan_bp_config(
+            np.asarray(P_pinv), np.asarray(center),
+            scene_.bbox.reshape(-1), gp.grid_shape, H, W,
+            gp.depth_planes, gp.max_number_of_marched_voxels,
+            gamma=0.05, rays=256, ray_idxs=ray_idxs,
+        )
+        assert cfg is not None, "planner rejected the mock geometry"
+        mask = np.zeros(64, bool)
+        mask[::2] = True  # interleaved small/large blocks
+        return dict(cfg_large=cfg, cfg_small=cfg, small_mask=mask)
+
+    old_classes = fpm.RayNetForwardPass._bp_classes
+    old_pallas = fpm._use_pallas
+    fpm._use_pallas = lambda: True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            fpm.RayNetForwardPass._bp_classes = forced_classes
+            fp = get_forward_pass_factory("raynet")(
+                model, gp, scheme, scene.image_shape, 512,
+                filter_out_rays=True,
+            )
+            fp._band_specs = lambda *a, **k: None  # XLA sims: test beams
+            fp.bp_iterations = 1
+            # 8 virtual devices: interpret-mode pallas deadlocks under
+            # shard_map+scan (CLAUDE.md landmine) — force single device
+            fp.multichip = "off"
+            maps_cls = list(fp.forward_pass(scene, (0, 2, 1)))
+            okey = list(fp._orch_cache)[0]
+            seg_data = fp._orch_cache[okey][20]
+            assert any(len(v) == 2 for v in seg_data.values())
+
+            fpm.RayNetForwardPass._bp_classes = old_classes
+            fp1 = get_forward_pass_factory("raynet")(
+                model, gp, scheme, scene.image_shape, 512,
+                filter_out_rays=True,
+            )
+            fp1._band_specs = lambda *a, **k: None
+            fp1.bp_iterations = 1
+            fp1.bp_classes = "off"
+            fp1.multichip = "off"
+            maps_one = list(fp1.forward_pass(scene, (0, 2, 1)))
+    finally:
+        fpm.RayNetForwardPass._bp_classes = old_classes
+        fpm._use_pallas = old_pallas
+
+    for a, b in zip(maps_cls, maps_one):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
