@@ -70,12 +70,18 @@ def _coalesce_bp_cfgs(cfgs_by_image):
         groups.setdefault(key, []).append(c)
     unified = {}
     for key, cs in groups.items():
+        # the hat window is per-image exact: any image that needed the
+        # full loop disables it for the whole (one-compilation) group
+        hat_ws = [c.hat_window for c in cs]
         u = BpBeamConfig(
             cs[0].perm, cs[0].S, cs[0].A, cs[0].B,
             max(c.K for c in cs), max(c.BA for c in cs),
             max(c.nstripe for c in cs), cs[0].depth_planes,
             cs[0].max_voxels, cs[0].bins, cs[0].prior,
             cs[0].grid_shape, flip=cs[0].flip, rays=cs[0].rays,
+            hat_window=(
+                None if any(w is None for w in hat_ws) else min(hat_ws)
+            ),
         )
         for c in cs:
             unified[id(c)] = u
@@ -978,6 +984,7 @@ class RayNetForwardPass(ForwardPass):
                         cs.perm, cs.S, cs.A, cs.B, cl.K, cs.BA, cs.nstripe,
                         cs.depth_planes, cs.max_voxels, cs.bins, cs.prior,
                         cs.grid_shape, flip=cs.flip, rays=cl.rays,
+                        hat_window=cs.hat_window,
                     )
             small_cfgs = _coalesce_bp_cfgs(small_cfgs)
             band_specs = _coalesce_band_specs(band_specs)

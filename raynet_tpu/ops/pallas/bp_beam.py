@@ -55,6 +55,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAYS = 256  # rays per block (two 16x8 pixel tiles = a 16x16 block)
+# Default score-window width for the hat mapping (planes walked per
+# slot chunk instead of all D). The PLANNER decides per image whether
+# the window is provably sufficient (plan_hat_window) and bakes the
+# result into BpBeamConfig.hat_window; None here disables windowing
+# globally (A/B override).
+HAT_WINDOW = 16
 _EPS = 1e-2
 _FLT_MAX = 3.4028235e38
 _CLIP_S = 1e-5
@@ -131,12 +137,65 @@ def _dom_sign_and_fill(s, e, bins, rays):
     return s, e, dom, flip, "ok"
 
 
+def plan_hat_window(s, e, bins, perm, k, depth_planes, window=None):
+    """Static hat-window width for this ray set, or None (full D loop).
+
+    A slot chunk holds one k of 8 consecutive dominant slices, so its
+    live t-parameters span at most 8*(ts_dom + (K-1)*max(ts_lat)) where
+    ts_a = bin_a*|ray_a|/|ray|^2 is the per-axis t-step of the
+    CELL-CENTER parameter (a ray takes at most K-1 lateral steps per
+    slice). The window is sound when that span (in planes) plus
+    floor/ceil (2) and the 8-snap (7) fits the window — checked in f64
+    over the WORST ray, so clipped-short segments (big t-steps) disable
+    the window for the whole image. The kernel keeps a per-lane runtime
+    guard on the existing overflow abort as backstop.
+    """
+    spans = hat_span_planes(s, e, bins, perm, k, depth_planes)
+    if spans is None:
+        return None
+    return hat_window_for_span(float(spans.max()), depth_planes, window)
+
+
+def hat_span_planes(s, e, bins, perm, k, depth_planes):
+    """Per-ray worst-chunk hat span in PLANES (f64), or None."""
+    ray = np.asarray(e, np.float64) - np.asarray(s, np.float64)
+    len2 = (ray * ray).sum(axis=1)
+    ok = len2 > 0
+    if not ok.any():
+        return None
+    ts = np.zeros_like(ray)
+    ts[ok] = np.abs(ray[ok]) * np.asarray(bins, np.float64)[None] / (
+        len2[ok][:, None]
+    )
+    ts = ts[:, list(perm)]  # (dom, lat1, lat2); misses contribute 0
+    dtp = 8.0 * (ts[:, 0] + (k - 1) * ts[:, 1:].max(axis=1))
+    return dtp * (int(depth_planes) - 1)
+
+
+def hat_window_for_span(span_planes, depth_planes, window=None):
+    """Smallest ladder window covering ``span_planes`` (+ snap/floor
+    slack), or None (full D loop)."""
+    cap = HAT_WINDOW if window is None else window
+    D = int(depth_planes)
+    if cap is None or D % 8 != 0:
+        return None
+    for w in _HAT_LADDER:
+        if w >= D:
+            return None  # full loop is at least as cheap
+        if span_planes + 9.0 <= w:
+            return int(w)
+    return None
+
+
+_HAT_LADDER = (16, 24, 32, 48)
+
+
 class BpBeamConfig:
     """Static per-image-geometry kernel configuration (hashable)."""
 
     def __init__(self, perm, S, A, B, K, BA, nstripe, depth_planes,
                  max_voxels, bins, prior, grid_shape, flip=False,
-                 rays=RAYS):
+                 rays=RAYS, hat_window=None):
         self.perm = perm  # permuted axis order, perm[0] = dominant
         self.flip = flip  # dominant axis mirrored (negative ray sign)
         self.S, self.A, self.B = S, A, B
@@ -147,6 +206,7 @@ class BpBeamConfig:
         self.prior = prior
         self.grid_shape = grid_shape  # original order
         self.rays = rays  # rays per kernel block
+        self.hat_window = hat_window  # None -> full D hat loop
         self.slots = S * K
         self.Bg = -(-B // 128)
         self.rows = BA * nstripe  # one-hot rows per slice box
@@ -155,7 +215,7 @@ class BpBeamConfig:
         return (self.perm, self.S, self.A, self.B, self.K, self.BA,
                 self.nstripe, self.depth_planes, self.max_voxels,
                 self.bins, self.prior, self.grid_shape, self.flip,
-                self.rays)
+                self.rays, self.hat_window)
 
     def __hash__(self):
         return hash(self._key())
@@ -310,6 +370,7 @@ def plan_bp_config(
         perm, S, A, B, k, ba, nstripe, int(depth_planes), int(max_voxels),
         tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
         flip=flip, rays=rays,
+        hat_window=plan_hat_window(s, e, bins, perm, k, depth_planes),
     )
     return (cfg, "ok") if explain else cfg
 
@@ -380,37 +441,92 @@ def plan_bp_classes(
 
     prior = float(np.log(gamma) - np.log(1.0 - gamma))
 
-    def make_cfg(ba, ns):
+    # Per-BLOCK hat-window needs: the hat pass walks a score window
+    # instead of all D planes, but clipped-short segments (fast-moving
+    # t per cell) need wide windows — per-image gating would let a few
+    # corner blocks disable it everywhere (measured: every DTU-like rig
+    # disabled). Per-block spans route interior blocks to a windowed
+    # class.
+    spans_hat = hat_span_planes(s, e, bins, perm, k, depth_planes)
+    if spans_hat is None:
+        hat_need = None
+    else:
+        hat_need = spans_hat[: nb * rays].reshape(nb, rays).max(axis=1)
+
+    def window_for(mask=None):
+        if hat_need is None:
+            return None
+        sel = hat_need if mask is None else hat_need[mask]
+        if len(sel) == 0:
+            return None
+        return hat_window_for_span(float(sel.max()), depth_planes)
+
+    def make_cfg(ba, ns, hat_w):
         return BpBeamConfig(
             perm, S, A, B, k, ba, ns, int(depth_planes),
             int(max_voxels),
             tuple(float(b) for b in bins[list(perm)]), prior,
-            grid_shape, flip=flip, rays=rays,
+            grid_shape, flip=flip, rays=rays, hat_window=hat_w,
         )
 
-    cfg_large = make_cfg(ba_large, ns_large)
+    cfg_large = make_cfg(ba_large, ns_large, window_for())
     # min_rows_ratio: the split costs one extra dispatch per (image,
     # sweep) plus a second compiled variant; measured on v5e (ring rig,
     # (16,2) small vs (24,2) large, 97% small) a 1.5x row ratio LOSES
     # ~12% scene time — the gather/scatter dots have large fixed costs
     # at these box sizes. Only split when the cover-all box is >2.6x
-    # the small class's rows (oblique rigs: (24,2) vs (192,2) = 8x).
+    # the small class's rows (oblique rigs: (24,2) vs (192,2) = 8x) —
+    # or when the split buys the SMALL class a hat window at least 8
+    # planes tighter than the cover-all's (the hat pass is the largest
+    # single term of the kernel; see docs/performance.md).
     ba_small = bucketize(int(np.quantile(ba_need, small_quantile)))
     ns_small = int(np.quantile(ns_need, small_quantile))
-    if (
-        ba_small is None
-        or ba_large * ns_large < min_rows_ratio * ba_small * ns_small
-        or (ba_small == ba_large and ns_small == ns_large)
-    ):
-        return dict(cfg_large=cfg_large, cfg_small=None, small_mask=None)
-    small_mask = (ba_need <= ba_small) & (ns_need <= ns_small)
-    if small_mask.mean() < 0.25:  # not worth a second compilation
-        return dict(cfg_large=cfg_large, cfg_small=None, small_mask=None)
-    return dict(
-        cfg_large=cfg_large,
-        cfg_small=make_cfg(ba_small, ns_small),
-        small_mask=small_mask,
+    w_large_planes = (
+        cfg_large.hat_window
+        if cfg_large.hat_window is not None
+        else int(depth_planes)
     )
+    rows_split = (
+        ba_small is not None
+        and ba_large * ns_large >= min_rows_ratio * ba_small * ns_small
+        and not (ba_small == ba_large and ns_small == ns_large)
+    )
+    if rows_split:
+        small_mask = (ba_need <= ba_small) & (ns_need <= ns_small)
+        if small_mask.mean() < 0.25:  # not worth a second compilation
+            return dict(
+                cfg_large=cfg_large, cfg_small=None, small_mask=None
+            )
+        return dict(
+            cfg_large=cfg_large,
+            cfg_small=make_cfg(
+                ba_small, ns_small, window_for(small_mask)
+            ),
+            small_mask=small_mask,
+        )
+    # Window-only split: same (cover-all) box for both classes, but
+    # blocks whose rays fit a ladder window at least 8 planes tighter
+    # than the cover-all's scan it instead of the full D loop. Pick the
+    # ladder width maximizing expected savings (covered fraction x
+    # planes skipped).
+    if hat_need is not None:
+        best = None
+        for w_cand in _HAT_LADDER:
+            if w_cand >= int(depth_planes) or w_large_planes - w_cand < 8:
+                continue
+            mask_cand = hat_need + 9.0 <= w_cand
+            frac = float(mask_cand.mean())
+            save = frac * (w_large_planes - w_cand)
+            if frac >= 0.25 and (best is None or save > best[0]):
+                best = (save, int(w_cand), mask_cand)
+        if best is not None:
+            _, w_cand, mask_cand = best
+            return dict(
+                cfg_large=cfg_large,
+                cfg_small=make_cfg(ba_large, ns_large, w_cand),
+                small_mask=mask_cand,
+            )
+    return dict(cfg_large=cfg_large, cfg_small=None, small_mask=None)
 
 
 
@@ -792,20 +908,67 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     # (planes_to_voxels normalizes raw hats; mrf.clip_and_renorm clips
     # the NORMALIZED distribution and renormalizes). Clipping the raw
     # values diverges up to ~total_raw x on low-probability voxels.
-    def hat_chunk(c, total):
+    #
+    # Windowed evaluation: a chunk's 8 slots are one k of 8 CONSECUTIVE
+    # dominant slices, so their live t values span a few depth planes
+    # (~2 at production D=32, S=128, full-length segments) while the
+    # naive loop walks all D. Slice a static cfg.hat_window of the score
+    # table at an 8-snapped dynamic offset (Mosaic: dynamic sublane
+    # offsets must be 8-aligned) and walk only the window: the skipped
+    # planes have hat weight EXACTLY zero for every live slot, and
+    # adding exact zeros in f32 is order-free — the only residual
+    # difference vs the full loop is the compiler's FMA contraction
+    # choices across the two program shapes (~1 ulp on rare lanes,
+    # bounded in test_hat_window_matches_full_loop). The PLANNER
+    # enables the window
+    # only when the worst ray's per-chunk t-span provably fits
+    # (plan_hat_window, f64; clipped-short segments disable it); the
+    # per-lane guard below rides the overflow abort as backstop. Dead
+    # slots (cell < 0) are excluded from the bound and masked from sv.
+    hat_w = cfg.hat_window
+    use_window = hat_w is not None
+
+    def hat_chunk(c, carry):
+        total, hovf = carry
         tt = t_scr[_ds8(c * 8, 8)]
         cc = cell_scr[_ds8(c * 8, 8)]
+        ts = tt * scale
         sv = jnp.zeros((8, RAYS), jnp.float32)
-        for d in range(D):
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(tt * scale - d))
-            sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
+        if use_window:
+            live = cc >= 0
+            dmin = jnp.min(jnp.where(live, ts, jnp.float32(D - 1)))
+            dlo = jnp.clip(
+                (jnp.floor(dmin).astype(jnp.int32) // 8) * 8,
+                0, D - hat_w,
+            )
+            hi = (dlo + (hat_w - 1)).astype(jnp.float32)
+            hovf = hovf + (
+                jnp.where(live, ts, 0.0) > hi
+            ).astype(jnp.int32).max(axis=0, keepdims=True)
+            sp_win = sp_ref[0, pl.ds(pl.multiple_of(dlo, 8), hat_w)]
+            # subtract the exact plane index (dlo + j is a small int,
+            # exact in f32): pre-subtracting dlo from ts would round
+            # differently than the full loop's ts - d
+            for j in range(hat_w):
+                d_f = (dlo + j).astype(jnp.float32)
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(ts - d_f))
+                sv = sv + jnp.broadcast_to(
+                    sp_win[j : j + 1], (8, RAYS)
+                ) * w
+        else:
+            for d in range(D):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(ts - d))
+                sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
         sv = jnp.where(cc >= 0, sv, 0.0)
         sv_scr[_ds8(c * 8, 8)] = sv
-        return total + sv.sum(axis=0, keepdims=True)
+        return total + sv.sum(axis=0, keepdims=True), hovf
 
-    total_raw = jax.lax.fori_loop(
-        0, cfg.slots // 8, hat_chunk, jnp.zeros((1, RAYS), jnp.float32)
+    total_raw, hat_ovf = jax.lax.fori_loop(
+        0, cfg.slots // 8, hat_chunk,
+        (jnp.zeros((1, RAYS), jnp.float32),
+         jnp.zeros((1, RAYS), jnp.int32)),
     )
+    overflow = overflow + hat_ovf
     inv_raw = jnp.where(total_raw > 1e-30, 1.0 / total_raw, 0.0)
 
 

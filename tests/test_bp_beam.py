@@ -737,3 +737,105 @@ def test_planner_rejects_inside_bbox_camera_cleanly():
     )
     assert cfg is None
     assert reason == "mixed-dominant-sign"
+
+
+def _hat_window_geom(focal, grid, d):
+    """Narrow-FOV camera whose frustum passes fully through the bbox
+    (every segment spans the grid) — the planner-enabled hat-window
+    regime — or a wide-FOV one with clipped-short corner segments."""
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+    c = np.array([0.3, -0.2, -10.0])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    P1 = K @ np.hstack([R, -R @ c.reshape(3, 1)])
+    P_pinv = np.linalg.pinv(P1)
+    bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
+    idxs = jnp.arange(H * W, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, H)
+    idxs = idxs[perm]
+    dirs = rays_from_pixel_idxs(
+        idxs, jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(c, jnp.float32), H,
+    )
+    s, e = rays_entry_exit_bbox(
+        dirs, jnp.asarray(c, jnp.float32),
+        jnp.asarray(bbox[:3]), jnp.asarray(bbox[3:]),
+    )
+    rng = np.random.RandomState(2)
+    Sp = jnp.asarray(rng.dirichlet(np.ones(d), size=H * W), jnp.float32)
+    cfg = plan_bp_config(
+        P_pinv, c, bbox, grid, H, W, d, M, gamma=GAMMA, sample_stride=1
+    )
+    assert cfg is not None
+    return s, e, Sp, cfg, jnp.asarray(c, jnp.float32), jnp.asarray(bbox)
+
+
+def _rebuild_cfg(cfg, hat_window):
+    from raynet_tpu.ops.pallas.bp_beam import BpBeamConfig
+
+    return BpBeamConfig(
+        cfg.perm, cfg.S, cfg.A, cfg.B, cfg.K, cfg.BA, cfg.nstripe,
+        cfg.depth_planes, cfg.max_voxels, cfg.bins, cfg.prior,
+        cfg.grid_shape, flip=cfg.flip, rays=cfg.rays,
+        hat_window=hat_window,
+    )
+
+
+def test_hat_window_matches_full_loop():
+    """The windowed hat mapping (static hat_window slice of the score
+    table at an 8-snapped dynamic offset) must match the full D-loop:
+    skipped planes have exactly-zero hat weight for every live slot and
+    adding exact zeros is order-free in f32 — the only tolerated
+    residual is the compiler's FMA contraction differing between the
+    two program shapes (~1 ulp on rare lanes; measured 216/196608
+    elements at <=6e-7 on CPU interpret)."""
+    d = 24
+    s, e, Sp, cfg, c, bbox = _hat_window_geom(160.0, (16, 16, 64), d)
+    # the planner must ENABLE the window at this full-segment geometry
+    assert cfg.hat_window == 16, cfg.hat_window
+
+    g = int(np.prod((16, 16, 64)))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    msgs0 = jnp.zeros((H * W, cfg.slots), jnp.float32)
+    valid = jnp.ones((H * W,), jnp.int32)
+
+    def run(cfg_):
+        m, sc, ov = bp_beam_message_step(
+            s, e, valid, Sp, msgs0, acc0, c, bbox, cfg_,
+            first_iteration=False, interpret=True,
+        )
+        assert float(ov.sum()) == 0.0
+        return np.asarray(m), np.asarray(sc)
+
+    m_win, s_win = run(cfg)
+    m_full, s_full = run(_rebuild_cfg(cfg, None))
+    np.testing.assert_allclose(m_win, m_full, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s_win, s_full, rtol=1e-5, atol=1e-5)
+    # and the differences must be RARE (missing hat mass would be wide)
+    assert (m_win != m_full).mean() < 0.005
+
+
+def test_hat_window_guard_catches_unsound_window():
+    """Clipped-short corner segments span many planes per chunk: the
+    planner must DISABLE the window there, and a config that forces it
+    anyway must trip the in-kernel per-lane overflow guard instead of
+    silently dropping hat mass."""
+    d = 24
+    s, e, Sp, cfg, c, bbox = _hat_window_geom(40.0, (16, 16, 32), d)
+    assert cfg.hat_window is None  # planner says unsound
+
+    g = int(np.prod((16, 16, 32)))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    msgs0 = jnp.zeros((H * W, cfg.slots), jnp.float32)
+    valid = jnp.ones((H * W,), jnp.int32)
+    _, _, ov = bp_beam_message_step(
+        s, e, valid, Sp, msgs0, acc0, c, bbox,
+        _rebuild_cfg(cfg, 16),
+        first_iteration=False, interpret=True,
+    )
+    assert float(ov.sum()) > 0.0
