@@ -166,6 +166,36 @@ def main():
     timed(beam, (S_planes, msgs, acc), "beam kernel (cached scores)",
           lambda o: float(jnp.stack(o).sum()))
 
+    # 4. hat-window A/B: same beam step with the windowed hat mapping
+    # disabled (cfg.hat_window=None). The planner enabled hat_window=16
+    # whole-image at this rig, so the delta isolates the window.
+    if cfg.hat_window is not None:
+        from raynet_tpu.ops.pallas.bp_beam import BpBeamConfig
+
+        cfg_nw = BpBeamConfig(
+            cfg.perm, cfg.S, cfg.A, cfg.B, cfg.K, cfg.BA, cfg.nstripe,
+            cfg.depth_planes, cfg.max_voxels, cfg.bins, cfg.prior,
+            cfg.grid_shape, flip=cfg.flip, rays=cfg.rays,
+            hat_window=None,
+        )
+
+        @jax.jit
+        def beam_nw(s_planes, msgs, acc):
+            new_msgs, scatter, _, _ = fused.raynet_beam_message_step(
+                idxs, features, P, P_pinv, center, bbox, msgs, acc,
+                jnp.int32(n), h, w, padding, depth_planes, cfg_nw,
+                band_specs=bands, S_planes=s_planes, strict_bands=True,
+            )
+            return new_msgs.sum() + scatter.sum()
+
+        beam_nw(S_planes, msgs, acc)  # compile
+        timed(beam_nw, (S_planes, msgs, acc),
+              "beam kernel (hat window OFF)",
+              lambda o: float(jnp.stack(o).sum()))
+    else:
+        print("hat window not planned at this rig; no A/B",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
