@@ -56,6 +56,14 @@ def get_lib():
         ]
         lib.extract_patches.restype = ctypes.c_int
 
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.bp_plan_stats.argtypes = [
+            f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, f64p, ctypes.c_double, ctypes.c_double,
+            i32p, i32p, i32p,
+        ]
+        lib.bp_plan_stats.restype = None
+
         _lib = lib
     except Exception:
         _lib = None
@@ -114,3 +122,26 @@ def extract_patches(image, centers, patch_size):
     out = np.zeros((n, ph, pw, c), dtype=np.float32)
     inside = lib.extract_patches(image, h, w, c, centers, n, ph, pw, out)
     return out, inside
+
+
+def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):
+    """Per-block beam-planner statistics (see raynet_host.cpp).
+
+    ``st``/``en``: (n, 3) f64 PERMUTED, flip-applied, bbox-min-relative
+    segment endpoints, n a multiple of ``rays``. Returns per-block
+    (k_max, span_a, span_b) int32 arrays of length n // rays.
+    """
+    lib = get_lib()
+    st = np.ascontiguousarray(st, dtype=np.float64)
+    en = np.ascontiguousarray(en, dtype=np.float64)
+    n = len(st)
+    nb = n // rays
+    k_blk = np.zeros((nb,), dtype=np.int32)
+    span_a = np.zeros((nb,), dtype=np.int32)
+    span_b = np.zeros((nb,), dtype=np.int32)
+    lib.bp_plan_stats(
+        st, en, n, int(rays), int(S), int(ngrp),
+        np.ascontiguousarray(pbins, dtype=np.float64).reshape(3),
+        float(slack), float(eps), k_blk, span_a, span_b,
+    )
+    return k_blk, span_a, span_b

@@ -12,6 +12,8 @@
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
+#include <limits>
+#include <vector>
 
 extern "C" {
 
@@ -171,6 +173,114 @@ int extract_patches(
     }
   }
   return inside;
+}
+
+
+// ---------------------------------------------------------------------------
+// Beam-planner ray statistics (f64, planner semantics — see
+// ops/pallas/bp_beam.py _exact_k/_group_spans, which this replaces at
+// scale: the vectorized numpy forms build (rays x slices) temporaries,
+// ~20 s per DTU-resolution view; this single pass is cache-resident).
+// Inputs are PERMUTED (dom, lat1, lat2), flip-applied, bbox-min-relative
+// f64 coordinates. Per 'rays'-sized block, emits:
+//   k_blk:  max DDA emissions in any single dominant slice (slack-padded
+//           boundaries, counted in BOTH slices — conservative)
+//   span_a/span_b: max over 8-slice groups of the lateral floor-cell
+//           span across the block's rays (drifting-beam box planning)
+// Arithmetic mirrors the numpy forms exactly; build with
+// -ffp-contract=off so results are bit-identical.
+// ---------------------------------------------------------------------------
+void bp_plan_stats(
+    const double* st, const double* en, int64_t n, int rays, int S,
+    int ngrp, const double* pb, double slack, double eps,
+    int32_t* k_blk, int32_t* span_a, int32_t* span_b) {
+  const int64_t nb = n / rays;
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    std::vector<double> lo_a(ngrp, 1e300), hi_a(ngrp, -1e300);
+    std::vector<double> lo_b(ngrp, 1e300), hi_b(ngrp, -1e300);
+    int kmax = 1;
+    for (int r = 0; r < rays; ++r) {
+      const double* s3 = st + (b * rays + r) * 3;
+      const double* e3 = en + (b * rays + r) * 3;
+      double stepf[3], tmax[3], tdelta[3];
+      for (int a = 0; a < 3; ++a) {
+        double ray = e3[a] - s3[a];
+        stepf[a] = ray >= 0.0 ? 1.0 : -1.0;
+        double startn = s3[a] + stepf[a] * pb[a] * eps;
+        double cur = std::floor(startn / pb[a]);
+        double cc = cur * pb[a];
+        double boundary = (stepf[a] < 0.0 && cc < startn)
+                              ? cc
+                              : cc + stepf[a] * pb[a];
+        if (ray != 0.0) {
+          tmax[a] = (boundary - startn) / ray;
+          tdelta[a] = stepf[a] * pb[a] / ray;
+        } else {
+          tmax[a] = std::numeric_limits<double>::infinity();
+          tdelta[a] = std::numeric_limits<double>::infinity();
+        }
+      }
+      // --- exact K: walk the S relative dominant slices
+      double t_prev = 0.0;  // t_entry[0] = 0
+      for (int j = 0; j < S; ++j) {
+        double t_next = tmax[0] + (double)j * tdelta[0];
+        if (!(t_next < 1.0)) t_next = 1.0;  // min(., 1); inf/nan -> 1
+        double tlo = t_prev - slack;
+        double thi = t_next + slack;
+        double em = 1.0;
+        for (int a = 1; a < 3; ++a) {
+          // crossings_below(T) = clip(floor((T - tmax)/tdelta) + 1, 0,)
+          double xh = (thi - tmax[a]) / tdelta[a];
+          double xl = (tlo - tmax[a]) / tdelta[a];
+          double nh = std::isfinite(xh)
+                          ? std::max(std::floor(xh) + 1.0, 0.0)
+                          : 0.0;
+          double nl = std::isfinite(xl)
+                          ? std::max(std::floor(xl) + 1.0, 0.0)
+                          : 0.0;
+          em += nh - nl;
+        }
+        if (std::isfinite(em) && (int)em > kmax) kmax = (int)em;
+        t_prev = t_next;
+      }
+      // --- group-boundary lateral positions (clamped dominant lerp)
+      double d0 = s3[0] / pb[0], d1 = e3[0] / pb[0];
+      double denom = d1 - d0;
+      if (denom < 1e-9) denom = 1e-9;
+      double inv = 1.0 / denom;
+      double a0 = s3[1] / pb[1], da = e3[1] / pb[1] - a0;
+      double b0 = s3[2] / pb[2], db = e3[2] / pb[2] - b0;
+      double pa_prev = 0.0, pb_prev = 0.0;
+      for (int g = 0; g <= ngrp; ++g) {
+        double t = ((double)g * 8.0 - d0) * inv;
+        if (t < 0.0) t = 0.0;
+        if (t > 1.0) t = 1.0;
+        double pa = a0 + t * da;
+        double pbv = b0 + t * db;
+        if (g > 0) {
+          double la = std::floor(std::min(pa_prev, pa));
+          double ha = std::floor(std::max(pa_prev, pa));
+          double lb = std::floor(std::min(pb_prev, pbv));
+          double hb = std::floor(std::max(pb_prev, pbv));
+          if (la < lo_a[g - 1]) lo_a[g - 1] = la;
+          if (ha > hi_a[g - 1]) hi_a[g - 1] = ha;
+          if (lb < lo_b[g - 1]) lo_b[g - 1] = lb;
+          if (hb > hi_b[g - 1]) hi_b[g - 1] = hb;
+        }
+        pa_prev = pa;
+        pb_prev = pbv;
+      }
+    }
+    int sa = 0, sb = 0;
+    for (int g = 0; g < ngrp; ++g) {
+      sa = std::max(sa, (int)(hi_a[g] - lo_a[g]));
+      sb = std::max(sb, (int)(hi_b[g] - lo_b[g]));
+    }
+    k_blk[b] = kmax;
+    span_a[b] = sa;
+    span_b[b] = sb;
+  }
 }
 
 }  // extern "C"

@@ -289,25 +289,33 @@ def _plan_prologue(
     others = [a for a in range(3) if a != dom]
     perm = (dom, others[0], others[1])
 
-    # K = 1 (slice-entry voxel) + max lateral DDA steps inside ANY single
-    # slice, counted EXACTLY per (ray, slice) with a conservative
-    # boundary slack. The old closed-form bound ceil(la)+ceil(lb)+1
-    # budgeted a lateral slot per axis per slice even when a ray takes
-    # one lateral step every ~10 slices.
-    k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
-    if k > k_cap:
-        return None, "k-cap"
-
     S = grid_shape[dom]
     if S % 8:
         return None, "s-mod-8"
     nb = len(s) // rays
     if nb == 0:
         return None, "no-blocks"
+
+    # K = 1 (slice-entry voxel) + max lateral DDA steps inside ANY single
+    # slice, counted EXACTLY per (ray, slice) with a conservative
+    # boundary slack. The old closed-form bound ceil(la)+ceil(lb)+1
+    # budgeted a lateral slot per axis per slice even when a ray takes
+    # one lateral step every ~10 slices. The native single-pass planner
+    # also yields the per-block beam-box spans consumed downstream.
+    block_stats = _plan_stats_per_block(
+        s, e, bbox, bins, perm, grid_shape, flip, rays
+    )
+    if block_stats is not None:
+        k = int(block_stats[0].max())
+    else:
+        k = _exact_k(s, e, bbox, bins, perm, grid_shape, flip)
+    if k > k_cap:
+        return None, "k-cap"
+
     return dict(
         s=s, e=e, bins=bins, bbox=bbox, grid_shape=grid_shape, perm=perm,
         others=others, flip=flip, k=k, S=S, A=grid_shape[others[0]],
-        B=grid_shape[others[1]], nb=nb,
+        B=grid_shape[others[1]], nb=nb, block_stats=block_stats,
     ), "ok"
 
 
@@ -344,9 +352,14 @@ def plan_bp_config(
     # travel — typically 8-16 cells instead of 50-130.
     trim = nb * rays
     ngrp = S // 8
-    span_a, span_b = _group_spans(
-        s[:trim], e[:trim], bbox, bins, perm, S, ngrp, rays=rays, flip=flip
-    )
+    if st["block_stats"] is not None:
+        span_a = int(st["block_stats"][1].max())
+        span_b = int(st["block_stats"][2].max())
+    else:
+        span_a, span_b = _group_spans(
+            s[:trim], e[:trim], bbox, bins, perm, S, ngrp, rays=rays,
+            flip=flip,
+        )
 
     def span(axis):
         return (span_a if axis == others[0] else span_b) + 3
@@ -411,10 +424,13 @@ def plan_bp_classes(
         st["flip"], st["k"], st["S"], st["A"], st["B"], st["nb"]
     )
 
-    span_a, span_b = _group_spans(
-        s, e, bbox, bins, perm, S, S // 8, rays=rays, flip=flip,
-        per_block=True,
-    )
+    if st["block_stats"] is not None:
+        span_a, span_b = st["block_stats"][1], st["block_stats"][2]
+    else:
+        span_a, span_b = _group_spans(
+            s, e, bbox, bins, perm, S, S // 8, rays=rays, flip=flip,
+            per_block=True,
+        )
     # Per-block requirements: plan_bp_config's margins PLUS a 2-cell
     # jitter allowance. The classic planner's bucket round-up gave
     # implicit slack; class cutoffs sit exactly at bucket boundaries, so
@@ -531,6 +547,31 @@ def plan_bp_classes(
 
 
 
+def _plan_stats_per_block(s, e, bbox, bins, perm, grid_shape, flip, rays,
+                          slack=1e-4):
+    """Per-block (K, span_a, span_b) via the native single-pass planner
+    (raynet_host.cpp bp_plan_stats), or None when the native library is
+    unavailable — callers fall back to the chunked-numpy _exact_k /
+    _group_spans forms, which build (rays x slices) f64 temporaries and
+    cost ~20 s per DTU-resolution view against ~1 s native."""
+    try:
+        from ...native import bp_plan_stats, is_available
+    except ImportError:
+        return None
+    if not is_available():
+        return None
+    bmin = np.asarray(bbox[:3], np.float64)
+    S = grid_shape[perm[0]]
+    pb = np.asarray([bins[a] for a in perm], np.float64)
+    st = (np.asarray(s, np.float64) - bmin[None])[:, list(perm)]
+    en = (np.asarray(e, np.float64) - bmin[None])[:, list(perm)]
+    if flip:
+        ext = S * pb[0]
+        st[:, 0] = ext - st[:, 0]
+        en[:, 0] = ext - en[:, 0]
+    return bp_plan_stats(st, en, rays, S, S // 8, pb, slack, _EPS)
+
+
 def _exact_k(s, e, bbox, bins, perm, grid_shape, flip, chunk=16384,
              slack=1e-4):
     """Max DDA emissions in any single dominant slice, counted exactly.
@@ -603,12 +644,24 @@ def _group_positions(s, e, bbox, bins, perm, S, ngrp, flip=False):
     to the ray's own dominant span. Returns (pa, pb): (N, ngrp+1) arrays.
     ``flip`` mirrors the dominant coordinate exactly like the runtime
     (_prep_inputs) — without it, mirrored views see d1 < d0 and the lerp
-    degenerates, crediting the whole lateral travel to one group."""
-    d0 = (s[:, perm[0]] - bbox[perm[0]]) / bins[0]
-    d1 = (e[:, perm[0]] - bbox[perm[0]]) / bins[0]
+    degenerates, crediting the whole lateral travel to one group.
+
+    ``bins`` is ORIGINAL-axis-ORDER and must be indexed through ``perm``
+    — the runtime lerps with cfg.bins (permuted). Indexing bins[0..2]
+    directly silently distorted the group-boundary reparam on
+    ANISOTROPIC grids (256x256x128: the dominant z bin is 2x the
+    lateral bins), under-planning some blocks' stripes by whole 128-cell
+    units (caught by the native bp_plan_stats parity check)."""
+    c0 = s[:, perm[0]] - bbox[perm[0]]
+    c1 = e[:, perm[0]] - bbox[perm[0]]
     if flip:
-        d0 = S - d0
-        d1 = S - d1
+        # mirror the COORDINATE like the runtime (ext - x, then /bin) —
+        # same value as S - x/bin but a different rounding path
+        ext = S * bins[perm[0]]
+        c0 = ext - c0
+        c1 = ext - c1
+    d0 = c0 / bins[perm[0]]
+    d1 = c1 / bins[perm[0]]
     with np.errstate(divide="ignore", invalid="ignore"):
         inv = 1.0 / np.maximum(d1 - d0, 1e-9)
     gb = np.arange(ngrp + 1)[None, :] * 8.0  # group boundaries in slices
@@ -619,7 +672,10 @@ def _group_positions(s, e, bbox, bins, perm, S, ngrp, flip=False):
         a1 = (e[:, axis] - bbox[axis]) / bin_
         return a0[:, None] + t * (a1 - a0)[:, None]
 
-    return lerp_cells(perm[1], bins[1]), lerp_cells(perm[2], bins[2])
+    return (
+        lerp_cells(perm[1], bins[perm[1]]),
+        lerp_cells(perm[2], bins[perm[2]]),
+    )
 
 
 def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,

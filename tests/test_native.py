@@ -79,3 +79,46 @@ def test_native_scene_depth_map(mock_scene_dir):
     nz = dm[dm > 0]
     assert nz.size > 0.9 * dm.size
     assert abs(np.median(nz) - 20.0) < 1.0
+
+
+def test_bp_plan_stats_matches_numpy_planner():
+    """The native single-pass planner stats (exact K + per-block group
+    spans) must reproduce the chunked-numpy forms bit-for-bit —
+    including mirrored (flip) views and ANISOTROPIC grids (the numpy
+    lerp previously indexed bins in original order and under-planned
+    stripes on 256x256x128 grids)."""
+    import raynet_tpu.ops.pallas.bp_beam as bb
+    from raynet_tpu import native
+
+    if not native.is_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    h, w = 96, 128
+    grid = (64, 64, 32)
+    bbox = np.asarray([-3, -3, -3, 3, 3, 3], float)
+
+    for azim in (0.1, np.pi - 0.1):  # unflipped + mirrored
+        K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]])
+        c = 16.0 * np.array([np.sin(azim), 0.1, -np.cos(azim)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        pp = np.linalg.pinv(K @ np.hstack([R, -R @ c.reshape(3, 1)]))
+        st, _ = bb._plan_prologue(pp, c, bbox, grid, h, w, None, 256, 8)
+        assert st is not None
+        s, e, bins = st["s"], st["e"], st["bins"]
+        perm, flip, S = st["perm"], st["flip"], st["S"]
+        stats = st["block_stats"]
+        assert stats is not None
+        k_np = bb._exact_k(s, e, bbox, bins, perm, grid, flip)
+        assert int(stats[0].max()) == k_np
+        sa, sb = bb._group_spans(
+            s, e, bbox, bins, perm, S, S // 8, rays=256, flip=flip,
+            per_block=True,
+        )
+        np.testing.assert_array_equal(stats[1], sa)
+        np.testing.assert_array_equal(stats[2], sb)
