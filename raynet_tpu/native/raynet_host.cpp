@@ -185,15 +185,19 @@ int extract_patches(
 // f64 coordinates. Per 'rays'-sized block, emits:
 //   k_blk:  max DDA emissions in any single dominant slice (slack-padded
 //           boundaries, counted in BOTH slices — conservative)
-//   span_a/span_b: max over 8-slice groups of the lateral floor-cell
-//           span across the block's rays (drifting-beam box planning)
+//   need_a: max over 8-slice groups of the SNAP-AWARE box extent the
+//           runtime needs: (hi + 2) - 8*floor((lo - 3)/8) + 1 cells,
+//           where lo/hi are the block-group floor-cell extrema of the
+//           lateral lerp positions (runtime origin = snap8(min - 1);
+//           +-2 budgets the planner-f64 vs runtime-f32 jitter)
+//   need_b: same with 128-cell stripe snapping (cells, not stripes)
 // Arithmetic mirrors the numpy forms exactly; build with
 // -ffp-contract=off so results are bit-identical.
 // ---------------------------------------------------------------------------
 void bp_plan_stats(
     const double* st, const double* en, int64_t n, int rays, int S,
     int ngrp, const double* pb, double slack, double eps,
-    int32_t* k_blk, int32_t* span_a, int32_t* span_b) {
+    int32_t* k_blk, int32_t* need_a, int32_t* need_b) {
   const int64_t nb = n / rays;
 #pragma omp parallel for schedule(static)
   for (int64_t b = 0; b < nb; ++b) {
@@ -274,12 +278,14 @@ void bp_plan_stats(
     }
     int sa = 0, sb = 0;
     for (int g = 0; g < ngrp; ++g) {
-      sa = std::max(sa, (int)(hi_a[g] - lo_a[g]));
-      sb = std::max(sb, (int)(hi_b[g] - lo_b[g]));
+      double a0 = 8.0 * std::floor((lo_a[g] - 3.0) / 8.0);
+      double bg = 128.0 * std::floor((lo_b[g] - 3.0) / 128.0);
+      sa = std::max(sa, (int)(hi_a[g] + 2.0 - a0 + 1.0));
+      sb = std::max(sb, (int)(hi_b[g] + 2.0 - bg + 1.0));
     }
     k_blk[b] = kmax;
-    span_a[b] = sa;
-    span_b[b] = sb;
+    need_a[b] = sa;
+    need_b[b] = sb;
   }
 }
 

@@ -353,18 +353,15 @@ def plan_bp_config(
     trim = nb * rays
     ngrp = S // 8
     if st["block_stats"] is not None:
-        span_a = int(st["block_stats"][1].max())
-        span_b = int(st["block_stats"][2].max())
+        need_a = int(st["block_stats"][1].max())
+        need_b = int(st["block_stats"][2].max())
     else:
-        span_a, span_b = _group_spans(
+        need_a, need_b = _group_spans(
             s[:trim], e[:trim], bbox, bins, perm, S, ngrp, rays=rays,
             flip=flip,
         )
 
-    def span(axis):
-        return (span_a if axis == others[0] else span_b) + 3
-
-    ba = span(others[0]) + 8  # origin snapped down to a multiple of 8
+    ba = need_a  # snap-aware box extent (see _group_spans)
     for bucket in _BA_BUCKETS:
         if ba <= bucket:
             ba = bucket
@@ -373,8 +370,7 @@ def plan_bp_config(
         return _reject("ba-cap-bucket", explain)
     if ba > ba_cap:
         return _reject("ba-cap", explain)
-    bb = span(others[1]) + 128  # origin snapped to a 128-cell stripe
-    nstripe = -(-bb // 128)
+    nstripe = max(1, -(-need_b // 128))
     if nstripe > 4:
         return _reject("nstripe-cap", explain)
 
@@ -425,20 +421,19 @@ def plan_bp_classes(
     )
 
     if st["block_stats"] is not None:
-        span_a, span_b = st["block_stats"][1], st["block_stats"][2]
+        need_a, need_b = st["block_stats"][1], st["block_stats"][2]
     else:
-        span_a, span_b = _group_spans(
+        need_a, need_b = _group_spans(
             s, e, bbox, bins, perm, S, S // 8, rays=rays, flip=flip,
             per_block=True,
         )
-    # Per-block requirements: plan_bp_config's margins PLUS a 2-cell
-    # jitter allowance. The classic planner's bucket round-up gave
-    # implicit slack; class cutoffs sit exactly at bucket boundaries, so
-    # f32-vs-f64 floor jitter in the runtime drifting origins (the
-    # planner measures in f64, _prep_inputs lerps in f32) must be
-    # budgeted explicitly or boundary blocks overflow at runtime.
-    ba_need = span_a + 3 + 8 + 2
-    ns_need = np.maximum(1, -(-(span_b + 3 + 128 + 2) // 128))
+    # Per-block requirements: the snap-aware needs already carry the
+    # +-2-cell f32-vs-f64 jitter budget (the planner measures in f64,
+    # _prep_inputs lerps in f32) — class cutoffs sit exactly at bucket
+    # boundaries, so that budget is what keeps boundary blocks from
+    # overflowing at runtime.
+    ba_need = np.asarray(need_a)
+    ns_need = np.maximum(1, -(-np.asarray(need_b) // 128))
 
     def bucketize(x):
         for bkt in _BA_BUCKETS:
@@ -508,16 +503,35 @@ def plan_bp_classes(
         and not (ba_small == ba_large and ns_small == ns_large)
     )
     if rows_split:
-        small_mask = (ba_need <= ba_small) & (ns_need <= ns_small)
-        if small_mask.mean() < 0.25:  # not worth a second compilation
+        box_mask = (ba_need <= ba_small) & (ns_need <= ns_small)
+        if box_mask.mean() < 0.25:  # not worth a second compilation
             return dict(
                 cfg_large=cfg_large, cfg_small=None, small_mask=None
             )
+        small_mask = box_mask
+        w_small = window_for(box_mask)
+        # A single clipped-short-segment block inside the box-small mask
+        # disables the whole class's hat window; shedding the
+        # window-unsafe blocks to the large class costs them a bigger
+        # box but halves the hat loop for everyone else — take the
+        # trade when it loses <=20% of the small class.
+        if hat_need is not None:
+            base_w = (
+                w_small if w_small is not None else int(depth_planes)
+            )
+            for w_cand in _HAT_LADDER:
+                if w_cand >= base_w or base_w - w_cand < 8:
+                    continue
+                mask2 = box_mask & (hat_need + 9.0 <= w_cand)
+                if (
+                    mask2.mean() >= 0.25
+                    and box_mask.mean() - mask2.mean() <= 0.2
+                ):
+                    small_mask, w_small = mask2, int(w_cand)
+                    break  # ladder ascends: the first hit is tightest
         return dict(
             cfg_large=cfg_large,
-            cfg_small=make_cfg(
-                ba_small, ns_small, window_for(small_mask)
-            ),
+            cfg_small=make_cfg(ba_small, ns_small, w_small),
             small_mask=small_mask,
         )
     # Window-only split: same (cover-all) box for both classes, but
@@ -549,7 +563,7 @@ def plan_bp_classes(
 
 def _plan_stats_per_block(s, e, bbox, bins, perm, grid_shape, flip, rays,
                           slack=1e-4):
-    """Per-block (K, span_a, span_b) via the native single-pass planner
+    """Per-block (K, need_a, need_b) via the native single-pass planner
     (raynet_host.cpp bp_plan_stats), or None when the native library is
     unavailable — callers fall back to the chunked-numpy _exact_k /
     _group_spans forms, which build (rays x slices) f64 temporaries and
@@ -680,21 +694,29 @@ def _group_positions(s, e, bbox, bins, perm, S, ngrp, flip=False):
 
 def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,
                  rays=RAYS, flip=False, per_block=False):
-    """Max per-(block, group) lateral spans in cells (planner side).
-    Chunked over blocks: exact DTU-scale plans walk ~2M rays and the
-    (N, ngrp+1) position arrays would otherwise peak at several GB.
+    """SNAP-AWARE per-(block, group) box needs in cells (planner side):
+    need = (hi + 2) - snap(lo - 3) + 1, where lo/hi are the block-group
+    floor-cell extrema of the lateral lerp positions, the snap matches
+    the runtime origin (8 cells for the BA axis, 128 for stripes) and
+    +-2 budgets planner-f64 vs runtime-f32 jitter. Snap-aware needs are
+    typically ~4 cells tighter than the old span+slack formulas (the
+    worst case is identical) — the per-block box classes live on that
+    margin. Chunked over blocks: exact DTU-scale plans walk ~2M rays
+    and the (N, ngrp+1) position arrays would otherwise peak at
+    several GB.
 
     ``per_block``: return (nb,) arrays of per-BLOCK maxima instead of
     the global scalars (the class planner routes each block to the
     smallest static box that covers it)."""
     nb = len(s) // rays
 
-    def span_of(p, nbc):
+    def need_of(p, nbc, snap):
         lo = np.minimum(p[:, :-1], p[:, 1:])  # (Nc, ngrp)
         hi = np.maximum(p[:, :-1], p[:, 1:])
-        lo = np.floor(lo).astype(int).reshape(nbc, rays, ngrp).min(axis=1)
-        hi = np.floor(hi).astype(int).reshape(nbc, rays, ngrp).max(axis=1)
-        return (hi - lo).max(axis=1)  # (nbc,)
+        lo = np.floor(lo).reshape(nbc, rays, ngrp).min(axis=1)
+        hi = np.floor(hi).reshape(nbc, rays, ngrp).max(axis=1)
+        origin = snap * np.floor((lo - 3.0) / snap)
+        return (hi + 2.0 - origin + 1.0).max(axis=1).astype(np.int64)
 
     parts_a, parts_b = [], []
     for b0 in range(0, nb, chunk_blocks):
@@ -703,13 +725,13 @@ def _group_spans(s, e, bbox, bins, perm, S, ngrp, chunk_blocks=2048,
         pa, pb = _group_positions(
             s[sl], e[sl], bbox, bins, perm, S, ngrp, flip=flip
         )
-        parts_a.append(span_of(pa, nbc))
-        parts_b.append(span_of(pb, nbc))
-    span_a = np.concatenate(parts_a)
-    span_b = np.concatenate(parts_b)
+        parts_a.append(need_of(pa, nbc, 8.0))
+        parts_b.append(need_of(pb, nbc, 128.0))
+    need_a = np.concatenate(parts_a)
+    need_b = np.concatenate(parts_b)
     if per_block:
-        return span_a, span_b
-    return int(span_a.max()), int(span_b.max())
+        return need_a, need_b
+    return int(need_a.max()), int(need_b.max())
 
 
 # --------------------------------------------------------------------- #
