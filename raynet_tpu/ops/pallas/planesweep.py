@@ -247,34 +247,43 @@ def compute_band_boxes(fidx, depth_planes):
     return mins, maxs
 
 
+def _spec_from_need(bh, bw):
+    """Bucket a raw (y-extent, x-extent-px) need into a static
+    (BH, BWg) spec. bh is an UNTILED dim (third-from-minor in the band
+    scratch, dim 1 of the feature slice): arbitrary extents and origins
+    are legal, so the ladder can be fine-grained — the one-hot eq build
+    is proportional to bh*bwg rows. bwg stays a multiple of the
+    16-sublane bf16 tile with +8 groups of origin-alignment slack
+    (Mosaic requires 8-aligned offsets on the tiled dim). Specs are
+    STATIC kernel args, so nearby view geometries must land on the same
+    compilation."""
+    bh = max(8, bh)
+    bwg = -(-(-(-bw // 4) + 8) // 16) * 16
+    bh = _bucket(
+        bh, (8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 64, 96,
+             128, 192, 256)
+    )
+    bwg = _bucket(bwg, (16, 32, 48, 64, 96, 128, 192, 256))
+    return bh, bwg
+
+
+def _specs_from_spans(spans, pad):
+    """Per-view specs from (NB, G, V, 2) box spans."""
+    specs = []
+    for v in range(spans.shape[2]):
+        bh = int(spans[:, :, v, 0].max()) + 1 + pad
+        bw = int(spans[:, :, v, 1].max()) + 1 + pad
+        specs.append(_spec_from_need(bh, bw))
+    return tuple(specs)
+
+
 def measure_box_specs(fidx, depth_planes, pad=2):
     """Host-side: smallest (BH, BWg) per view covering ALL (block,
     depth-group) sub-boxes, rounded to sublane/group multiples. Call once
     per geometry outside jit."""
     mins, maxs = compute_band_boxes(jnp.asarray(fidx), depth_planes)
-    mins, maxs = np.asarray(mins), np.asarray(maxs)
-    spans = maxs - mins  # (NB, G, V, 2)
-    specs = []
-    for v in range(fidx.shape[2]):
-        bh = int(spans[:, :, v, 0].max()) + 1 + pad
-        bw = int(spans[:, :, v, 1].max()) + 1 + pad
-        # bh is an UNTILED dim (third-from-minor in the band scratch,
-        # dim 1 of the feature slice): arbitrary extents and origins are
-        # legal, so the ladder can be fine-grained — the one-hot eq build
-        # is proportional to bh*bwg rows. bwg stays a multiple of the
-        # 16-sublane bf16 tile with +8 groups of origin-alignment slack
-        # (Mosaic requires 8-aligned offsets on the tiled dim).
-        bh = max(8, bh)
-        bwg = -(-(-(-bw // 4) + 8) // 16) * 16
-        # bucket to a ladder: specs are STATIC kernel args, so nearby
-        # view geometries must land on the same compilation
-        bh = _bucket(
-            bh, (8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 64, 96,
-                 128, 192, 256)
-        )
-        bwg = _bucket(bwg, (16, 32, 48, 64, 96, 128, 192, 256))
-        specs.append((bh, bwg))
-    return tuple(specs)
+    spans = np.asarray(maxs) - np.asarray(mins)  # (NB, G, V, 2)
+    return _specs_from_spans(spans, pad)
 
 
 def _bucket(x, ladder):
@@ -325,7 +334,7 @@ def plan_band_specs(
     perm = np.asarray(perm)
 
     @jax.jit
-    def fidx_of(chunk_idxs, P, P_pinv, center, bbox):
+    def spans_of(chunk_idxs, P, P_pinv, center, bbox):
         d = rays_from_pixel_idxs(chunk_idxs, P_pinv, center, height)
         s, e = rays_entry_exit_bbox(d, center, bbox[:3], bbox[3:])
         pts = sample_points_along_segments(s, e, depth_planes)
@@ -341,7 +350,13 @@ def plan_band_specs(
         # miss rays (zero-length segments) run as sentinels at runtime
         # (banded_scores_from_segments); exclude them from the plan too
         hit = jnp.any(s != e, axis=1)
-        return jnp.where(hit[:, None, None, None], fidx, 0)
+        fidx = jnp.where(hit[:, None, None, None], fidx, 0)
+        # reduce ON DEVICE: downloading the raw (N, D, V, 2) index
+        # tensor costs ~84 MB per chunk over the host link (~3 s/view
+        # at DTU scale through the axon tunnel); the spans are ~1000x
+        # smaller
+        mins, maxs = compute_band_boxes(fidx, depth_planes)
+        return maxs - mins
 
     specs = None
     chunk_rays = chunk_tiles * RAYS_PER_BLOCK
@@ -351,10 +366,10 @@ def plan_band_specs(
             sl = np.concatenate(
                 [sl, np.repeat(sl[-1:], chunk_rays - len(sl))]
             )
-        fidx = np.asarray(
-            fidx_of(jnp.asarray(sl), P, P_pinv, camera_center, bbox)
+        spans = np.asarray(
+            spans_of(jnp.asarray(sl), P, P_pinv, camera_center, bbox)
         )
-        chunk_specs = measure_box_specs(fidx, depth_planes, pad=pad)
+        chunk_specs = _specs_from_spans(spans, pad)
         if specs is None:
             specs = list(chunk_specs)
         else:
