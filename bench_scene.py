@@ -220,6 +220,12 @@ def run_scene_benchmark(
     feat_per_set = (gp.neighbors + 1) * feat_per_image
     dtu_unique_images = 49 + gp.neighbors
 
+    # Cold orchestration-plan cost (beam/band planning + ray argsorts +
+    # chunk commits), recorded during the warmup pass; like features it
+    # is paid once per scene and scales ~per ray — extrapolate it
+    # explicitly instead of hiding it in the warm-cache timed runs.
+    plan_s = fp.timer.totals.get("Orchestration plan (cold)", 0.0)
+
     rays_full = args.images * h * w
     valid = (
         sum(
@@ -247,12 +253,16 @@ def run_scene_benchmark(
         ),
         "extrapolated_full_dtu_seconds": round(est_dtu, 1),
         "feature_set_seconds": round(feat_per_set, 3),
+        "orchestration_plan_seconds": round(plan_s, 2),
         # feature cost scales per UNIQUE image x pixels (53 unique
-        # images over DTU's 49 sequential view sets), not per ray —
-        # extrapolated separately
+        # images over DTU's 49 sequential view sets), not per ray;
+        # plan cost scales per reference view x rays — both paid once
+        # per scene and extrapolated into the cold number
         "extrapolated_full_dtu_cold_seconds": round(
             est_dtu
-            + feat_per_image * dtu_unique_images * (1600 * 1200) / (h * w),
+            + feat_per_image * dtu_unique_images * (1600 * 1200) / (h * w)
+            + plan_s / max(args.images, 1)
+            * 49 * (1600 * 1200) / (h * w),
             1,
         ),
     }
