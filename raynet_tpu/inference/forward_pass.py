@@ -70,17 +70,16 @@ def _coalesce_bp_cfgs(cfgs_by_image):
         groups.setdefault(key, []).append(c)
     unified = {}
     for key, cs in groups.items():
-        # the hat window is per-image exact: any image that needed the
-        # full loop disables it for the whole (one-compilation) group
+        # the hat window coalesces like every other field: take the
+        # WIDEST (a narrower window than an image planned would trip
+        # its runtime coverage guard); any image needing the full loop
+        # disables it for the whole (one-compilation) group
         hat_ws = [c.hat_window for c in cs]
-        u = BpBeamConfig(
-            cs[0].perm, cs[0].S, cs[0].A, cs[0].B,
-            max(c.K for c in cs), max(c.BA for c in cs),
-            max(c.nstripe for c in cs), cs[0].depth_planes,
-            cs[0].max_voxels, cs[0].bins, cs[0].prior,
-            cs[0].grid_shape, flip=cs[0].flip, rays=cs[0].rays,
+        u = cs[0].replace(
+            K=max(c.K for c in cs), BA=max(c.BA for c in cs),
+            nstripe=max(c.nstripe for c in cs),
             hat_window=(
-                None if any(w is None for w in hat_ws) else min(hat_ws)
+                None if any(w is None for w in hat_ws) else max(hat_ws)
             ),
         )
         for c in cs:
@@ -978,14 +977,7 @@ class RayNetForwardPass(ForwardPass):
             for i in ref_indices:
                 cs, cl = small_cfgs[i], bp_cfgs[i]
                 if cs is not None and (cs.K != cl.K or cs.rays != cl.rays):
-                    from ..ops.pallas.bp_beam import BpBeamConfig
-
-                    small_cfgs[i] = BpBeamConfig(
-                        cs.perm, cs.S, cs.A, cs.B, cl.K, cs.BA, cs.nstripe,
-                        cs.depth_planes, cs.max_voxels, cs.bins, cs.prior,
-                        cs.grid_shape, flip=cs.flip, rays=cl.rays,
-                        hat_window=cs.hat_window,
-                    )
+                    small_cfgs[i] = cs.replace(K=cl.K, rays=cl.rays)
             small_cfgs = _coalesce_bp_cfgs(small_cfgs)
             band_specs = _coalesce_band_specs(band_specs)
             cols_per_image = {

@@ -32,7 +32,17 @@ def get_lib():
         return _lib
     _tried = True
     try:
-        if not os.path.isfile(_LIB_PATH):
+        # rebuild stale binaries too: a .so from before a new entry
+        # point existed would fail symbol lookup below and silently
+        # disable EVERY native path
+        src_mtime = max(
+            os.path.getmtime(os.path.join(_HERE, f))
+            for f in ("raynet_host.cpp", "Makefile")
+        )
+        if (
+            not os.path.isfile(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < src_mtime
+        ):
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
 
@@ -60,7 +70,7 @@ def get_lib():
         lib.bp_plan_stats.argtypes = [
             f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, f64p, ctypes.c_double, ctypes.c_double,
-            i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p,
         ]
         lib.bp_plan_stats.restype = None
 
@@ -129,7 +139,9 @@ def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):
 
     ``st``/``en``: (n, 3) f64 PERMUTED, flip-applied, bbox-min-relative
     segment endpoints, n a multiple of ``rays``. Returns per-block
-    (k_max, span_a, span_b) int32 arrays of length n // rays.
+    int32 arrays of length n // rays: (k_max, need_a, need_b,
+    hat_cross) — snap-aware box needs plus the cross-ray segment-t
+    window per 8-slice group (x1e6, ceil).
     """
     lib = get_lib()
     st = np.ascontiguousarray(st, dtype=np.float64)
@@ -137,11 +149,12 @@ def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):
     n = len(st)
     nb = n // rays
     k_blk = np.zeros((nb,), dtype=np.int32)
-    span_a = np.zeros((nb,), dtype=np.int32)
-    span_b = np.zeros((nb,), dtype=np.int32)
+    need_a = np.zeros((nb,), dtype=np.int32)
+    need_b = np.zeros((nb,), dtype=np.int32)
+    hat_cross = np.zeros((nb,), dtype=np.int32)
     lib.bp_plan_stats(
         st, en, n, int(rays), int(S), int(ngrp),
         np.ascontiguousarray(pbins, dtype=np.float64).reshape(3),
-        float(slack), float(eps), k_blk, span_a, span_b,
+        float(slack), float(eps), k_blk, need_a, need_b, hat_cross,
     )
-    return k_blk, span_a, span_b
+    return k_blk, need_a, need_b, hat_cross

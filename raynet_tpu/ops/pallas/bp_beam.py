@@ -55,12 +55,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAYS = 256  # rays per block (two 16x8 pixel tiles = a 16x16 block)
-# Default score-window width for the hat mapping (planes walked per
-# slot chunk instead of all D). The PLANNER decides per image whether
-# the window is provably sufficient (plan_hat_window) and bakes the
-# result into BpBeamConfig.hat_window; None here disables windowing
-# globally (A/B override).
-HAT_WINDOW = 16
+# CAP on the hat-mapping score-window ladder (the planner picks the
+# smallest sufficient width from _HAT_LADDER up to this cap and bakes
+# it into BpBeamConfig.hat_window). None disables windowing globally
+# (A/B override).
+HAT_WINDOW = 48
 _EPS = 1e-2
 _FLT_MAX = 3.4028235e38
 _CLIP_S = 1e-5
@@ -137,25 +136,6 @@ def _dom_sign_and_fill(s, e, bins, rays):
     return s, e, dom, flip, "ok"
 
 
-def plan_hat_window(s, e, bins, perm, k, depth_planes, window=None):
-    """Static hat-window width for this ray set, or None (full D loop).
-
-    A slot chunk holds one k of 8 consecutive dominant slices, so its
-    live t-parameters span at most 8*(ts_dom + (K-1)*max(ts_lat)) where
-    ts_a = bin_a*|ray_a|/|ray|^2 is the per-axis t-step of the
-    CELL-CENTER parameter (a ray takes at most K-1 lateral steps per
-    slice). The window is sound when that span (in planes) plus
-    floor/ceil (2) and the 8-snap (7) fits the window — checked in f64
-    over the WORST ray, so clipped-short segments (big t-steps) disable
-    the window for the whole image. The kernel keeps a per-lane runtime
-    guard on the existing overflow abort as backstop.
-    """
-    spans = hat_span_planes(s, e, bins, perm, k, depth_planes)
-    if spans is None:
-        return None
-    return hat_window_for_span(float(spans.max()), depth_planes, window)
-
-
 def hat_span_planes(s, e, bins, perm, k, depth_planes):
     """Per-ray worst-chunk hat span in PLANES (f64), or None."""
     ray = np.asarray(e, np.float64) - np.asarray(s, np.float64)
@@ -174,20 +154,81 @@ def hat_span_planes(s, e, bins, perm, k, depth_planes):
 
 def hat_window_for_span(span_planes, depth_planes, window=None):
     """Smallest ladder window covering ``span_planes`` (+ snap/floor
-    slack), or None (full D loop)."""
+    slack), capped at ``window`` (default HAT_WINDOW's cap), or None
+    (full D loop)."""
     cap = HAT_WINDOW if window is None else window
     D = int(depth_planes)
     if cap is None or D % 8 != 0:
         return None
     for w in _HAT_LADDER:
-        if w >= D:
-            return None  # full loop is at least as cheap
+        if w > cap or w >= D:
+            return None  # capped out / full loop at least as cheap
         if span_planes + 9.0 <= w:
             return int(w)
     return None
 
 
 _HAT_LADDER = (16, 24, 32, 48)
+
+
+def _hat_cross_per_block(s, e, bbox, bins, perm, S, ngrp, rays=RAYS,
+                         flip=False, chunk_blocks=2048):
+    """numpy fallback for the native hat_cross output: per-block max
+    over 8-slice groups of the CROSS-RAY segment-t window (x1e6, ceil).
+    The kernel's hat-window base is one block-wide min per chunk, so
+    coverage must budget ray-to-ray entry-depth spread — a block mixing
+    a full-span ray with a late-entering silhouette-clipped ray has an
+    unbounded per-chunk t window even though each ray's own span is
+    tiny."""
+    nb = len(s) // rays
+    out = []
+    for b0 in range(0, nb, chunk_blocks):
+        nbc = min(chunk_blocks, nb - b0)
+        sl = slice(b0 * rays, (b0 + nbc) * rays)
+        c0 = s[sl][:, perm[0]] - bbox[perm[0]]
+        c1 = e[sl][:, perm[0]] - bbox[perm[0]]
+        if flip:
+            ext = S * bins[perm[0]]
+            c0 = ext - c0
+            c1 = ext - c1
+        d0 = c0 / bins[perm[0]]
+        d1 = c1 / bins[perm[0]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / np.maximum(d1 - d0, 1e-9)
+        gb = np.arange(ngrp + 1, dtype=np.float64)[None] * 8.0
+        t = np.clip((gb - d0[:, None]) * inv[:, None], 0.0, 1.0)
+        q = (d1[:, None] >= gb[:, :-1]) & (d0[:, None] <= gb[:, 1:])
+        tlo = np.where(q, t[:, :-1], np.inf).reshape(
+            nbc, rays, ngrp
+        ).min(axis=1)
+        thi = np.where(q, t[:, 1:], -np.inf).reshape(
+            nbc, rays, ngrp
+        ).max(axis=1)
+        cross = np.where(thi > tlo, thi - tlo, 0.0).max(axis=1)
+        out.append(np.ceil(cross * 1e6).astype(np.int32))
+    return np.concatenate(out)
+
+
+def _hat_need_per_block(st, k, depth_planes, rays):
+    """Per-block hat-window need in PLANES: the cross-ray per-group t
+    window (the chunk's shared dlo must cover every live ray) plus the
+    worst single ray's own 8-slice span (within-group drift beyond the
+    boundary window). None when unavailable."""
+    spans = hat_span_planes(
+        st["s"], st["e"], st["bins"], st["perm"], k, depth_planes
+    )
+    if spans is None:
+        return None
+    nb = st["nb"]
+    per_ray = spans[: nb * rays].reshape(nb, rays).max(axis=1)
+    if st["block_stats"] is not None:
+        cross = st["block_stats"][3].astype(np.float64) / 1e6
+    else:
+        cross = _hat_cross_per_block(
+            st["s"], st["e"], st["bbox"], st["bins"], st["perm"],
+            st["S"], st["S"] // 8, rays=rays, flip=st["flip"],
+        ).astype(np.float64) / 1e6
+    return cross * (int(depth_planes) - 1) + per_ray
 
 
 class BpBeamConfig:
@@ -216,6 +257,26 @@ class BpBeamConfig:
                 self.nstripe, self.depth_planes, self.max_voxels,
                 self.bins, self.prior, self.grid_shape, self.flip,
                 self.rays, self.hat_window)
+
+    def replace(self, **kw):
+        """Copy with named fields overridden — the single construction
+        point for derived configs (rebuilding positionally silently
+        drops newly added fields)."""
+        args = dict(
+            perm=self.perm, S=self.S, A=self.A, B=self.B, K=self.K,
+            BA=self.BA, nstripe=self.nstripe,
+            depth_planes=self.depth_planes, max_voxels=self.max_voxels,
+            bins=self.bins, prior=self.prior, grid_shape=self.grid_shape,
+            flip=self.flip, rays=self.rays, hat_window=self.hat_window,
+        )
+        args.update(kw)
+        return BpBeamConfig(
+            args["perm"], args["S"], args["A"], args["B"], args["K"],
+            args["BA"], args["nstripe"], args["depth_planes"],
+            args["max_voxels"], args["bins"], args["prior"],
+            args["grid_shape"], flip=args["flip"], rays=args["rays"],
+            hat_window=args["hat_window"],
+        )
 
     def __hash__(self):
         return hash(self._key())
@@ -375,11 +436,15 @@ def plan_bp_config(
         return _reject("nstripe-cap", explain)
 
     prior = float(np.log(gamma) - np.log(1.0 - gamma))
+    hat_need = _hat_need_per_block(st, k, depth_planes, rays)
     cfg = BpBeamConfig(
         perm, S, A, B, k, ba, nstripe, int(depth_planes), int(max_voxels),
         tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
         flip=flip, rays=rays,
-        hat_window=plan_hat_window(s, e, bins, perm, k, depth_planes),
+        hat_window=(
+            hat_window_for_span(float(hat_need.max()), depth_planes)
+            if hat_need is not None else None
+        ),
     )
     return (cfg, "ok") if explain else cfg
 
@@ -454,15 +519,11 @@ def plan_bp_classes(
 
     # Per-BLOCK hat-window needs: the hat pass walks a score window
     # instead of all D planes, but clipped-short segments (fast-moving
-    # t per cell) need wide windows — per-image gating would let a few
-    # corner blocks disable it everywhere (measured: every DTU-like rig
-    # disabled). Per-block spans route interior blocks to a windowed
-    # class.
-    spans_hat = hat_span_planes(s, e, bins, perm, k, depth_planes)
-    if spans_hat is None:
-        hat_need = None
-    else:
-        hat_need = spans_hat[: nb * rays].reshape(nb, rays).max(axis=1)
+    # t per cell) and blocks with large CROSS-RAY entry spread need
+    # wide windows — per-image gating would let a few corner blocks
+    # disable it everywhere (measured: every DTU-like rig disabled).
+    # Per-block needs route interior blocks to a windowed class.
+    hat_need = _hat_need_per_block(st, k, depth_planes, rays)
 
     def window_for(mask=None):
         if hat_need is None:
@@ -504,10 +565,9 @@ def plan_bp_classes(
     )
     if rows_split:
         box_mask = (ba_need <= ba_small) & (ns_need <= ns_small)
-        if box_mask.mean() < 0.25:  # not worth a second compilation
-            return dict(
-                cfg_large=cfg_large, cfg_small=None, small_mask=None
-            )
+        if box_mask.mean() < 0.25:  # not worth a second compilation;
+            rows_split = False      # a window-only split may still pay
+    if rows_split:
         small_mask = box_mask
         w_small = window_for(box_mask)
         # A single clipped-short-segment block inside the box-small mask

@@ -774,14 +774,7 @@ def _hat_window_geom(focal, grid, d):
 
 
 def _rebuild_cfg(cfg, hat_window):
-    from raynet_tpu.ops.pallas.bp_beam import BpBeamConfig
-
-    return BpBeamConfig(
-        cfg.perm, cfg.S, cfg.A, cfg.B, cfg.K, cfg.BA, cfg.nstripe,
-        cfg.depth_planes, cfg.max_voxels, cfg.bins, cfg.prior,
-        cfg.grid_shape, flip=cfg.flip, rays=cfg.rays,
-        hat_window=hat_window,
-    )
+    return cfg.replace(hat_window=hat_window)
 
 
 def test_hat_window_matches_full_loop():
@@ -793,11 +786,13 @@ def test_hat_window_matches_full_loop():
     two program shapes (~1 ulp on rare lanes; measured 216/196608
     elements at <=6e-7 on CPU interpret)."""
     d = 24
-    s, e, Sp, cfg, c, bbox = _hat_window_geom(160.0, (16, 16, 64), d)
+    # S=128: a group's 8 slices span ~1.4 planes + small cross-ray
+    # spread — provably inside the 16-plane window
+    s, e, Sp, cfg, c, bbox = _hat_window_geom(160.0, (16, 16, 128), d)
     # the planner must ENABLE the window at this full-segment geometry
     assert cfg.hat_window == 16, cfg.hat_window
 
-    g = int(np.prod((16, 16, 64)))
+    g = int(np.prod((16, 16, 128)))
     prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
     acc0 = jnp.full((g,), prior, jnp.float32)
     msgs0 = jnp.zeros((H * W, cfg.slots), jnp.float32)

@@ -170,14 +170,7 @@ def main():
     # disabled (cfg.hat_window=None). The planner enabled hat_window=16
     # whole-image at this rig, so the delta isolates the window.
     if cfg.hat_window is not None:
-        from raynet_tpu.ops.pallas.bp_beam import BpBeamConfig
-
-        cfg_nw = BpBeamConfig(
-            cfg.perm, cfg.S, cfg.A, cfg.B, cfg.K, cfg.BA, cfg.nstripe,
-            cfg.depth_planes, cfg.max_voxels, cfg.bins, cfg.prior,
-            cfg.grid_shape, flip=cfg.flip, rays=cfg.rays,
-            hat_window=None,
-        )
+        cfg_nw = cfg.replace(hat_window=None)
 
         @jax.jit
         def beam_nw(s_planes, msgs, acc):
