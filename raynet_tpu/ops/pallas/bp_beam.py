@@ -1060,7 +1060,8 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     # bounded in test_hat_window_matches_full_loop). The PLANNER
     # enables the window
     # only when the worst ray's per-chunk t-span provably fits
-    # (plan_hat_window, f64; clipped-short segments disable it); the
+    # (_hat_need_per_block, f64; clipped-short segments and cross-ray
+    # entry spread disable it); the
     # per-lane guard below rides the overflow abort as backstop. Dead
     # slots (cell < 0) are excluded from the bound and masked from sv.
     hat_w = cfg.hat_window
