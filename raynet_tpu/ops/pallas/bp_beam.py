@@ -213,7 +213,11 @@ def _hat_need_per_block(st, k, depth_planes, rays):
     """Per-block hat-window need in PLANES: the cross-ray per-group t
     window (the chunk's shared dlo must cover every live ray) plus the
     worst single ray's own 8-slice span (within-group drift beyond the
-    boundary window). None when unavailable."""
+    boundary window). None when windowing is disabled (HAT_WINDOW) or
+    structurally unavailable (the kernel's dynamic sublane slice needs
+    D % 8 == 0)."""
+    if HAT_WINDOW is None or int(depth_planes) % 8 != 0:
+        return None
     spans = hat_span_planes(
         st["s"], st["e"], st["bins"], st["perm"], k, depth_planes
     )
@@ -580,7 +584,11 @@ def plan_bp_classes(
                 w_small if w_small is not None else int(depth_planes)
             )
             for w_cand in _HAT_LADDER:
-                if w_cand >= base_w or base_w - w_cand < 8:
+                if (
+                    w_cand > HAT_WINDOW
+                    or w_cand >= base_w
+                    or base_w - w_cand < 8
+                ):
                     continue
                 mask2 = box_mask & (hat_need + 9.0 <= w_cand)
                 if (
@@ -602,7 +610,11 @@ def plan_bp_classes(
     if hat_need is not None:
         best = None
         for w_cand in _HAT_LADDER:
-            if w_cand >= int(depth_planes) or w_large_planes - w_cand < 8:
+            if (
+                w_cand > HAT_WINDOW
+                or w_cand >= int(depth_planes)
+                or w_large_planes - w_cand < 8
+            ):
                 continue
             mask_cand = hat_need + 9.0 <= w_cand
             frac = float(mask_cand.mean())
