@@ -970,6 +970,64 @@ class RayNetForwardPass(ForwardPass):
                 band_specs[i] = self._band_specs(
                     scene, i, features_i, ray_idxs=ray_idxs_per_image[i]
                 )
+            # Unify per-image segment CHUNK COUNTS scene-wide (within
+            # compile-shape groups): GT filtering gives every image a
+            # different valid-ray count, and each distinct chunk count
+            # is its own trace of the fused scan — 30-150 s per shape
+            # on the remote compiler, ~an hour for a 49-view scene.
+            # Padding to the group max adds only dead batches
+            # (n_valid=0, negative-encoded rays).
+            if _use_pallas():
+                b_now = self.rays_batch
+
+                def _dead(src_idxs, count):
+                    last = int(src_idxs[-1])
+                    dec = last if last >= 0 else -last - 1
+                    return np.full(count, -dec - 1, np.int32)
+
+                groups_pad = {}
+                for i in ref_indices:
+                    if len(ray_idxs_per_image[i]) == 0:
+                        continue
+                    nsb = small_chunks[i]
+                    ntot = -(-len(ray_idxs_per_image[i]) // b_now)
+                    gkey = (
+                        small_cfgs[i] is not None,
+                        bp_cfgs[i] is not None,
+                    )
+                    cur = groups_pad.setdefault(gkey, [0, 0])
+                    cur[0] = max(cur[0], nsb)
+                    cur[1] = max(cur[1], ntot - nsb)
+                for i in ref_indices:
+                    idxs = np.asarray(ray_idxs_per_image[i], np.int32)
+                    if len(idxs) == 0:
+                        continue
+                    nsb = small_chunks[i]
+                    ntot = -(-len(idxs) // b_now)
+                    gkey = (
+                        small_cfgs[i] is not None,
+                        bp_cfgs[i] is not None,
+                    )
+                    nsb_t, nl_t = groups_pad[gkey]
+                    pad_rows = -len(idxs) % b_now
+                    if pad_rows:
+                        idxs = np.concatenate(
+                            [idxs, _dead(idxs, pad_rows)]
+                        )
+                    parts = [idxs[: nsb * b_now]]
+                    if nsb_t > nsb:
+                        parts.append(
+                            _dead(idxs[: nsb * b_now] if nsb else idxs,
+                                  (nsb_t - nsb) * b_now)
+                        )
+                    parts.append(idxs[nsb * b_now :])
+                    if nl_t > ntot - nsb:
+                        parts.append(
+                            _dead(idxs, (nl_t - (ntot - nsb)) * b_now)
+                        )
+                    ray_idxs_per_image[i] = np.concatenate(parts)
+                    small_chunks[i] = nsb_t
+
             bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
             # the small class shares the large class's slot count (one store):
             # coalesce smalls, then force K/rays to the coalesced large's

@@ -541,3 +541,45 @@ def test_classes_with_filtered_rays_match_single_config(setup):
 
     for a, b in zip(maps_cls, maps_one):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_filtered_images_share_scan_shapes(setup):
+    """GT filtering gives every image a different valid-ray count; the
+    orchestrator must pad each image's class segments to scene-wide
+    chunk-count targets so ALL images share one compiled scan per
+    (cfg, kind) — each distinct chunk shape is its own 30-150 s remote
+    compile on the TPU toolchain."""
+    import raynet_tpu.inference.forward_pass as fpm
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene, gp, model, scheme = setup
+    old_pallas = fpm._use_pallas
+    fpm._use_pallas = lambda: True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            fp = get_forward_pass_factory("raynet")(
+                model, gp, scheme, scene.image_shape, 512,
+                filter_out_rays=True,
+            )
+            fp._band_specs = lambda *a, **k: None
+            fp.bp_iterations = 1
+            fp.multichip = "off"  # interpret x shard_map deadlocks
+            maps = list(fp.forward_pass(scene, (0, 2, 1)))
+    finally:
+        fpm._use_pallas = old_pallas
+
+    # different raw valid counts...
+    v0 = len(fp.get_valid_rays_per_image(scene, 0))
+    v1 = len(fp.get_valid_rays_per_image(scene, 1))
+    assert v0 != v1, "mock scene should give differing valid counts"
+    # ...but identical padded segment shapes scene-wide
+    okey = list(fp._orch_cache)[0]
+    seg_data = fp._orch_cache[okey][20]
+    shapes = {
+        i: [(seg[3].shape, seg[4].shape) for seg in segs]
+        for i, segs in seg_data.items()
+    }
+    assert shapes[0] == shapes[1], shapes
+    for m in maps:
+        assert np.isfinite(m).all()
+        assert (m > 0).any()
