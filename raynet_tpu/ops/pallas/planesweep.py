@@ -293,6 +293,40 @@ def _bucket(x, ladder):
     return ladder[-1]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "padding", "depth_planes")
+)
+def _plan_spans(chunk_idxs, P, P_pinv, center, bbox, height, width,
+                padding, depth_planes):
+    """Band-plan spans for one ray chunk. MODULE-LEVEL jit: a closure
+    jitted inside plan_band_specs is a fresh function object per view,
+    so every reference view re-traced (and remotely re-compiled) the
+    same program — 49 avoidable compiles per DTU scene."""
+    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
+    from ..sampling import sample_points_along_segments
+    from ..similarities import project_to_feature_idx
+
+    d = rays_from_pixel_idxs(chunk_idxs, P_pinv, center, height)
+    s, e = rays_entry_exit_bbox(d, center, bbox[:3], bbox[3:])
+    pts = sample_points_along_segments(s, e, depth_planes)
+    # only the projection geometry matters; a dummy feature
+    # stack keeps this cheap
+    dummy = jnp.zeros(
+        (P.shape[0], height + padding + 1, width + padding + 1, 32),
+        jnp.bfloat16,
+    )
+    fidx = project_to_feature_idx(dummy, P, pts, padding, height, width)
+    # miss rays (zero-length segments) run as sentinels at runtime
+    # (banded_scores_from_segments); exclude them from the plan too
+    hit = jnp.any(s != e, axis=1)
+    fidx = jnp.where(hit[:, None, None, None], fidx, 0)
+    # reduce ON DEVICE: downloading the raw (N, D, V, 2) index tensor
+    # costs ~84 MB per chunk over the host link (~3 s/view at DTU scale
+    # through the axon tunnel); the spans are ~1000x smaller
+    mins, maxs = compute_band_boxes(fidx, depth_planes)
+    return maxs - mins
+
+
 def plan_band_specs(
     P, P_pinv, camera_center, bbox, height, width, padding, depth_planes,
     chunk_tiles=512, pad=4, ray_idxs=None,
@@ -309,10 +343,6 @@ def plan_band_specs(
     from ``filter_out_rays``) — filtered 128-ray blocks can span several
     pixel tiles, so full-image tile planning under-covers them.
     """
-    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
-    from ..sampling import sample_points_along_segments
-    from ..similarities import project_to_feature_idx
-
     n = height * width
     # the kernel tiles RAYS_PER_BLOCK*D targets in 512-wide chunks; a
     # D % 4 != 0 config would silently drop the tail targets
@@ -333,31 +363,6 @@ def plan_band_specs(
     n_tiles = perm.shape[0] // RAYS_PER_BLOCK
     perm = np.asarray(perm)
 
-    @jax.jit
-    def spans_of(chunk_idxs, P, P_pinv, center, bbox):
-        d = rays_from_pixel_idxs(chunk_idxs, P_pinv, center, height)
-        s, e = rays_entry_exit_bbox(d, center, bbox[:3], bbox[3:])
-        pts = sample_points_along_segments(s, e, depth_planes)
-        # only the projection geometry matters; a dummy feature
-        # stack keeps this cheap
-        dummy = jnp.zeros(
-            (P.shape[0], height + padding + 1, width + padding + 1, 32),
-            jnp.bfloat16,
-        )
-        fidx = project_to_feature_idx(
-            dummy, P, pts, padding, height, width
-        )
-        # miss rays (zero-length segments) run as sentinels at runtime
-        # (banded_scores_from_segments); exclude them from the plan too
-        hit = jnp.any(s != e, axis=1)
-        fidx = jnp.where(hit[:, None, None, None], fidx, 0)
-        # reduce ON DEVICE: downloading the raw (N, D, V, 2) index
-        # tensor costs ~84 MB per chunk over the host link (~3 s/view
-        # at DTU scale through the axon tunnel); the spans are ~1000x
-        # smaller
-        mins, maxs = compute_band_boxes(fidx, depth_planes)
-        return maxs - mins
-
     specs = None
     chunk_rays = chunk_tiles * RAYS_PER_BLOCK
     for t0 in range(0, n_tiles, chunk_tiles):
@@ -367,7 +372,10 @@ def plan_band_specs(
                 [sl, np.repeat(sl[-1:], chunk_rays - len(sl))]
             )
         spans = np.asarray(
-            spans_of(jnp.asarray(sl), P, P_pinv, camera_center, bbox)
+            _plan_spans(
+                jnp.asarray(sl), P, P_pinv, camera_center, bbox,
+                height, width, padding, depth_planes,
+            )
         )
         chunk_specs = _specs_from_spans(spans, pad)
         if specs is None:
