@@ -136,22 +136,6 @@ def _dom_sign_and_fill(s, e, bins, rays):
     return s, e, dom, flip, "ok"
 
 
-def hat_span_planes(s, e, bins, perm, k, depth_planes):
-    """Per-ray worst-chunk hat span in PLANES (f64), or None."""
-    ray = np.asarray(e, np.float64) - np.asarray(s, np.float64)
-    len2 = (ray * ray).sum(axis=1)
-    ok = len2 > 0
-    if not ok.any():
-        return None
-    ts = np.zeros_like(ray)
-    ts[ok] = np.abs(ray[ok]) * np.asarray(bins, np.float64)[None] / (
-        len2[ok][:, None]
-    )
-    ts = ts[:, list(perm)]  # (dom, lat1, lat2); misses contribute 0
-    dtp = 8.0 * (ts[:, 0] + (k - 1) * ts[:, 1:].max(axis=1))
-    return dtp * (int(depth_planes) - 1)
-
-
 def hat_window_for_span(span_planes, depth_planes, window=None):
     """Smallest ladder window covering ``span_planes`` (+ snap/floor
     slack), capped at ``window`` (default HAT_WINDOW's cap), or None
@@ -211,20 +195,30 @@ def _hat_cross_per_block(s, e, bbox, bins, perm, S, ngrp, rays=RAYS,
 
 def _hat_need_per_block(st, k, depth_planes, rays):
     """Per-block hat-window need in PLANES: the cross-ray per-group t
-    window (the chunk's shared dlo must cover every live ray) plus the
-    worst single ray's own 8-slice span (within-group drift beyond the
-    boundary window). None when windowing is disabled (HAT_WINDOW) or
-    structurally unavailable (the kernel's dynamic sublane slice needs
-    D % 8 == 0)."""
+    window (the chunk's shared dlo must cover every live ray — a live
+    slot's position always projects between the group's boundary
+    params, accumulated lateral steps included) plus a HALF-CELL
+    projection margin (the hat t is the CELL-CENTER param; the center
+    sits within half a cell of the position). None when windowing is
+    disabled (HAT_WINDOW) or structurally unavailable (the kernel's
+    dynamic sublane slice needs D % 8 == 0). Gate-vs-guard consistency
+    is tested adversarially (silhouette-straddling blocks) in
+    tests/test_bp_beam.py."""
     if HAT_WINDOW is None or int(depth_planes) % 8 != 0:
         return None
-    spans = hat_span_planes(
-        st["s"], st["e"], st["bins"], st["perm"], k, depth_planes
-    )
-    if spans is None:
+    s, e = st["s"], st["e"]
+    ray = np.asarray(e, np.float64) - np.asarray(s, np.float64)
+    len2 = (ray * ray).sum(axis=1)
+    ok = len2 > 0
+    if not ok.any():
         return None
+    ts_sum = np.zeros(len(ray))
+    ts_sum[ok] = (
+        np.abs(ray[ok]) * np.asarray(st["bins"], np.float64)[None]
+    ).sum(axis=1) / len2[ok]
     nb = st["nb"]
-    per_ray = spans[: nb * rays].reshape(nb, rays).max(axis=1)
+    halfcell = 0.5 * ts_sum[: nb * rays].reshape(nb, rays).max(axis=1)
+    halfcell = halfcell * (int(depth_planes) - 1)
     if st["block_stats"] is not None:
         cross = st["block_stats"][3].astype(np.float64) / 1e6
     else:
@@ -232,7 +226,7 @@ def _hat_need_per_block(st, k, depth_planes, rays):
             st["s"], st["e"], st["bbox"], st["bins"], st["perm"],
             st["S"], st["S"] // 8, rays=rays, flip=st["flip"],
         ).astype(np.float64) / 1e6
-    return cross * (int(depth_planes) - 1) + per_ray
+    return cross * (int(depth_planes) - 1) + halfcell
 
 
 class BpBeamConfig:

@@ -834,3 +834,91 @@ def test_hat_window_guard_catches_unsound_window():
         first_iteration=False, interpret=True,
     )
     assert float(ov.sum()) > 0.0
+
+
+def test_hat_window_gate_guard_consistency():
+    """Adversarial gate-vs-guard consistency: wherever the PLANNER
+    assigns a hat window (whole image or per class), RUNNING the kernel
+    on that class's blocks must not trip the runtime coverage guard —
+    including silhouette-straddling geometry (wide-FOV close camera:
+    blocks mix full-span and clipped-short rays, the case where a
+    per-ray-only bound was provably unsound)."""
+    from raynet_tpu.inference.forward_pass import RayNetForwardPass
+    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
+
+    d = 24
+    grid = (16, 16, 64)
+    g = int(np.prod(grid))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    rng = np.random.RandomState(4)
+
+    geometries = [
+        (160.0, np.array([0.3, -0.2, -10.0])),  # narrow FOV, full span
+        (40.0, np.array([0.5, -0.3, -5.0])),    # wide FOV, silhouettes
+        (160.0, np.array([-0.3, 0.2, 10.0])),   # mirrored (flip)
+    ]
+    ran_any = False
+    for focal, c in geometries:
+        K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        P1 = K @ np.hstack([R, -R @ c.reshape(3, 1)])
+        P_pinv = np.linalg.pinv(P1)
+        bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
+        info = plan_bp_classes(
+            P_pinv, c, bbox, grid, H, W, d, M, gamma=GAMMA,
+            rays=256, min_rows_ratio=1.0, small_quantile=0.5,
+        )
+        if info is None:
+            continue
+        cl, cs, mask = (
+            info["cfg_large"], info["cfg_small"], info["small_mask"]
+        )
+        idxs = jnp.arange(H * W, dtype=jnp.int32)
+        perm, _ = tile_order(idxs, H)
+        base = np.asarray(idxs[perm])
+        if cs is not None:
+            new_idxs, nsb, ntot = (
+                RayNetForwardPass._reorder_blocks_by_class(
+                    base, mask, cl.rays, 512
+                )
+            )
+            segments = [
+                (cs, new_idxs[: nsb * 512]),
+                (cl, new_idxs[nsb * 512 :]),
+            ]
+        else:
+            segments = [(cl, base)]
+        for cfg, seg_idxs in segments:
+            if len(seg_idxs) == 0 or cfg.hat_window is None:
+                continue
+            ran_any = True
+            dec = np.where(seg_idxs < 0, -seg_idxs - 1, seg_idxs)
+            dirs = rays_from_pixel_idxs(
+                jnp.asarray(dec, jnp.int32),
+                jnp.asarray(P_pinv, jnp.float32),
+                jnp.asarray(c, jnp.float32), H,
+            )
+            s, e = rays_entry_exit_bbox(
+                dirs, jnp.asarray(c, jnp.float32),
+                jnp.asarray(bbox[:3]), jnp.asarray(bbox[3:]),
+            )
+            Sp = jnp.asarray(
+                rng.dirichlet(np.ones(d), size=len(dec)), jnp.float32
+            )
+            valid = jnp.asarray(seg_idxs >= 0, jnp.int32)
+            msgs0 = jnp.zeros((len(dec), cfg.slots), jnp.float32)
+            acc0 = jnp.full((g,), prior, jnp.float32)
+            _, _, ov = bp_beam_message_step(
+                s, e, valid, Sp, msgs0, acc0,
+                jnp.asarray(c, jnp.float32), jnp.asarray(bbox), cfg,
+                first_iteration=False, interpret=True,
+            )
+            assert float(ov.sum()) == 0.0, (
+                "guard tripped for a planner-assigned window: "
+                "focal=%s cfg=%r hw=%s" % (focal, cfg, cfg.hat_window)
+            )
+    assert ran_any, "no geometry produced a windowed class to exercise"
