@@ -6,6 +6,7 @@ and `depth_%03d.npy` outputs.
 """
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -89,13 +90,44 @@ def main(argv=None):
 
     start, end = args.start_end
     skip = args.skip_every + 1
-    for i, depth_map in zip(
-        range(start, end, skip),
-        fp.forward_pass(scene, (start, end, skip)),
-    ):
-        out = os.path.join(args.output_directory, "depth_%03d.npy" % (i,))
-        np.save(out, depth_map.astype(np.float32))
-        print("saved", out)
+
+    def run():
+        for i, depth_map in zip(
+            range(start, end, skip),
+            fp.forward_pass(scene, (start, end, skip)),
+        ):
+            out = os.path.join(
+                args.output_directory, "depth_%03d.npy" % (i,)
+            )
+            np.save(out, depth_map.astype(np.float32))
+            print("saved", out)
+
+    try:
+        run()
+    except RuntimeError as e:
+        # Strict-mode kernel planning trades NO exactness: a static
+        # box/slot/window the planner could not guarantee aborts the
+        # scene instead of producing garbage. Rescue at the user
+        # surface: retry the whole scene on the exact XLA path (the
+        # pallas planners' bounds are wrong for this geometry — a
+        # bug worth reporting, not a user-facing dead end).
+        if "planner invariant" not in str(e) and "overflowed" not in str(
+            e
+        ):
+            raise
+        print(
+            "WARNING: kernel planner invariant violated (%s); "
+            "retrying the scene on the exact XLA path" % (e,),
+            file=sys.stderr,
+        )
+        fp.bp_beam = "off"
+        if hasattr(fp, "_orch_cache"):
+            fp._orch_cache.clear()
+        if hasattr(fp, "_bp_cfg_cache"):
+            fp._bp_cfg_cache.clear()
+        if hasattr(fp, "_bp_class_cache"):
+            fp._bp_class_cache.clear()
+        run()
 
 
 if __name__ == "__main__":

@@ -219,3 +219,46 @@ def test_bench_scene_real_scan_dir(mock_scene_dir):
     assert res["images"] == 2
     assert res["rays"] == 2 * 36 * 48
     assert np.isfinite(res["value"]) and res["value"] > 0
+
+
+def test_forward_cli_rescues_planner_invariant_violation(
+    mock_scene_dir, tmp_path, monkeypatch, capsys
+):
+    """A strict-mode kernel abort (planner invariant violated) must not
+    be a user-facing dead end: the forward CLI retries the scene on the
+    exact XLA path and still writes correct depth maps."""
+    import raynet_tpu.inference.forward_pass as fpm
+
+    calls = {"n": 0}
+    orig = fpm.RayNetForwardPass.forward_pass
+
+    def flaky(self, scene, rng):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "kernel planner invariant violated (1 beam-slot or "
+                "banded-box overflows); the planned static shapes did "
+                "not cover this scene's rays"
+            )
+        assert self.bp_beam == "off"
+        return orig(self, scene, rng)
+
+    monkeypatch.setattr(fpm.RayNetForwardPass, "forward_pass", flaky)
+    fp_cli.main(
+        [
+            str(mock_scene_dir.parent), str(tmp_path),
+            "--scene_idx", "0",
+            "--forward_pass_factory", "raynet",
+            "--rays_batch", "700",
+            "--start_end", "0,2",
+            "--depth_planes", "8",
+            "--grid_shape", "12,12,12",
+            "--maximum_number_of_marched_voxels", "24",
+            "--patch_shape", "11,11,3",
+        ]
+    )
+    assert calls["n"] == 2
+    err = capsys.readouterr().err
+    assert "retrying the scene on the exact XLA path" in err
+    d0 = np.load(tmp_path / "depth_000.npy")
+    assert np.isfinite(d0).all() and (d0 > 0).any()
