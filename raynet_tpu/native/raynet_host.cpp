@@ -233,7 +233,21 @@ void bp_plan_stats(
           tdelta[a] = std::numeric_limits<double>::infinity();
         }
       }
-      // --- exact K: walk the S relative dominant slices
+      // --- exact K: walk the S relative dominant slices. Fast-path:
+      // every slice interval is at most td0 + 2*slack long, so
+      // 1 + sum_a (floor((td0 + 2*slack)/td_a) + 1) bounds any
+      // slice's emissions from above — when the bound cannot beat the
+      // block's best-so-far, the walk is provably redundant (the
+      // result is identical: skipped rays satisfy exact <= bound <=
+      // kmax). Most rays skip once kmax reaches the block's true max.
+      double kbound = 1.0;
+      for (int a = 1; a < 3; ++a) {
+        double c = (tdelta[0] + 2.0 * slack) / tdelta[a];
+        kbound += (std::isfinite(c) ? std::floor(c) : 0.0) + 1.0;
+      }
+      if (!std::isfinite(tdelta[0]))
+        kbound = std::numeric_limits<double>::infinity();
+      if (!std::isfinite(kbound) || (int)kbound > kmax) {
       double t_prev = 0.0;  // t_entry[0] = 0
       for (int j = 0; j < S; ++j) {
         double t_next = tmax[0] + (double)j * tdelta[0];
@@ -255,6 +269,7 @@ void bp_plan_stats(
         }
         if (std::isfinite(em) && (int)em > kmax) kmax = (int)em;
         t_prev = t_next;
+      }
       }
       // --- group-boundary lateral positions (clamped dominant lerp)
       double d0 = s3[0] / pb[0], d1 = e3[0] / pb[0];
