@@ -922,3 +922,39 @@ def test_hat_window_gate_guard_consistency():
                 "focal=%s cfg=%r hw=%s" % (focal, cfg, cfg.hat_window)
             )
     assert ran_any, "no geometry produced a windowed class to exercise"
+
+
+def test_planner_quality_bounds_at_canonical_rig():
+    """Loose quality bounds at a DTU-like frontal rig (full-res bench
+    geometry scaled down): the small class must stay snap-aware-tight
+    (rows well under the cover-all worst case) and hat-windowed, and
+    cover most blocks. Catches planner regressions that coarse
+    acceptance tests miss (e.g. losing snap-aware needs or window
+    planning) without pinning exact bucket values."""
+    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
+
+    h, w = 180, 320
+    K = np.array([[1100.0, 0, w / 2], [0, 1100.0, h / 2], [0, 0, 1]])
+    c = 16.0 * np.array([np.sin(-0.08), 0.0, -np.cos(-0.08)])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    pp = np.linalg.pinv(K @ np.hstack([R, -R @ c.reshape(3, 1)]))
+    info = plan_bp_classes(
+        pp, c, np.asarray([-3, -3, -3, 3, 3, 3], float),
+        (128, 128, 64), h, w, 32, 384, rays=512,
+    )
+    assert info is not None
+    cl, cs, mask = info["cfg_large"], info["cfg_small"], info["small_mask"]
+    # most blocks must run with a TIGHT windowed config: either the
+    # cover-all itself is tight (snap-aware needs keep it at ns=1 and
+    # few one-hot rows, no split required) or a small class covering
+    # >=50% of blocks is
+    eff = cs if cs is not None else cl
+    if cs is not None:
+        assert mask.mean() >= 0.5, float(mask.mean())
+    assert eff.rows <= 64, (eff.BA, eff.nstripe, eff.rows)
+    # full-segment frontal geometry: the effective class is hat-windowed
+    assert eff.hat_window is not None
