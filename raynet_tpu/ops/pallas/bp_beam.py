@@ -57,9 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 RAYS = 256  # rays per block (two 16x8 pixel tiles = a 16x16 block)
 # CAP on the hat-mapping score-window ladder (the planner picks the
 # smallest sufficient width from _HAT_LADDER up to this cap and bakes
-# it into BpBeamConfig.hat_window). None disables windowing globally
-# (A/B override).
-HAT_WINDOW = 48
+# it into BpBeamConfig.hat_window). None disables windowing globally.
+# DEFAULT None: the device A/B (tools/time_kernels.py, two independent
+# runs, 2026-08-18) measured the windowed walk ~5% SLOWER than the full
+# D-plane loop at bench geometry (9.61 vs 9.11 ms, 10.86 vs 10.43 ms) —
+# the 8-snapped dynamic sublane offset + runtime guard cost more than
+# the skipped planes save. Set to 48 to re-enable for A/Bs.
+HAT_WINDOW = None
 _EPS = 1e-2
 _FLT_MAX = 3.4028235e38
 _CLIP_S = 1e-5

@@ -739,6 +739,17 @@ def test_planner_rejects_inside_bbox_camera_cleanly():
     assert reason == "mixed-dominant-sign"
 
 
+@pytest.fixture
+def hat_window_on(monkeypatch):
+    """Force the hat-window planning knob ON (the shipped default is
+    None: the device A/B measured the windowed walk a ~5% net loss at
+    bench geometry) so the windowed kernel path and its planner/guard
+    stay covered."""
+    import raynet_tpu.ops.pallas.bp_beam as bp_beam
+
+    monkeypatch.setattr(bp_beam, "HAT_WINDOW", 48)
+
+
 def _hat_window_geom(focal, grid, d):
     """Narrow-FOV camera whose frustum passes fully through the bbox
     (every segment spans the grid) — the planner-enabled hat-window
@@ -777,7 +788,7 @@ def _rebuild_cfg(cfg, hat_window):
     return cfg.replace(hat_window=hat_window)
 
 
-def test_hat_window_matches_full_loop():
+def test_hat_window_matches_full_loop(hat_window_on):
     """The windowed hat mapping (static hat_window slice of the score
     table at an 8-snapped dynamic offset) must match the full D-loop:
     skipped planes have exactly-zero hat weight for every live slot and
@@ -814,7 +825,7 @@ def test_hat_window_matches_full_loop():
     assert (m_win != m_full).mean() < 0.005
 
 
-def test_hat_window_guard_catches_unsound_window():
+def test_hat_window_guard_catches_unsound_window(hat_window_on):
     """Clipped-short corner segments span many planes per chunk: the
     planner must DISABLE the window there, and a config that forces it
     anyway must trip the in-kernel per-lane overflow guard instead of
@@ -836,7 +847,7 @@ def test_hat_window_guard_catches_unsound_window():
     assert float(ov.sum()) > 0.0
 
 
-def test_hat_window_gate_guard_consistency():
+def test_hat_window_gate_guard_consistency(hat_window_on):
     """Adversarial gate-vs-guard consistency: wherever the PLANNER
     assigns a hat window (whole image or per class), RUNNING the kernel
     on that class's blocks must not trip the runtime coverage guard —
@@ -924,7 +935,7 @@ def test_hat_window_gate_guard_consistency():
     assert ran_any, "no geometry produced a windowed class to exercise"
 
 
-def test_planner_quality_bounds_at_canonical_rig():
+def test_planner_quality_bounds_at_canonical_rig(hat_window_on):
     """Loose quality bounds at a DTU-like frontal rig (full-res bench
     geometry scaled down): the small class must stay snap-aware-tight
     (rows well under the cover-all worst case) and hat-windowed, and
