@@ -221,10 +221,25 @@ def run_scene_benchmark(
     dtu_unique_images = 49 + gp.neighbors
 
     # Cold orchestration-plan cost (beam/band planning + ray argsorts +
-    # chunk commits), recorded during the warmup pass; like features it
-    # is paid once per scene and scales ~per ray — extrapolate it
-    # explicitly instead of hiding it in the warm-cache timed runs.
-    plan_s = fp.timer.totals.get("Orchestration plan (cold)", 0.0)
+    # chunk commits). The value recorded during the WARMUP pass is
+    # contaminated by one-time jit compiles (30-150 s each on the
+    # remote compiler) and first-dispatch inflation — measured 24 s/view
+    # at warmup vs 2.7 s/view re-primed at 720p. A real 49-view scene
+    # pays the compile once and the PLAN per view, so extrapolate from
+    # an explicit re-prime: clear every per-view plan cache (band specs,
+    # beam cfg/classes, orch plan) while jit + feature caches stay warm.
+    plan_warmup_s = fp.timer.totals.get("Orchestration plan (cold)", 0.0)
+    plan_s = float("inf")
+    for _ in range(2):
+        fp._band_cache.clear()
+        for name in ("_bp_cfg_cache", "_bp_class_cache", "_orch_cache"):
+            if hasattr(fp, name):
+                getattr(fp, name).clear()
+        before = fp.timer.totals.get("Orchestration plan (cold)", 0.0)
+        _ = list(fp.forward_pass(scene, (0, args.images, 1)))
+        after = fp.timer.totals.get("Orchestration plan (cold)", 0.0)
+        plan_s = min(plan_s, after - before)
+    # the re-prime left warm caches in place for any later passes
 
     rays_full = args.images * h * w
     valid = (
@@ -254,6 +269,7 @@ def run_scene_benchmark(
         "extrapolated_full_dtu_seconds": round(est_dtu, 1),
         "feature_set_seconds": round(feat_per_set, 3),
         "orchestration_plan_seconds": round(plan_s, 2),
+        "orchestration_plan_warmup_seconds": round(plan_warmup_s, 2),
         # feature cost scales per UNIQUE image x pixels (53 unique
         # images over DTU's 49 sequential view sets), not per ray;
         # plan cost scales per reference view x rays — both paid once

@@ -136,12 +136,20 @@ def rays_slab_t(directions, origins, bbox_min, bbox_max):
     return t_near, t_far
 
 
-def host_rays_entry_exit(ray_idxs, P_pinv, camera_center, bbox, height):
+def host_rays_entry_exit(ray_idxs, P_pinv, camera_center, bbox, height,
+                         dtype=np.float32):
     """Float64 host (numpy) evaluation of ray segments, for the strict
-    precision path and as the oracle for :func:`rays_from_pixel_idxs` +
-    :func:`rays_entry_exit_bbox`.
+    precision path, the beam/band PLANNERS (which consume f64 directly:
+    downloading the device f32 segments cost ~1.4 s/view through the
+    axon tunnel, and f32 rounding is orders of magnitude inside the
+    planners' +-2-cell jitter budgets), and as the oracle for
+    :func:`rays_from_pixel_idxs` + :func:`rays_entry_exit_bbox`.
 
-    Returns float32 (ray_start, ray_end) of shape (N, 3).
+    Miss semantics match the device op exactly: rays whose LINE misses
+    the box collapse to a zero-length segment at the mid-slab point
+    (zero direction components fall back to t = 0, the camera center).
+
+    Returns ``dtype`` (ray_start, ray_end) of shape (N, 3).
     """
     ray_idxs = np.asarray(ray_idxs)
     x = (ray_idxs // height).astype(np.float64)
@@ -161,6 +169,12 @@ def host_rays_entry_exit(ray_idxs, P_pinv, camera_center, bbox, height):
     near_mask = np.abs(t_near) < np.abs(t_far)
     t_near_actual = np.where(near_mask, t_near, t_far)
     t_far_actual = np.where(near_mask, t_far, t_near)
+    miss = t_near > t_far
+    with np.errstate(invalid="ignore"):
+        t_mid = 0.5 * (t_near + t_far)
+    t_mid = np.where(np.isfinite(t_mid), t_mid, 0.0)
+    t_near_actual = np.where(miss, t_mid, t_near_actual)
+    t_far_actual = np.where(miss, t_mid, t_far_actual)
     ray_start = cc[None] + t_near_actual[:, None] * directions
     ray_end = cc[None] + t_far_actual[:, None] * directions
-    return ray_start.astype(np.float32), ray_end.astype(np.float32)
+    return ray_start.astype(dtype), ray_end.astype(dtype)

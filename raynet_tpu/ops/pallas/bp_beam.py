@@ -77,19 +77,6 @@ _EPS_T = 1e-4
 
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _plan_segments(idxs, P_pinv, center, bbox, height):
-    """Planner-side ray segments. Module-level jit with ``idxs`` as an
-    ARGUMENT: a per-call closure would bake the (up to ~2M-row) index
-    array in as an HLO constant — a fresh remote compile carrying the
-    constant through the tunnel for every reference view (CLAUDE.md
-    dispatch rules)."""
-    from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
-
-    d = rays_from_pixel_idxs(idxs, P_pinv, center, height)
-    return rays_entry_exit_bbox(d, center, bbox[:3], bbox[3:])
-
-
 def _reject(reason, explain):
     return (None, reason) if explain else None
 
@@ -301,7 +288,8 @@ def _plan_prologue(
     segments, dominant axis + march direction over bbox-hitting rays,
     exact K, and the S%8/nb gates. Returns (state_dict, "ok") or
     (None, reason)."""
-    from .planesweep import tile_order
+    from .planesweep import tile_ids
+    from ..geometry import host_rays_entry_exit
 
     bbox = np.asarray(bbox, np.float64).reshape(6)
     grid_shape = tuple(int(g) for g in grid_shape)
@@ -317,34 +305,38 @@ def _plan_prologue(
             keep_idxs = np.concatenate(
                 [keep_idxs, np.full(pad, keep_idxs[-1], np.int32)]
             )
-        idxs = jnp.asarray(keep_idxs)
+        idxs = keep_idxs
     elif sample_stride is not None:
         # Sample whole TILE-ORDERED blocks (strided single rays would
         # fake blocks spanning many tiles and blow the box estimates).
-        all_idxs = jnp.arange(n, dtype=jnp.int32)
-        perm_t, _ = tile_order(all_idxs, height)
+        all_idxs = np.arange(n, dtype=np.int32)
+        perm_t = np.argsort(
+            tile_ids(all_idxs, height), kind="stable"
+        ).astype(np.int32)
         nblk = max(n // rays, 1)
         blocks = np.arange(0, nblk, sample_stride)
         keep = (blocks[:, None] * rays + np.arange(rays)[None]).reshape(-1)
         keep = keep[keep < n]
-        idxs = perm_t[jnp.asarray(keep, jnp.int32)]
+        idxs = perm_t[keep]
     else:
         # walk EVERY block exactly as the runtime forms them
-        all_idxs = jnp.arange(n, dtype=jnp.int32)
-        perm_t, _ = tile_order(all_idxs, height)
+        all_idxs = np.arange(n, dtype=np.int32)
+        perm_t = np.argsort(
+            tile_ids(all_idxs, height), kind="stable"
+        ).astype(np.int32)
         pad = (-n) % rays
         if pad:
-            perm_t = jnp.concatenate([perm_t, perm_t[-1:].repeat(pad)])
+            perm_t = np.concatenate([perm_t, np.repeat(perm_t[-1:], pad)])
         idxs = perm_t
 
-    s, e = _plan_segments(
-        idxs,
-        jnp.asarray(P_pinv, jnp.float32),
-        jnp.asarray(camera_center, jnp.float32),
-        jnp.asarray(bbox, jnp.float32),
-        height,
+    # Host f64 segments (exact miss-collapse parity with the device op):
+    # the planner used to dispatch the f32 segment program and download
+    # 22 MB/view through the axon tunnel (~1.4 s at 720p); numpy f64 is
+    # ~0.3 s and MORE precise — planner-f64 vs runtime-f32 divergence is
+    # already budgeted (+-2 cells) downstream.
+    s, e = host_rays_entry_exit(
+        idxs, P_pinv, camera_center, bbox, height, dtype=np.float64
     )
-    s, e = np.asarray(s, np.float64), np.asarray(e, np.float64)
     bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
     s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, rays)
     if flip is None:

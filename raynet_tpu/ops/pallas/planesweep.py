@@ -293,15 +293,9 @@ def _bucket(x, ladder):
     return ladder[-1]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("height", "width", "padding", "depth_planes")
-)
-def _plan_spans(chunk_idxs, P, P_pinv, center, bbox, height, width,
-                padding, depth_planes):
-    """Band-plan spans for one ray chunk. MODULE-LEVEL jit: a closure
-    jitted inside plan_band_specs is a fresh function object per view,
-    so every reference view re-traced (and remotely re-compiled) the
-    same program — 49 avoidable compiles per DTU scene."""
+def _plan_spans_body(chunk_idxs, P, P_pinv, center, bbox, height, width,
+                     padding, depth_planes):
+    """Band-plan spans for one ray chunk (trace-time body)."""
     from ..geometry import rays_from_pixel_idxs, rays_entry_exit_bbox
     from ..sampling import sample_points_along_segments
     from ..similarities import project_to_feature_idx
@@ -325,6 +319,41 @@ def _plan_spans(chunk_idxs, P, P_pinv, center, bbox, height, width,
     # through the axon tunnel); the spans are ~1000x smaller
     mins, maxs = compute_band_boxes(fidx, depth_planes)
     return maxs - mins
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "padding", "depth_planes")
+)
+def _plan_spans(chunk_idxs, P, P_pinv, center, bbox, height, width,
+                padding, depth_planes):
+    """Band-plan spans for one ray chunk. MODULE-LEVEL jit: a closure
+    jitted inside plan_band_specs is a fresh function object per view,
+    so every reference view re-traced (and remotely re-compiled) the
+    same program — 49 avoidable compiles per DTU scene."""
+    return _plan_spans_body(chunk_idxs, P, P_pinv, center, bbox,
+                            height, width, padding, depth_planes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "padding", "depth_planes")
+)
+def _plan_spans_max(chunk_idxs, P, P_pinv, center, bbox, height, width,
+                    padding, depth_planes):
+    """Whole-view band spans in ONE dispatch: ``lax.map`` over
+    (n_chunks, chunk_rays) ray chunks bounds device memory to a single
+    chunk's projection intermediates, and the (NB, G, V, 2) spans
+    reduce to per-view (V, 2) maxima ON DEVICE. The previous per-chunk
+    dispatch+sync loop cost ~1.3 s/view at 720p through the axon
+    tunnel (15 chunks x ~80 ms dispatch/sync); this is one dispatch
+    and an 8-int download."""
+    def body(idxs):
+        return _plan_spans_body(
+            idxs, P, P_pinv, center, bbox, height, width, padding,
+            depth_planes,
+        )
+
+    spans = jax.lax.map(body, chunk_idxs)  # (n_chunks, NB, G, V, 2)
+    return spans.max(axis=(0, 1, 2))
 
 
 def plan_band_specs(
@@ -363,28 +392,34 @@ def plan_band_specs(
     n_tiles = perm.shape[0] // RAYS_PER_BLOCK
     perm = np.asarray(perm)
 
-    specs = None
     chunk_rays = chunk_tiles * RAYS_PER_BLOCK
-    for t0 in range(0, n_tiles, chunk_tiles):
-        sl = perm[t0 * RAYS_PER_BLOCK:(t0 + chunk_tiles) * RAYS_PER_BLOCK]
-        if len(sl) < chunk_rays:  # fixed chunk shape: one trace total
-            sl = np.concatenate(
-                [sl, np.repeat(sl[-1:], chunk_rays - len(sl))]
-            )
-        spans = np.asarray(
-            _plan_spans(
-                jnp.asarray(sl), P, P_pinv, camera_center, bbox,
-                height, width, padding, depth_planes,
-            )
+    # Pad the chunk COUNT to the full-image tile count so every view of
+    # an image size compiles ONE _plan_spans_max program (GT-filtered
+    # ray lists vary in length per view; a per-length chunk count would
+    # re-compile per view at 30-150 s each on the remote compiler).
+    # Pad rays repeat the last real ray — duplicates cannot extend a
+    # max-reduced span.
+    full_tiles = -(-(height * width) // RAYS_PER_BLOCK)
+    n_chunks = max(-(-full_tiles // chunk_tiles), -(-n_tiles // chunk_tiles))
+    idx2d = np.empty((n_chunks, chunk_rays), np.int32)
+    flat = perm
+    if len(flat) < n_chunks * chunk_rays:
+        flat = np.concatenate(
+            [flat, np.repeat(flat[-1:], n_chunks * chunk_rays - len(flat))]
         )
-        chunk_specs = _specs_from_spans(spans, pad)
-        if specs is None:
-            specs = list(chunk_specs)
-        else:
-            specs = [
-                (max(a[0], b[0]), max(a[1], b[1]))
-                for a, b in zip(specs, chunk_specs)
-            ]
+    idx2d[:] = flat.reshape(n_chunks, chunk_rays)
+    spans_max = np.asarray(
+        _plan_spans_max(
+            jnp.asarray(idx2d), P, P_pinv, camera_center, bbox,
+            height, width, padding, depth_planes,
+        )
+    )
+    specs = [
+        _spec_from_need(
+            int(spans_max[v, 0]) + 1 + pad, int(spans_max[v, 1]) + 1 + pad
+        )
+        for v in range(spans_max.shape[0])
+    ]
     if _specs_vmem_bytes(specs, depth_planes) > _VMEM_BUDGET:
         # wide-FOV geometry: the exact band boxes exceed the kernel's
         # scoped VMEM — this view keeps the XLA gather path
