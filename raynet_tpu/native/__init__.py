@@ -74,6 +74,25 @@ def get_lib():
         ]
         lib.bp_plan_stats.restype = None
 
+        lib.bp_plan_stats_raw.argtypes = [
+            f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, f64p, i32p, ctypes.c_int, f64p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i32p, i32p, i32p, i32p,
+        ]
+        lib.bp_plan_stats_raw.restype = None
+
+        lib.rays_entry_exit.argtypes = [
+            i32p, ctypes.c_int64, f64p, f64p, f64p, ctypes.c_int,
+            f64p, f64p,
+        ]
+        lib.rays_entry_exit.restype = None
+
+        lib.dom_sign_and_fill.argtypes = [
+            f64p, f64p, ctypes.c_int64, ctypes.c_int, f64p, i32p, i32p,
+        ]
+        lib.dom_sign_and_fill.restype = ctypes.c_int
+
         _lib = lib
     except Exception:
         _lib = None
@@ -134,6 +153,29 @@ def extract_patches(image, centers, patch_size):
     return out, inside
 
 
+def rays_entry_exit(ray_idxs, P_pinv, camera_center, bbox, height):
+    """Fused f64 pixel-ray / bbox slab segments (see raynet_host.cpp).
+
+    ``ray_idxs`` must be non-negative pixel ids (callers decode the
+    negative pad encoding first). Returns (ray_start, ray_end) (n, 3)
+    f64 — semantics identical to the numpy form in
+    ops.geometry.host_rays_entry_exit, including miss collapse.
+    """
+    lib = get_lib()
+    idxs = np.ascontiguousarray(ray_idxs, dtype=np.int32)
+    n = len(idxs)
+    out_s = np.empty((n, 3), dtype=np.float64)
+    out_e = np.empty((n, 3), dtype=np.float64)
+    lib.rays_entry_exit(
+        idxs, n,
+        np.ascontiguousarray(P_pinv, dtype=np.float64).reshape(4, 3),
+        np.ascontiguousarray(camera_center, dtype=np.float64).reshape(3),
+        np.ascontiguousarray(bbox, dtype=np.float64).reshape(6),
+        int(height), out_s, out_e,
+    )
+    return out_s, out_e
+
+
 def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):
     """Per-block beam-planner statistics (see raynet_host.cpp).
 
@@ -156,5 +198,61 @@ def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):
         st, en, n, int(rays), int(S), int(ngrp),
         np.ascontiguousarray(pbins, dtype=np.float64).reshape(3),
         float(slack), float(eps), k_blk, need_a, need_b, hat_cross,
+    )
+    return k_blk, need_a, need_b, hat_cross
+
+
+def dom_sign_and_fill(s, e, rays, bins3):
+    """Dominant axis + march direction + block-local miss fill, IN PLACE
+    on ``s``/``e`` (owned (n, 3) f64 C-contiguous arrays). Returns
+    (dom, flip, reason) matching ops.pallas.bp_beam._dom_sign_and_fill:
+    flip is None with reason "empty-rays"/"mixed-dominant-sign" on
+    rejection.
+    """
+    lib = get_lib()
+    assert s.dtype == np.float64 and s.flags.c_contiguous
+    assert e.dtype == np.float64 and e.flags.c_contiguous
+    dom = np.zeros((1,), np.int32)
+    flip = np.zeros((1,), np.int32)
+    code = lib.dom_sign_and_fill(
+        s, e, len(s), int(rays),
+        np.ascontiguousarray(bins3, dtype=np.float64).reshape(3),
+        dom, flip,
+    )
+    if code == 1:
+        return 0, None, "empty-rays"
+    if code == 2:
+        return int(dom[0]), None, "mixed-dominant-sign"
+    return int(dom[0]), bool(flip[0]), "ok"
+
+
+def bp_plan_stats_raw(s, e, rays, S, ngrp, pbins, perm, flip, bmin, ext,
+                      slack, eps):
+    """bp_plan_stats with the permute/flip/bbox-shift marshalling fused
+    into the C++ pass (no (n, 3) numpy temporaries — ~0.5 s per 720p
+    view on a single-core host).
+
+    ``s``/``e``: (n, 3) f64 ORIGINAL-axis camera-frame segment
+    endpoints; ``pbins`` is permuted (bins[perm]); ``bmin`` is the bbox
+    min in ORIGINAL axis order; ``ext`` = S * pbins[0]. Bit-identical
+    to marshalling on the Python side then calling bp_plan_stats.
+    """
+    lib = get_lib()
+    s = np.ascontiguousarray(s, dtype=np.float64)
+    e = np.ascontiguousarray(e, dtype=np.float64)
+    n = len(s)
+    nb = n // rays
+    k_blk = np.zeros((nb,), dtype=np.int32)
+    need_a = np.zeros((nb,), dtype=np.int32)
+    need_b = np.zeros((nb,), dtype=np.int32)
+    hat_cross = np.zeros((nb,), dtype=np.int32)
+    lib.bp_plan_stats_raw(
+        s, e, n, int(rays), int(S), int(ngrp),
+        np.ascontiguousarray(pbins, dtype=np.float64).reshape(3),
+        np.ascontiguousarray(perm, dtype=np.int32).reshape(3),
+        int(bool(flip)),
+        np.ascontiguousarray(bmin, dtype=np.float64).reshape(3),
+        float(ext), float(slack), float(eps),
+        k_blk, need_a, need_b, hat_cross,
     )
     return k_blk, need_a, need_b, hat_cross

@@ -200,9 +200,17 @@ int extract_patches(
 // Arithmetic mirrors the numpy forms exactly; build with
 // -ffp-contract=off so results are bit-identical.
 // ---------------------------------------------------------------------------
-void bp_plan_stats(
+// bp_plan_stats_raw additionally fuses the permute/flip/bbox-shift that
+// the Python wrapper used to do with numpy temporaries (~0.5 s per 720p
+// view on a single-core host): st/en are ORIGINAL-axis camera-frame f64
+// segment endpoints; perm (3 ints), bmin (3, original order), flip and
+// ext (= S * pb[0], the permuted dominant extent) apply per ray. The
+// arithmetic order matches the numpy marshalling exactly (shift, then
+// mirror), so results stay bit-identical to the pre-permuted form.
+void bp_plan_stats_raw(
     const double* st, const double* en, int64_t n, int rays, int S,
-    int ngrp, const double* pb, double slack, double eps,
+    int ngrp, const double* pb, const int32_t* perm, int flip,
+    const double* bmin, double ext, double slack, double eps,
     int32_t* k_blk, int32_t* need_a, int32_t* need_b,
     int32_t* hat_cross) {
   const int64_t nb = n / rays;
@@ -213,8 +221,15 @@ void bp_plan_stats(
     std::vector<double> lo_t(ngrp, 1e300), hi_t(ngrp, -1e300);
     int kmax = 1;
     for (int r = 0; r < rays; ++r) {
-      const double* s3 = st + (b * rays + r) * 3;
-      const double* e3 = en + (b * rays + r) * 3;
+      double s3[3], e3[3];
+      for (int a = 0; a < 3; ++a) {
+        s3[a] = st[(b * rays + r) * 3 + perm[a]] - bmin[perm[a]];
+        e3[a] = en[(b * rays + r) * 3 + perm[a]] - bmin[perm[a]];
+      }
+      if (flip) {
+        s3[0] = ext - s3[0];
+        e3[0] = ext - e3[0];
+      }
       double stepf[3], tmax[3], tdelta[3];
       for (int a = 0; a < 3; ++a) {
         double ray = e3[a] - s3[a];
@@ -326,6 +341,157 @@ void bp_plan_stats(
     k_blk[b] = kmax;
     need_a[b] = sa;
     need_b[b] = sb;
+  }
+}
+
+// Pre-permuted entry point (kept for the bit-parity tests): identity
+// perm, no flip, zero shift — subtracting 0.0 is exact, so this is
+// bit-identical to the raw form on already-marshalled inputs.
+void bp_plan_stats(
+    const double* st, const double* en, int64_t n, int rays, int S,
+    int ngrp, const double* pb, double slack, double eps,
+    int32_t* k_blk, int32_t* need_a, int32_t* need_b,
+    int32_t* hat_cross) {
+  const int32_t ident[3] = {0, 1, 2};
+  const double zero3[3] = {0.0, 0.0, 0.0};
+  bp_plan_stats_raw(st, en, n, rays, S, ngrp, pb, ident, 0, zero3, 0.0,
+                    slack, eps, k_blk, need_a, need_b, hat_cross);
+}
+
+// ---------------------------------------------------------------------------
+// Fused f64 pixel-ray / bbox slab segments (planner front half — see
+// ops/geometry.py host_rays_entry_exit, whose vectorized numpy form
+// builds ~25 (N, 3) f64 temporaries and measured 5.5 s per 720p view on
+// a single-core host; this loop is one cache-resident pass, ~60 ms).
+// Semantics are the numpy form's exactly, including its NaN rules:
+// numpy minimum/maximum PROPAGATE NaN (std::fmin/fmax ignore it), rays
+// whose LINE misses the box collapse to a zero-length segment at the
+// mid-slab point, and non-finite t_mid (parallel rays outside a slab)
+// falls back to t = 0 (the camera center). -ffp-contract=off keeps the
+// mul-add chains bit-comparable to numpy's.
+// ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// Dominant-axis/march-direction detection + block-local miss fill (see
+// ops/pallas/bp_beam.py _dom_sign_and_fill, whose numpy form costs ~3 s
+// per 720p view on a single-core host: two (N, 3) copies plus gather/
+// where passes). Operates IN PLACE on s/e. Returns 0 ok / 1 empty-rays /
+// 2 mixed-dominant-sign; dom_out is valid for codes 0 and 2, flip_out
+// for code 0. Semantics notes vs the numpy form: argmax of the hit-mean
+// equals argmax of the hit-sum (same denominator per axis); numpy's
+// where(hit, row, row_of_first_hit_in_block) fill reads ORIGINAL values,
+// and fill sources are always hit rows (never overwritten), so the
+// sequential in-place fill is equivalent.
+// ---------------------------------------------------------------------------
+int dom_sign_and_fill(
+    double* s, double* e, int64_t n, int rays, const double* bins3,
+    int32_t* dom_out, int32_t* flip_out) {
+  const int64_t nb = n / rays;
+  double sums[3] = {0.0, 0.0, 0.0};
+  int64_t pos[3] = {0, 0, 0}, neg[3] = {0, 0, 0}, nhit = 0;
+#pragma omp parallel for schedule(static) \
+    reduction(+ : sums[:3], pos[:3], neg[:3], nhit)
+  for (int64_t i = 0; i < n; ++i) {
+    double r[3];
+    double asum = 0.0;
+    for (int a = 0; a < 3; ++a) {
+      r[a] = e[3 * i + a] - s[3 * i + a];
+      asum += std::fabs(r[a]);
+    }
+    if (!(asum > 0.0)) continue;
+    ++nhit;
+    for (int a = 0; a < 3; ++a) {
+      sums[a] += std::fabs(r[a]) / bins3[a];
+      if (r[a] > 0.0) ++pos[a];
+      if (r[a] < 0.0) ++neg[a];
+    }
+  }
+  if (nhit == 0) return 1;
+  int dom = 0;
+  for (int a = 1; a < 3; ++a)
+    if (sums[a] > sums[dom]) dom = a;  // numpy argmax: first max wins
+  *dom_out = dom;
+  if (pos[dom] == nhit)
+    *flip_out = 0;
+  else if (neg[dom] == nhit)
+    *flip_out = 1;
+  else
+    return 2;
+  if (nhit == n) return 0;
+  auto is_hit = [&](int64_t row) {
+    double asum = 0.0;
+    for (int a = 0; a < 3; ++a)
+      asum += std::fabs(e[3 * row + a] - s[3 * row + a]);
+    return asum > 0.0;
+  };
+  // global fallback source: first hit row overall (only used by blocks
+  // with no hit of their own; hit rows are never overwritten, so this
+  // stays valid while blocks fill in parallel)
+  int64_t gsrc = 0;
+  while (!is_hit(gsrc)) ++gsrc;  // nhit > 0 guarantees termination
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    int64_t src = -1;
+    for (int r = 0; r < rays; ++r)
+      if (is_hit(b * rays + r)) {
+        src = b * rays + r;
+        break;
+      }
+    if (src < 0) src = gsrc;
+    for (int r = 0; r < rays; ++r) {
+      int64_t row = b * rays + r;
+      if (row == src || is_hit(row)) continue;
+      for (int a = 0; a < 3; ++a) {
+        s[3 * row + a] = s[3 * src + a];
+        e[3 * row + a] = e[3 * src + a];
+      }
+    }
+  }
+  return 0;
+}
+
+static inline double min_nanprop(double a, double b) {
+  if (a != a || b != b) return std::numeric_limits<double>::quiet_NaN();
+  return a < b ? a : b;
+}
+static inline double max_nanprop(double a, double b) {
+  if (a != a || b != b) return std::numeric_limits<double>::quiet_NaN();
+  return a > b ? a : b;
+}
+
+void rays_entry_exit(
+    const int32_t* ray_idxs /* (n,) non-negative pixel ids */, int64_t n,
+    const double* P_pinv /* (4, 3) row-major */, const double* cc /* (3,) */,
+    const double* bbox /* (6,) min xyz, max xyz */, int height,
+    double* out_s /* (n, 3) */, double* out_e /* (n, 3) */) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const double x = (double)(ray_idxs[i] / height);
+    const double y = (double)(ray_idxs[i] % height);
+    double hom[4];
+    for (int j = 0; j < 4; ++j)
+      hom[j] = x * P_pinv[3 * j] + y * P_pinv[3 * j + 1] + P_pinv[3 * j + 2];
+    double dir[3], t_near = -std::numeric_limits<double>::infinity(),
+                   t_far = std::numeric_limits<double>::infinity();
+    for (int a = 0; a < 3; ++a) {
+      dir[a] = hom[a] / hom[3] - cc[a];
+      const double t1 = (bbox[a] - cc[a]) / dir[a];
+      const double t2 = (bbox[3 + a] - cc[a]) / dir[a];
+      t_near = max_nanprop(t_near, min_nanprop(t1, t2));
+      t_far = min_nanprop(t_far, max_nanprop(t1, t2));
+    }
+    const bool near_mask = std::fabs(t_near) < std::fabs(t_far);
+    double tna = near_mask ? t_near : t_far;
+    double tfa = near_mask ? t_far : t_near;
+    if (t_near > t_far) {  // line misses the box: mid-slab collapse
+      double t_mid = 0.5 * (t_near + t_far);
+      if (!std::isfinite(t_mid)) t_mid = 0.0;
+      tna = t_mid;
+      tfa = t_mid;
+    }
+    for (int a = 0; a < 3; ++a) {
+      out_s[3 * i + a] = cc[a] + tna * dir[a];
+      out_e[3 * i + a] = cc[a] + tfa * dir[a];
+    }
   }
 }
 

@@ -126,3 +126,95 @@ def test_bp_plan_stats_matches_numpy_planner():
             s, e, bbox, bins, perm, S, S // 8, rays=256, flip=flip
         )
         np.testing.assert_array_equal(stats[3], hc)
+
+
+def test_native_rays_entry_exit_matches_numpy():
+    """The fused C++ slab-segment pass must agree with the numpy oracle
+    to ~1 ulp (BLAS dgemm orders the 3-term pixel unprojection mul-adds
+    differently, so bit-equality is not guaranteed) — including LINE
+    misses, which must collapse to a zero-length mid-slab segment."""
+    from raynet_tpu.ops.geometry import _host_rays_entry_exit_numpy
+
+    h, w = 96, 128
+    K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]])
+    c = 16.0 * np.array([np.sin(0.3), 0.1, -np.cos(0.3)])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    pp = np.linalg.pinv(K @ np.hstack([R, -R @ c.reshape(3, 1)]))
+    idxs = np.arange(h * w, dtype=np.int32)
+
+    for bbox in (
+        np.array([-3, -3, -3, 3, 3, 3], float),  # hit
+        np.array([100, 100, 100, 106, 106, 106], float),  # all miss
+    ):
+        s_n, e_n = native.rays_entry_exit(idxs, pp, c, bbox, h)
+        s_o, e_o = _host_rays_entry_exit_numpy(
+            idxs, pp, c, bbox, h, np.float64
+        )
+        np.testing.assert_allclose(s_n, s_o, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(e_n, e_o, rtol=1e-12, atol=1e-12)
+        # zero-length collapse for misses must be EXACT (planners drop
+        # miss rays by testing end - start == 0)
+        miss = np.all(s_o == e_o, axis=1)
+        assert np.array_equal(
+            np.all(s_n == e_n, axis=1), miss
+        )
+
+
+def test_native_dom_sign_and_fill_matches_numpy():
+    """The native in-place dominant-axis/miss-fill pass must reproduce
+    the numpy form exactly: same dom/flip/reason, same filled segments
+    (fill sources are the first hit row of each block)."""
+    import raynet_tpu.ops.pallas.bp_beam as bb
+
+    rng = np.random.RandomState(3)
+    rays = 8
+    bins = np.array([0.05, 0.04, 0.08])
+    # Blocks: all-hit, mixed hit/miss, all-miss (fills from global first
+    # hit). Hit rays march +dom; misses are zero-length rows.
+    def seg(hit, n):
+        s = rng.randn(n, 3)
+        if hit:
+            e = s + np.abs(rng.randn(n, 3)) * [3.0, 0.5, 0.5]
+        else:
+            e = s.copy()
+        return s, e
+
+    parts_s, parts_e = [], []
+    for kind in ("hit", "mix", "miss"):
+        s, e = seg(kind != "miss", rays)
+        if kind == "mix":
+            e[1::2] = s[1::2]  # alternate rows miss
+        parts_s.append(s)
+        parts_e.append(e)
+    s = np.ascontiguousarray(np.concatenate(parts_s))
+    e = np.ascontiguousarray(np.concatenate(parts_e))
+
+    s_o, e_o, dom_o, flip_o, r_o = bb._dom_sign_and_fill_numpy(
+        s.copy(), e.copy(), bins, rays
+    )
+    s_n, e_n = s.copy(), e.copy()
+    dom_n, flip_n, r_n = native.dom_sign_and_fill(s_n, e_n, rays, bins)
+    assert (dom_n, flip_n, r_n) == (dom_o, flip_o, r_o)
+    np.testing.assert_array_equal(s_n, s_o)
+    np.testing.assert_array_equal(e_n, e_o)
+
+    # mixed dominant signs among hitting rays must reject identically
+    e2 = e.copy()
+    e2[0] = s[0] - (e[0] - s[0])
+    s_m, e_m = s.copy(), e2.copy()
+    _, flip_m, r_m = native.dom_sign_and_fill(s_m, e_m, rays, bins)
+    _, _, _, flip_mo, r_mo = bb._dom_sign_and_fill_numpy(
+        s.copy(), e2.copy(), bins, rays
+    )
+    assert flip_m is None and flip_mo is None and r_m == r_mo
+
+    # empty (all-miss) input
+    z = np.ascontiguousarray(np.tile(s[:rays], (1, 1)))
+    _, flip_e, r_e = native.dom_sign_and_fill(
+        z.copy(), z.copy(), rays, bins
+    )
+    assert flip_e is None and r_e == "empty-rays"
