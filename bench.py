@@ -23,6 +23,7 @@ every timed function takes its inputs as arguments and the loop materializes
 a device-side scalar reduction per iteration.
 """
 import json
+import os
 import sys
 import time
 
@@ -97,6 +98,17 @@ def main():
     from raynet_tpu.ops.pallas.planesweep import plan_band_specs
 
     on_tpu = jax.default_backend() != "cpu"
+
+    # Wall-clock budget (VERDICT r3 #1: the r3 run was killed at rc=124
+    # with the headline metric still unprinted). Every scene variant
+    # checks the remaining budget before starting; the headline
+    # orchestrated variant runs FIRST and its metric is re-emitted as the
+    # final line so the driver's parsed result is always the headline.
+    t_bench0 = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    def budget_left():
+        return budget_s - (time.perf_counter() - t_bench0)
 
     h, w = 360, 640
     n_views, depth_planes, padding, feat_dim = 5, 32, 11, 32
@@ -259,10 +271,14 @@ def main():
         ROUND1_MESSAGE_STEP_MS / msg_ms,
     )
 
+    # Single-step extrapolation (message kernel x sweep count only; no
+    # features/planning/downloads). Named for what it is — the honest
+    # end-to-end number is dtu_scene_orchestrated_s below (VERDICT r3
+    # weak #7: two "DTU seconds" metrics that disagree by construction).
     dtu_batches = 49 * 1600 * 1200 / rays_batch
     dtu_s = 4 * (msg_ms / 1e3) * dtu_batches
     emit(
-        "dtu_scene_extrapolated_s", dtu_s, "s", DTU_SCENE_TARGET_S / dtu_s
+        "message_step_extrapolated_s", dtu_s, "s", DTU_SCENE_TARGET_S / dtu_s
     )
 
     # -------------------------- 4. on-device kernel-vs-XLA value agreement
@@ -401,77 +417,46 @@ def main():
     emit("planner_acceptance", acc / tot, "fraction", acc / tot)
 
     # ----------------- 5. full ORCHESTRATED scene (RayNetForwardPass) ----
-    # Emitted last so earlier metrics survive any time budget; this is the
-    # honest end-to-end number (features, batching, message storage, all 4
-    # sweeps) rather than the single-step extrapolation above.
-    # Ordering: the headline dtu_scene_orchestrated_s is emitted LAST (the
-    # driver's "parsed" result is the final JSON line); each variant is
-    # guarded separately so a late failure cannot erase earlier metrics.
+    # VERDICT r3 #1 ordering: the headline orchestrated variant runs FIRST
+    # and emits dtu_scene_orchestrated_s IMMEDIATELY (the r3 run was
+    # killed mid-diagnostics with the headline unprinted). Diagnostics
+    # (GT-masked, host-staged) run after, each gated on remaining budget;
+    # the headline is re-emitted as the FINAL line so the driver's parsed
+    # result is the headline whenever it was captured at all.
     if on_tpu:
         from bench_scene import run_scene_benchmark
 
-        # host-staged variant: the full-DTU SINGLE-CHIP storage
-        # story (store exceeds HBM; f16 stage per image-sweep).
-        # NOTE: on this platform the host<->device link is a remote
-        # tunnel measured at ~50-430 MB/s, so this metric is
-        # TRANSFER-bound and reflects the link, not the design; the
-        # companion bandwidth metric makes that legible (a local
-        # PCIe host moves the same bytes 30-100x faster).
+        # (a) link-bandwidth probe: the host-staged diagnostic is
+        # TRANSFER-bound, and on a degraded tunnel (0.036 GB/s observed
+        # r3 vs ~0.43 typical) it burns the whole driver budget. One
+        # ~32 MB round trip measures the link up front.
+        link_gbps = 0.0
         try:
-            res_hs = run_scene_benchmark(
-                images=2, height=720, width=1280, focal=2200.0,
-                host_staged=True,
-            )
-            emit(
-                "dtu_scene_host_staged_s",
-                res_hs["extrapolated_full_dtu_seconds"], "s",
-                DTU_SCENE_TARGET_S
-                / res_hs["extrapolated_full_dtu_seconds"],
-            )
-            if "staged_gbytes" in res_hs and res_hs.get("value"):
-                gbps = res_hs["staged_gbytes"] / res_hs["value"]
-                emit(
-                    "host_staged_link_gb_per_s", round(gbps, 3),
-                    "GB/s", gbps / 8.0,  # vs ~8 GB/s local PCIe3 x8
-                )
+            probe_np = np.zeros((32 << 20,), np.uint8)
+            jax.device_put(probe_np[: 1 << 16])  # warm the transfer path
+            t0 = time.perf_counter()
+            dev = jax.device_put(probe_np)
+            float(dev[::65536].astype(jnp.float32).sum())  # commit + sync
+            up_s = time.perf_counter() - t0
+            link_gbps = probe_np.nbytes / up_s / 1e9
+            del dev
         except Exception as e:
-            print("host-staged scene bench failed: %r" % (e,),
-                  file=sys.stderr)
-        # GT-masked variant: only rays with ground truth are
-        # predicted (DTU's ObsMask/GT filter keeps ~50-70%); this is
-        # how the reference pipeline is actually evaluated
+            print("link probe failed: %r" % (e,), file=sys.stderr)
+        emit("link_gb_per_s", round(link_gbps, 3), "GB/s", link_gbps / 0.43)
+
+        headline = None
+
+        # (b) HEADLINE: DTU-realistic geometry (megapixel images, focal
+        # ~2.2x width — the 180x320 tracker over-estimates DTU 3x).
         try:
             res = run_scene_benchmark(
                 images=2, height=720, width=1280, focal=2200.0,
-                filter_rays=True,
+                repeats=4 if budget_left() > 900 else 2,
             )
-            if "accuracy_mean_dist" in res:
-                # scene-scale metric-path regression guards: mean
-                # cloud-to-cloud distances on the synthetic scene (GT is
-                # the z=0 quad; bin size 0.047 at this grid)
-                emit(
-                    "scene_accuracy_mean_dist",
-                    res["accuracy_mean_dist"], "world units",
-                    res["accuracy_mean_dist"],
-                )
-                emit(
-                    "scene_completeness_mean_dist",
-                    res["completeness_mean_dist"], "world units",
-                    res["completeness_mean_dist"],
-                )
+            headline = res["extrapolated_full_dtu_seconds"]
             emit(
-                "dtu_scene_gt_masked_s",
-                res["extrapolated_full_dtu_seconds"], "s",
-                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
-            )
-        except Exception as e:
-            print("GT-masked scene bench failed: %r" % (e,), file=sys.stderr)
-        # DTU-realistic geometry: megapixel images, focal ~2.2x width
-        # (the 180x320 tracker over-estimates DTU 3x — per-image
-        # overheads do not amortize at 57k rays/image)
-        try:
-            res = run_scene_benchmark(
-                images=2, height=720, width=1280, focal=2200.0
+                "dtu_scene_orchestrated_s", headline, "s",
+                DTU_SCENE_TARGET_S / headline,
             )
             emit(
                 "raynet_scene_rays_per_second",
@@ -486,20 +471,92 @@ def main():
                 0.65 / max(res["feature_set_seconds"], 1e-9),
             )
             # scene wall-clock INCLUDING 49 cold view-set feature
-            # computations (the warm-cache number below amortizes them)
+            # computations (the warm-cache headline amortizes them)
             emit(
                 "dtu_scene_cold_features_s",
                 res["extrapolated_full_dtu_cold_seconds"], "s",
                 DTU_SCENE_TARGET_S
                 / res["extrapolated_full_dtu_cold_seconds"],
             )
-            emit(
-                "dtu_scene_orchestrated_s",
-                res["extrapolated_full_dtu_seconds"], "s",
-                DTU_SCENE_TARGET_S / res["extrapolated_full_dtu_seconds"],
-            )
         except Exception as e:
             print("scene benchmark failed: %r" % (e,), file=sys.stderr)
+
+        # (c) GT-masked variant: only rays with ground truth are
+        # predicted (DTU's ObsMask/GT filter keeps ~50-70%); this is how
+        # the reference pipeline is actually evaluated. Also carries the
+        # scene-scale accuracy/completeness regression guards.
+        if budget_left() > 300:
+            try:
+                res = run_scene_benchmark(
+                    images=2, height=720, width=1280, focal=2200.0,
+                    filter_rays=True, repeats=2, measure_cold=False,
+                )
+                if "accuracy_mean_dist" in res:
+                    # mean cloud-to-cloud distances on the synthetic
+                    # scene (GT is the z=0 quad; bin 0.047 at this grid)
+                    emit(
+                        "scene_accuracy_mean_dist",
+                        res["accuracy_mean_dist"], "world units",
+                        res["accuracy_mean_dist"],
+                    )
+                    emit(
+                        "scene_completeness_mean_dist",
+                        res["completeness_mean_dist"], "world units",
+                        res["completeness_mean_dist"],
+                    )
+                emit(
+                    "dtu_scene_gt_masked_s",
+                    res["extrapolated_full_dtu_seconds"], "s",
+                    DTU_SCENE_TARGET_S
+                    / res["extrapolated_full_dtu_seconds"],
+                )
+            except Exception as e:
+                print("GT-masked scene bench failed: %r" % (e,),
+                      file=sys.stderr)
+        else:
+            print("GT-masked variant skipped: %.0f s budget left"
+                  % budget_left(), file=sys.stderr)
+
+        # (d) host-staged variant: the full-DTU SINGLE-CHIP storage story
+        # (store exceeds HBM; f16 stage per image-sweep). It is a LINK
+        # diagnostic, not a design metric — on a degraded tunnel it took
+        # 1334 s of message passing at r3 and killed the run. Skip it
+        # unless the link is healthy AND the budget allows.
+        if link_gbps >= 0.1 and budget_left() > 300:
+            try:
+                res_hs = run_scene_benchmark(
+                    images=2, height=720, width=1280, focal=2200.0,
+                    host_staged=True, repeats=2, measure_cold=False,
+                )
+                emit(
+                    "dtu_scene_host_staged_s",
+                    res_hs["extrapolated_full_dtu_seconds"], "s",
+                    DTU_SCENE_TARGET_S
+                    / res_hs["extrapolated_full_dtu_seconds"],
+                )
+                if "staged_gbytes" in res_hs and res_hs.get("value"):
+                    gbps = res_hs["staged_gbytes"] / res_hs["value"]
+                    emit(
+                        "host_staged_link_gb_per_s", round(gbps, 3),
+                        "GB/s", gbps / 8.0,  # vs ~8 GB/s local PCIe3 x8
+                    )
+            except Exception as e:
+                print("host-staged scene bench failed: %r" % (e,),
+                      file=sys.stderr)
+        else:
+            print(
+                "host-staged variant skipped: link %.3f GB/s, %.0f s "
+                "budget left" % (link_gbps, budget_left()),
+                file=sys.stderr,
+            )
+
+        # (e) re-emit the headline as the final JSON line (the driver
+        # parses the last line).
+        if headline is not None:
+            emit(
+                "dtu_scene_orchestrated_s", headline, "s",
+                DTU_SCENE_TARGET_S / headline,
+            )
 
 
 if __name__ == "__main__":

@@ -359,18 +359,6 @@ void bp_plan_stats(
 }
 
 // ---------------------------------------------------------------------------
-// Fused f64 pixel-ray / bbox slab segments (planner front half — see
-// ops/geometry.py host_rays_entry_exit, whose vectorized numpy form
-// builds ~25 (N, 3) f64 temporaries and measured 5.5 s per 720p view on
-// a single-core host; this loop is one cache-resident pass, ~60 ms).
-// Semantics are the numpy form's exactly, including its NaN rules:
-// numpy minimum/maximum PROPAGATE NaN (std::fmin/fmax ignore it), rays
-// whose LINE misses the box collapse to a zero-length segment at the
-// mid-slab point, and non-finite t_mid (parallel rays outside a slab)
-// falls back to t = 0 (the camera center). -ffp-contract=off keeps the
-// mul-add chains bit-comparable to numpy's.
-// ---------------------------------------------------------------------------
-// ---------------------------------------------------------------------------
 // Dominant-axis/march-direction detection + block-local miss fill (see
 // ops/pallas/bp_beam.py _dom_sign_and_fill, whose numpy form costs ~3 s
 // per 720p view on a single-core host: two (N, 3) copies plus gather/
@@ -386,25 +374,41 @@ int dom_sign_and_fill(
     double* s, double* e, int64_t n, int rays, const double* bins3,
     int32_t* dom_out, int32_t* flip_out) {
   const int64_t nb = n / rays;
-  double sums[3] = {0.0, 0.0, 0.0};
+  // dom selection sums |r|/bins in FP: an OpenMP scalar reduction would
+  // make the accumulation order (and so, at near-tie rigs like 45-deg
+  // diagonals, the argmax) depend on the thread count — a different
+  // (still valid) plan per machine costs 30-150 s remote recompiles.
+  // Accumulate per fixed-size chunk in parallel, then reduce the chunk
+  // sums SEQUENTIALLY in chunk order: bit-stable for any thread count.
+  // pos/neg/nhit are integer counts — order-independent either way.
+  const int64_t CHUNK = 65536;
+  const int64_t nchunk = (n + CHUNK - 1) / CHUNK;
+  std::vector<double> partial(3 * nchunk, 0.0);
   int64_t pos[3] = {0, 0, 0}, neg[3] = {0, 0, 0}, nhit = 0;
-#pragma omp parallel for schedule(static) \
-    reduction(+ : sums[:3], pos[:3], neg[:3], nhit)
-  for (int64_t i = 0; i < n; ++i) {
-    double r[3];
-    double asum = 0.0;
-    for (int a = 0; a < 3; ++a) {
-      r[a] = e[3 * i + a] - s[3 * i + a];
-      asum += std::fabs(r[a]);
+#pragma omp parallel for schedule(static) reduction(+ : pos[:3], neg[:3], nhit)
+  for (int64_t c = 0; c < nchunk; ++c) {
+    const int64_t lo = c * CHUNK, hi = std::min(n, lo + CHUNK);
+    double csums[3] = {0.0, 0.0, 0.0};
+    for (int64_t i = lo; i < hi; ++i) {
+      double r[3];
+      double asum = 0.0;
+      for (int a = 0; a < 3; ++a) {
+        r[a] = e[3 * i + a] - s[3 * i + a];
+        asum += std::fabs(r[a]);
+      }
+      if (!(asum > 0.0)) continue;
+      ++nhit;
+      for (int a = 0; a < 3; ++a) {
+        csums[a] += std::fabs(r[a]) / bins3[a];
+        if (r[a] > 0.0) ++pos[a];
+        if (r[a] < 0.0) ++neg[a];
+      }
     }
-    if (!(asum > 0.0)) continue;
-    ++nhit;
-    for (int a = 0; a < 3; ++a) {
-      sums[a] += std::fabs(r[a]) / bins3[a];
-      if (r[a] > 0.0) ++pos[a];
-      if (r[a] < 0.0) ++neg[a];
-    }
+    for (int a = 0; a < 3; ++a) partial[3 * c + a] = csums[a];
   }
+  double sums[3] = {0.0, 0.0, 0.0};
+  for (int64_t c = 0; c < nchunk; ++c)
+    for (int a = 0; a < 3; ++a) sums[a] += partial[3 * c + a];
   if (nhit == 0) return 1;
   int dom = 0;
   for (int a = 1; a < 3; ++a)
@@ -449,6 +453,18 @@ int dom_sign_and_fill(
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Fused f64 pixel-ray / bbox slab segments (planner front half — see
+// ops/geometry.py host_rays_entry_exit, whose vectorized numpy form
+// builds ~25 (N, 3) f64 temporaries and measured 5.5 s per 720p view on
+// a single-core host; this loop is one cache-resident pass, ~60 ms).
+// Semantics are the numpy form's exactly, including its NaN rules:
+// numpy minimum/maximum PROPAGATE NaN (std::fmin/fmax ignore it), rays
+// whose LINE misses the box collapse to a zero-length segment at the
+// mid-slab point, and non-finite t_mid (parallel rays outside a slab)
+// falls back to t = 0 (the camera center). -ffp-contract=off keeps the
+// mul-add chains bit-comparable to numpy's.
+// ---------------------------------------------------------------------------
 static inline double min_nanprop(double a, double b) {
   if (a != a || b != b) return std::numeric_limits<double>::quiet_NaN();
   return a < b ? a : b;

@@ -94,16 +94,21 @@ def _dom_sign_and_fill(s, e, bins, rays):
 
     Returns (s, e, dom, flip, reason) — flip None when rejected, with
     reason "empty-rays" (nothing hits) or "mixed-dominant-sign"
-    (genuinely mixed signs among hitting rays).
+    (genuinely mixed signs among hitting rays). CONSUMES s/e: the native
+    path fills them in place; always use the returned arrays.
     """
     # Native in-place pass when available: the numpy form below costs
     # ~3 s per 720p view on a single-core host (two (N, 3) f64 copies
-    # plus gather/where passes). Callers own s/e (fresh from
-    # host_rays_entry_exit), so mutating a copy-on-demand is safe.
+    # plus gather/where passes). CONTRACT: this function CONSUMES s/e —
+    # the native path mutates them in place (the numpy fallback returns
+    # fresh arrays); callers must treat their s/e as dead after the call
+    # and use only the returned arrays (_plan_prologue passes fresh
+    # arrays from host_rays_entry_exit and does exactly that).
     if (
         isinstance(s, np.ndarray)
         and s.dtype == np.float64
         and s.flags.c_contiguous
+        and isinstance(e, np.ndarray)
         and e.dtype == np.float64
         and e.flags.c_contiguous
     ):
