@@ -70,17 +70,9 @@ def _coalesce_bp_cfgs(cfgs_by_image):
         groups.setdefault(key, []).append(c)
     unified = {}
     for key, cs in groups.items():
-        # the hat window coalesces like every other field: take the
-        # WIDEST (a narrower window than an image planned would trip
-        # its runtime coverage guard); any image needing the full loop
-        # disables it for the whole (one-compilation) group
-        hat_ws = [c.hat_window for c in cs]
         u = cs[0].replace(
             K=max(c.K for c in cs), BA=max(c.BA for c in cs),
             nstripe=max(c.nstripe for c in cs),
-            hat_window=(
-                None if any(w is None for w in hat_ws) else max(hat_ws)
-            ),
         )
         for c in cs:
             unified[id(c)] = u

@@ -70,7 +70,7 @@ def get_lib():
         lib.bp_plan_stats.argtypes = [
             f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, f64p, ctypes.c_double, ctypes.c_double,
-            i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p,
         ]
         lib.bp_plan_stats.restype = None
 
@@ -78,7 +78,7 @@ def get_lib():
             f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, f64p, i32p, ctypes.c_int, f64p,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p,
         ]
         lib.bp_plan_stats_raw.restype = None
 
@@ -181,9 +181,8 @@ def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):
 
     ``st``/``en``: (n, 3) f64 PERMUTED, flip-applied, bbox-min-relative
     segment endpoints, n a multiple of ``rays``. Returns per-block
-    int32 arrays of length n // rays: (k_max, need_a, need_b,
-    hat_cross) — snap-aware box needs plus the cross-ray segment-t
-    window per 8-slice group (x1e6, ceil).
+    int32 arrays of length n // rays: (k_max, need_a, need_b) —
+    max slice emissions plus snap-aware lateral box needs.
     """
     lib = get_lib()
     st = np.ascontiguousarray(st, dtype=np.float64)
@@ -193,13 +192,12 @@ def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):
     k_blk = np.zeros((nb,), dtype=np.int32)
     need_a = np.zeros((nb,), dtype=np.int32)
     need_b = np.zeros((nb,), dtype=np.int32)
-    hat_cross = np.zeros((nb,), dtype=np.int32)
     lib.bp_plan_stats(
         st, en, n, int(rays), int(S), int(ngrp),
         np.ascontiguousarray(pbins, dtype=np.float64).reshape(3),
-        float(slack), float(eps), k_blk, need_a, need_b, hat_cross,
+        float(slack), float(eps), k_blk, need_a, need_b,
     )
-    return k_blk, need_a, need_b, hat_cross
+    return k_blk, need_a, need_b
 
 
 def dom_sign_and_fill(s, e, rays, bins3):
@@ -245,7 +243,6 @@ def bp_plan_stats_raw(s, e, rays, S, ngrp, pbins, perm, flip, bmin, ext,
     k_blk = np.zeros((nb,), dtype=np.int32)
     need_a = np.zeros((nb,), dtype=np.int32)
     need_b = np.zeros((nb,), dtype=np.int32)
-    hat_cross = np.zeros((nb,), dtype=np.int32)
     lib.bp_plan_stats_raw(
         s, e, n, int(rays), int(S), int(ngrp),
         np.ascontiguousarray(pbins, dtype=np.float64).reshape(3),
@@ -253,6 +250,6 @@ def bp_plan_stats_raw(s, e, rays, S, ngrp, pbins, perm, flip, bmin, ext,
         int(bool(flip)),
         np.ascontiguousarray(bmin, dtype=np.float64).reshape(3),
         float(ext), float(slack), float(eps),
-        k_blk, need_a, need_b, hat_cross,
+        k_blk, need_a, need_b,
     )
-    return k_blk, need_a, need_b, hat_cross
+    return k_blk, need_a, need_b

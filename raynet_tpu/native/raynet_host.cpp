@@ -191,12 +191,6 @@ int extract_patches(
 //           lateral lerp positions (runtime origin = snap8(min - 1);
 //           +-2 budgets the planner-f64 vs runtime-f32 jitter)
 //   need_b: same with 128-cell stripe snapping (cells, not stripes)
-//   hat_cross: max over 8-slice groups of the CROSS-RAY segment-t
-//           window (max over group-overlapping rays of t at boundary
-//           g+1 minus min of t at boundary g) — the kernel's hat
-//           window base is a single block-wide min per chunk, so its
-//           coverage must budget ray-to-ray entry-depth spread, not
-//           just each ray's own span (x1e6, rounded up, as int32)
 // Arithmetic mirrors the numpy forms exactly; build with
 // -ffp-contract=off so results are bit-identical.
 // ---------------------------------------------------------------------------
@@ -211,14 +205,12 @@ void bp_plan_stats_raw(
     const double* st, const double* en, int64_t n, int rays, int S,
     int ngrp, const double* pb, const int32_t* perm, int flip,
     const double* bmin, double ext, double slack, double eps,
-    int32_t* k_blk, int32_t* need_a, int32_t* need_b,
-    int32_t* hat_cross) {
+    int32_t* k_blk, int32_t* need_a, int32_t* need_b) {
   const int64_t nb = n / rays;
 #pragma omp parallel for schedule(static)
   for (int64_t b = 0; b < nb; ++b) {
     std::vector<double> lo_a(ngrp, 1e300), hi_a(ngrp, -1e300);
     std::vector<double> lo_b(ngrp, 1e300), hi_b(ngrp, -1e300);
-    std::vector<double> lo_t(ngrp, 1e300), hi_t(ngrp, -1e300);
     int kmax = 1;
     for (int r = 0; r < rays; ++r) {
       double s3[3], e3[3];
@@ -293,23 +285,13 @@ void bp_plan_stats_raw(
       double inv = 1.0 / denom;
       double a0 = s3[1] / pb[1], da = e3[1] / pb[1] - a0;
       double b0 = s3[2] / pb[2], db = e3[2] / pb[2] - b0;
-      double pa_prev = 0.0, pb_prev = 0.0, t_prev_b = 0.0;
+      double pa_prev = 0.0, pb_prev = 0.0;
       for (int g = 0; g <= ngrp; ++g) {
         double t = ((double)g * 8.0 - d0) * inv;
         if (t < 0.0) t = 0.0;
         if (t > 1.0) t = 1.0;
         double pa = a0 + t * da;
         double pbv = b0 + t * db;
-        if (g > 0) {
-          // cross-ray t window of group g-1: only rays whose dominant
-          // span overlaps the group (others clamp to an endpoint and
-          // would inflate the window with irrelevant values)
-          double glo = (double)(g - 1) * 8.0, ghi = (double)g * 8.0;
-          if (d1 >= glo && d0 <= ghi) {
-            if (t_prev_b < lo_t[g - 1]) lo_t[g - 1] = t_prev_b;
-            if (t > hi_t[g - 1]) hi_t[g - 1] = t;
-          }
-        }
         if (g > 0) {
           double la = std::floor(std::min(pa_prev, pa));
           double ha = std::floor(std::max(pa_prev, pa));
@@ -322,15 +304,8 @@ void bp_plan_stats_raw(
         }
         pa_prev = pa;
         pb_prev = pbv;
-        t_prev_b = t;
       }
     }
-    double hc = 0.0;
-    for (int g = 0; g < ngrp; ++g) {
-      if (hi_t[g] > lo_t[g] && hi_t[g] - lo_t[g] > hc)
-        hc = hi_t[g] - lo_t[g];
-    }
-    hat_cross[b] = (int32_t)std::ceil(hc * 1e6);
     int sa = 0, sb = 0;
     for (int g = 0; g < ngrp; ++g) {
       double a0 = 8.0 * std::floor((lo_a[g] - 3.0) / 8.0);
@@ -350,12 +325,11 @@ void bp_plan_stats_raw(
 void bp_plan_stats(
     const double* st, const double* en, int64_t n, int rays, int S,
     int ngrp, const double* pb, double slack, double eps,
-    int32_t* k_blk, int32_t* need_a, int32_t* need_b,
-    int32_t* hat_cross) {
+    int32_t* k_blk, int32_t* need_a, int32_t* need_b) {
   const int32_t ident[3] = {0, 1, 2};
   const double zero3[3] = {0.0, 0.0, 0.0};
   bp_plan_stats_raw(st, en, n, rays, S, ngrp, pb, ident, 0, zero3, 0.0,
-                    slack, eps, k_blk, need_a, need_b, hat_cross);
+                    slack, eps, k_blk, need_a, need_b);
 }
 
 // ---------------------------------------------------------------------------

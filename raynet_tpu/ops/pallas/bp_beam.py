@@ -55,15 +55,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAYS = 256  # rays per block (two 16x8 pixel tiles = a 16x16 block)
-# CAP on the hat-mapping score-window ladder (the planner picks the
-# smallest sufficient width from _HAT_LADDER up to this cap and bakes
-# it into BpBeamConfig.hat_window). None disables windowing globally.
-# DEFAULT None: the device A/B (tools/time_kernels.py, two independent
-# runs, 2026-08-18) measured the windowed walk ~5% SLOWER than the full
-# D-plane loop at bench geometry (9.61 vs 9.11 ms, 10.86 vs 10.43 ms) —
-# the 8-snapped dynamic sublane offset + runtime guard cost more than
-# the skipped planes save. Set to 48 to re-enable for A/Bs.
-HAT_WINDOW = None
+# NOTE: a "windowed hat mapping" (walk a planned score window instead of
+# all D planes in the hat pass) was built, device-A/B'd in rounds 3-4,
+# and REMOVED: three independent v5e runs measured the windowed walk
+# ~5-6% SLOWER than the full D-plane loop at bench geometry (9.61 vs
+# 9.11, 10.86 vs 10.43, 11.10 vs 10.44 ms) — the 8-snapped dynamic
+# sublane offset + runtime coverage guard cost more than the skipped
+# planes save. See git history (HAT_WINDOW) if depth_planes ever grows
+# far beyond 32, where the trade could flip.
 _EPS = 1e-2
 _FLT_MAX = 3.4028235e38
 _CLIP_S = 1e-5
@@ -155,105 +154,12 @@ def _dom_sign_and_fill_numpy(s, e, bins, rays):
     return s, e, dom, flip, "ok"
 
 
-def hat_window_for_span(span_planes, depth_planes, window=None):
-    """Smallest ladder window covering ``span_planes`` (+ snap/floor
-    slack), capped at ``window`` (default HAT_WINDOW's cap), or None
-    (full D loop)."""
-    cap = HAT_WINDOW if window is None else window
-    D = int(depth_planes)
-    if cap is None or D % 8 != 0:
-        return None
-    for w in _HAT_LADDER:
-        if w > cap or w >= D:
-            return None  # capped out / full loop at least as cheap
-        if span_planes + 9.0 <= w:
-            return int(w)
-    return None
-
-
-_HAT_LADDER = (16, 24, 32, 48)
-
-
-def _hat_cross_per_block(s, e, bbox, bins, perm, S, ngrp, rays=RAYS,
-                         flip=False, chunk_blocks=2048):
-    """numpy fallback for the native hat_cross output: per-block max
-    over 8-slice groups of the CROSS-RAY segment-t window (x1e6, ceil).
-    The kernel's hat-window base is one block-wide min per chunk, so
-    coverage must budget ray-to-ray entry-depth spread — a block mixing
-    a full-span ray with a late-entering silhouette-clipped ray has an
-    unbounded per-chunk t window even though each ray's own span is
-    tiny."""
-    nb = len(s) // rays
-    out = []
-    for b0 in range(0, nb, chunk_blocks):
-        nbc = min(chunk_blocks, nb - b0)
-        sl = slice(b0 * rays, (b0 + nbc) * rays)
-        c0 = s[sl][:, perm[0]] - bbox[perm[0]]
-        c1 = e[sl][:, perm[0]] - bbox[perm[0]]
-        if flip:
-            ext = S * bins[perm[0]]
-            c0 = ext - c0
-            c1 = ext - c1
-        d0 = c0 / bins[perm[0]]
-        d1 = c1 / bins[perm[0]]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            inv = 1.0 / np.maximum(d1 - d0, 1e-9)
-        gb = np.arange(ngrp + 1, dtype=np.float64)[None] * 8.0
-        t = np.clip((gb - d0[:, None]) * inv[:, None], 0.0, 1.0)
-        q = (d1[:, None] >= gb[:, :-1]) & (d0[:, None] <= gb[:, 1:])
-        tlo = np.where(q, t[:, :-1], np.inf).reshape(
-            nbc, rays, ngrp
-        ).min(axis=1)
-        thi = np.where(q, t[:, 1:], -np.inf).reshape(
-            nbc, rays, ngrp
-        ).max(axis=1)
-        cross = np.where(thi > tlo, thi - tlo, 0.0).max(axis=1)
-        out.append(np.ceil(cross * 1e6).astype(np.int32))
-    return np.concatenate(out)
-
-
-def _hat_need_per_block(st, k, depth_planes, rays):
-    """Per-block hat-window need in PLANES: the cross-ray per-group t
-    window (the chunk's shared dlo must cover every live ray — a live
-    slot's position always projects between the group's boundary
-    params, accumulated lateral steps included) plus a HALF-CELL
-    projection margin (the hat t is the CELL-CENTER param; the center
-    sits within half a cell of the position). None when windowing is
-    disabled (HAT_WINDOW) or structurally unavailable (the kernel's
-    dynamic sublane slice needs D % 8 == 0). Gate-vs-guard consistency
-    is tested adversarially (silhouette-straddling blocks) in
-    tests/test_bp_beam.py."""
-    if HAT_WINDOW is None or int(depth_planes) % 8 != 0:
-        return None
-    s, e = st["s"], st["e"]
-    ray = np.asarray(e, np.float64) - np.asarray(s, np.float64)
-    len2 = (ray * ray).sum(axis=1)
-    ok = len2 > 0
-    if not ok.any():
-        return None
-    ts_sum = np.zeros(len(ray))
-    ts_sum[ok] = (
-        np.abs(ray[ok]) * np.asarray(st["bins"], np.float64)[None]
-    ).sum(axis=1) / len2[ok]
-    nb = st["nb"]
-    halfcell = 0.5 * ts_sum[: nb * rays].reshape(nb, rays).max(axis=1)
-    halfcell = halfcell * (int(depth_planes) - 1)
-    if st["block_stats"] is not None:
-        cross = st["block_stats"][3].astype(np.float64) / 1e6
-    else:
-        cross = _hat_cross_per_block(
-            st["s"], st["e"], st["bbox"], st["bins"], st["perm"],
-            st["S"], st["S"] // 8, rays=rays, flip=st["flip"],
-        ).astype(np.float64) / 1e6
-    return cross * (int(depth_planes) - 1) + halfcell
-
-
 class BpBeamConfig:
     """Static per-image-geometry kernel configuration (hashable)."""
 
     def __init__(self, perm, S, A, B, K, BA, nstripe, depth_planes,
                  max_voxels, bins, prior, grid_shape, flip=False,
-                 rays=RAYS, hat_window=None):
+                 rays=RAYS):
         self.perm = perm  # permuted axis order, perm[0] = dominant
         self.flip = flip  # dominant axis mirrored (negative ray sign)
         self.S, self.A, self.B = S, A, B
@@ -264,7 +170,6 @@ class BpBeamConfig:
         self.prior = prior
         self.grid_shape = grid_shape  # original order
         self.rays = rays  # rays per kernel block
-        self.hat_window = hat_window  # None -> full D hat loop
         self.slots = S * K
         self.Bg = -(-B // 128)
         self.rows = BA * nstripe  # one-hot rows per slice box
@@ -273,7 +178,7 @@ class BpBeamConfig:
         return (self.perm, self.S, self.A, self.B, self.K, self.BA,
                 self.nstripe, self.depth_planes, self.max_voxels,
                 self.bins, self.prior, self.grid_shape, self.flip,
-                self.rays, self.hat_window)
+                self.rays)
 
     def replace(self, **kw):
         """Copy with named fields overridden — the single construction
@@ -284,7 +189,7 @@ class BpBeamConfig:
             BA=self.BA, nstripe=self.nstripe,
             depth_planes=self.depth_planes, max_voxels=self.max_voxels,
             bins=self.bins, prior=self.prior, grid_shape=self.grid_shape,
-            flip=self.flip, rays=self.rays, hat_window=self.hat_window,
+            flip=self.flip, rays=self.rays,
         )
         args.update(kw)
         return BpBeamConfig(
@@ -292,7 +197,6 @@ class BpBeamConfig:
             args["BA"], args["nstripe"], args["depth_planes"],
             args["max_voxels"], args["bins"], args["prior"],
             args["grid_shape"], flip=args["flip"], rays=args["rays"],
-            hat_window=args["hat_window"],
         )
 
     def __hash__(self):
@@ -458,15 +362,10 @@ def plan_bp_config(
         return _reject("nstripe-cap", explain)
 
     prior = float(np.log(gamma) - np.log(1.0 - gamma))
-    hat_need = _hat_need_per_block(st, k, depth_planes, rays)
     cfg = BpBeamConfig(
         perm, S, A, B, k, ba, nstripe, int(depth_planes), int(max_voxels),
         tuple(float(b) for b in bins[list(perm)]), prior, grid_shape,
         flip=flip, rays=rays,
-        hat_window=(
-            hat_window_for_span(float(hat_need.max()), depth_planes)
-            if hat_need is not None else None
-        ),
     )
     return (cfg, "ok") if explain else cfg
 
@@ -539,47 +438,23 @@ def plan_bp_classes(
 
     prior = float(np.log(gamma) - np.log(1.0 - gamma))
 
-    # Per-BLOCK hat-window needs: the hat pass walks a score window
-    # instead of all D planes, but clipped-short segments (fast-moving
-    # t per cell) and blocks with large CROSS-RAY entry spread need
-    # wide windows — per-image gating would let a few corner blocks
-    # disable it everywhere (measured: every DTU-like rig disabled).
-    # Per-block needs route interior blocks to a windowed class.
-    hat_need = _hat_need_per_block(st, k, depth_planes, rays)
-
-    def window_for(mask=None):
-        if hat_need is None:
-            return None
-        sel = hat_need if mask is None else hat_need[mask]
-        if len(sel) == 0:
-            return None
-        return hat_window_for_span(float(sel.max()), depth_planes)
-
-    def make_cfg(ba, ns, hat_w):
+    def make_cfg(ba, ns):
         return BpBeamConfig(
             perm, S, A, B, k, ba, ns, int(depth_planes),
             int(max_voxels),
             tuple(float(b) for b in bins[list(perm)]), prior,
-            grid_shape, flip=flip, rays=rays, hat_window=hat_w,
+            grid_shape, flip=flip, rays=rays,
         )
 
-    cfg_large = make_cfg(ba_large, ns_large, window_for())
+    cfg_large = make_cfg(ba_large, ns_large)
     # min_rows_ratio: the split costs one extra dispatch per (image,
     # sweep) plus a second compiled variant; measured on v5e (ring rig,
     # (16,2) small vs (24,2) large, 97% small) a 1.5x row ratio LOSES
     # ~12% scene time — the gather/scatter dots have large fixed costs
     # at these box sizes. Only split when the cover-all box is >2.6x
-    # the small class's rows (oblique rigs: (24,2) vs (192,2) = 8x) —
-    # or when the split buys the SMALL class a hat window at least 8
-    # planes tighter than the cover-all's (the hat pass is the largest
-    # single term of the kernel; see docs/performance.md).
+    # the small class's rows (oblique rigs: (24,2) vs (192,2) = 8x).
     ba_small = bucketize(int(np.quantile(ba_need, small_quantile)))
     ns_small = int(np.quantile(ns_need, small_quantile))
-    w_large_planes = (
-        cfg_large.hat_window
-        if cfg_large.hat_window is not None
-        else int(depth_planes)
-    )
     rows_split = (
         ba_small is not None
         and ba_large * ns_large >= min_rows_ratio * ba_small * ns_small
@@ -587,65 +462,14 @@ def plan_bp_classes(
     )
     if rows_split:
         box_mask = (ba_need <= ba_small) & (ns_need <= ns_small)
-        if box_mask.mean() < 0.25:  # not worth a second compilation;
-            rows_split = False      # a window-only split may still pay
+        if box_mask.mean() < 0.25:  # not worth a second compilation
+            rows_split = False
     if rows_split:
-        small_mask = box_mask
-        w_small = window_for(box_mask)
-        # A single clipped-short-segment block inside the box-small mask
-        # disables the whole class's hat window; shedding the
-        # window-unsafe blocks to the large class costs them a bigger
-        # box but halves the hat loop for everyone else — take the
-        # trade when it loses <=20% of the small class.
-        if hat_need is not None:
-            base_w = (
-                w_small if w_small is not None else int(depth_planes)
-            )
-            for w_cand in _HAT_LADDER:
-                if (
-                    w_cand > HAT_WINDOW
-                    or w_cand >= base_w
-                    or base_w - w_cand < 8
-                ):
-                    continue
-                mask2 = box_mask & (hat_need + 9.0 <= w_cand)
-                if (
-                    mask2.mean() >= 0.25
-                    and box_mask.mean() - mask2.mean() <= 0.2
-                ):
-                    small_mask, w_small = mask2, int(w_cand)
-                    break  # ladder ascends: the first hit is tightest
         return dict(
             cfg_large=cfg_large,
-            cfg_small=make_cfg(ba_small, ns_small, w_small),
-            small_mask=small_mask,
+            cfg_small=make_cfg(ba_small, ns_small),
+            small_mask=box_mask,
         )
-    # Window-only split: same (cover-all) box for both classes, but
-    # blocks whose rays fit a ladder window at least 8 planes tighter
-    # than the cover-all's scan it instead of the full D loop. Pick the
-    # ladder width maximizing expected savings (covered fraction x
-    # planes skipped).
-    if hat_need is not None:
-        best = None
-        for w_cand in _HAT_LADDER:
-            if (
-                w_cand > HAT_WINDOW
-                or w_cand >= int(depth_planes)
-                or w_large_planes - w_cand < 8
-            ):
-                continue
-            mask_cand = hat_need + 9.0 <= w_cand
-            frac = float(mask_cand.mean())
-            save = frac * (w_large_planes - w_cand)
-            if frac >= 0.25 and (best is None or save > best[0]):
-                best = (save, int(w_cand), mask_cand)
-        if best is not None:
-            _, w_cand, mask_cand = best
-            return dict(
-                cfg_large=cfg_large,
-                cfg_small=make_cfg(ba_large, ns_large, w_cand),
-                small_mask=mask_cand,
-            )
     return dict(cfg_large=cfg_large, cfg_small=None, small_mask=None)
 
 
@@ -1075,68 +899,25 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     # (planes_to_voxels normalizes raw hats; mrf.clip_and_renorm clips
     # the NORMALIZED distribution and renormalizes). Clipping the raw
     # values diverges up to ~total_raw x on low-probability voxels.
-    #
-    # Windowed evaluation: a chunk's 8 slots are one k of 8 CONSECUTIVE
-    # dominant slices, so their live t values span a few depth planes
-    # (~2 at production D=32, S=128, full-length segments) while the
-    # naive loop walks all D. Slice a static cfg.hat_window of the score
-    # table at an 8-snapped dynamic offset (Mosaic: dynamic sublane
-    # offsets must be 8-aligned) and walk only the window: the skipped
-    # planes have hat weight EXACTLY zero for every live slot, and
-    # adding exact zeros in f32 is order-free — the only residual
-    # difference vs the full loop is the compiler's FMA contraction
-    # choices across the two program shapes (~1 ulp on rare lanes,
-    # bounded in test_hat_window_matches_full_loop). The PLANNER
-    # enables the window
-    # only when the worst ray's per-chunk t-span provably fits
-    # (_hat_need_per_block, f64; clipped-short segments and cross-ray
-    # entry spread disable it); the
-    # per-lane guard below rides the overflow abort as backstop. Dead
-    # slots (cell < 0) are excluded from the bound and masked from sv.
-    hat_w = cfg.hat_window
-    use_window = hat_w is not None
-
-    def hat_chunk(c, carry):
-        total, hovf = carry
+    # (A windowed variant that walked a planned score window instead of
+    # all D planes was removed after three device A/Bs measured it a
+    # ~5% net loss — see the module-header note.)
+    def hat_chunk(c, total):
         tt = t_scr[_ds8(c * 8, 8)]
         cc = cell_scr[_ds8(c * 8, 8)]
         ts = tt * scale
         sv = jnp.zeros((8, RAYS), jnp.float32)
-        if use_window:
-            live = cc >= 0
-            dmin = jnp.min(jnp.where(live, ts, jnp.float32(D - 1)))
-            dlo = jnp.clip(
-                (jnp.floor(dmin).astype(jnp.int32) // 8) * 8,
-                0, D - hat_w,
-            )
-            hi = (dlo + (hat_w - 1)).astype(jnp.float32)
-            hovf = hovf + (
-                jnp.where(live, ts, 0.0) > hi
-            ).astype(jnp.int32).max(axis=0, keepdims=True)
-            sp_win = sp_ref[0, pl.ds(pl.multiple_of(dlo, 8), hat_w)]
-            # subtract the exact plane index (dlo + j is a small int,
-            # exact in f32): pre-subtracting dlo from ts would round
-            # differently than the full loop's ts - d
-            for j in range(hat_w):
-                d_f = (dlo + j).astype(jnp.float32)
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(ts - d_f))
-                sv = sv + jnp.broadcast_to(
-                    sp_win[j : j + 1], (8, RAYS)
-                ) * w
-        else:
-            for d in range(D):
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(ts - d))
-                sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
+        for d in range(D):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(ts - d))
+            sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
         sv = jnp.where(cc >= 0, sv, 0.0)
         sv_scr[_ds8(c * 8, 8)] = sv
-        return total + sv.sum(axis=0, keepdims=True), hovf
+        return total + sv.sum(axis=0, keepdims=True)
 
-    total_raw, hat_ovf = jax.lax.fori_loop(
+    total_raw = jax.lax.fori_loop(
         0, cfg.slots // 8, hat_chunk,
-        (jnp.zeros((1, RAYS), jnp.float32),
-         jnp.zeros((1, RAYS), jnp.int32)),
+        jnp.zeros((1, RAYS), jnp.float32),
     )
-    overflow = overflow + hat_ovf
     inv_raw = jnp.where(total_raw > 1e-30, 1.0 / total_raw, 0.0)
 
 

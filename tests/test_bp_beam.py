@@ -739,209 +739,13 @@ def test_planner_rejects_inside_bbox_camera_cleanly():
     assert reason == "mixed-dominant-sign"
 
 
-@pytest.fixture
-def hat_window_on(monkeypatch):
-    """Force the hat-window planning knob ON (the shipped default is
-    None: the device A/B measured the windowed walk a ~5% net loss at
-    bench geometry) so the windowed kernel path and its planner/guard
-    stay covered."""
-    import raynet_tpu.ops.pallas.bp_beam as bp_beam
-
-    monkeypatch.setattr(bp_beam, "HAT_WINDOW", 48)
-
-
-def _hat_window_geom(focal, grid, d):
-    """Narrow-FOV camera whose frustum passes fully through the bbox
-    (every segment spans the grid) — the planner-enabled hat-window
-    regime — or a wide-FOV one with clipped-short corner segments."""
-    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
-    c = np.array([0.3, -0.2, -10.0])
-    z = -c / np.linalg.norm(c)
-    x = np.cross([0, 1, 0], z)
-    x /= np.linalg.norm(x)
-    y = np.cross(z, x)
-    R = np.stack([x, y, z])
-    P1 = K @ np.hstack([R, -R @ c.reshape(3, 1)])
-    P_pinv = np.linalg.pinv(P1)
-    bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
-    idxs = jnp.arange(H * W, dtype=jnp.int32)
-    perm, _ = tile_order(idxs, H)
-    idxs = idxs[perm]
-    dirs = rays_from_pixel_idxs(
-        idxs, jnp.asarray(P_pinv, jnp.float32),
-        jnp.asarray(c, jnp.float32), H,
-    )
-    s, e = rays_entry_exit_bbox(
-        dirs, jnp.asarray(c, jnp.float32),
-        jnp.asarray(bbox[:3]), jnp.asarray(bbox[3:]),
-    )
-    rng = np.random.RandomState(2)
-    Sp = jnp.asarray(rng.dirichlet(np.ones(d), size=H * W), jnp.float32)
-    cfg = plan_bp_config(
-        P_pinv, c, bbox, grid, H, W, d, M, gamma=GAMMA, sample_stride=1
-    )
-    assert cfg is not None
-    return s, e, Sp, cfg, jnp.asarray(c, jnp.float32), jnp.asarray(bbox)
-
-
-def _rebuild_cfg(cfg, hat_window):
-    return cfg.replace(hat_window=hat_window)
-
-
-def test_hat_window_matches_full_loop(hat_window_on):
-    """The windowed hat mapping (static hat_window slice of the score
-    table at an 8-snapped dynamic offset) must match the full D-loop:
-    skipped planes have exactly-zero hat weight for every live slot and
-    adding exact zeros is order-free in f32 — the only tolerated
-    residual is the compiler's FMA contraction differing between the
-    two program shapes (~1 ulp on rare lanes; measured 216/196608
-    elements at <=6e-7 on CPU interpret)."""
-    d = 24
-    # S=128: a group's 8 slices span ~1.4 planes + small cross-ray
-    # spread — provably inside the 16-plane window
-    s, e, Sp, cfg, c, bbox = _hat_window_geom(160.0, (16, 16, 128), d)
-    # the planner must ENABLE the window at this full-segment geometry
-    assert cfg.hat_window == 16, cfg.hat_window
-
-    g = int(np.prod((16, 16, 128)))
-    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
-    acc0 = jnp.full((g,), prior, jnp.float32)
-    msgs0 = jnp.zeros((H * W, cfg.slots), jnp.float32)
-    valid = jnp.ones((H * W,), jnp.int32)
-
-    def run(cfg_):
-        m, sc, ov = bp_beam_message_step(
-            s, e, valid, Sp, msgs0, acc0, c, bbox, cfg_,
-            first_iteration=False, interpret=True,
-        )
-        assert float(ov.sum()) == 0.0
-        return np.asarray(m), np.asarray(sc)
-
-    m_win, s_win = run(cfg)
-    m_full, s_full = run(_rebuild_cfg(cfg, None))
-    np.testing.assert_allclose(m_win, m_full, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(s_win, s_full, rtol=1e-5, atol=1e-5)
-    # and the differences must be RARE (missing hat mass would be wide)
-    assert (m_win != m_full).mean() < 0.005
-
-
-def test_hat_window_guard_catches_unsound_window(hat_window_on):
-    """Clipped-short corner segments span many planes per chunk: the
-    planner must DISABLE the window there, and a config that forces it
-    anyway must trip the in-kernel per-lane overflow guard instead of
-    silently dropping hat mass."""
-    d = 24
-    s, e, Sp, cfg, c, bbox = _hat_window_geom(40.0, (16, 16, 32), d)
-    assert cfg.hat_window is None  # planner says unsound
-
-    g = int(np.prod((16, 16, 32)))
-    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
-    acc0 = jnp.full((g,), prior, jnp.float32)
-    msgs0 = jnp.zeros((H * W, cfg.slots), jnp.float32)
-    valid = jnp.ones((H * W,), jnp.int32)
-    _, _, ov = bp_beam_message_step(
-        s, e, valid, Sp, msgs0, acc0, c, bbox,
-        _rebuild_cfg(cfg, 16),
-        first_iteration=False, interpret=True,
-    )
-    assert float(ov.sum()) > 0.0
-
-
-def test_hat_window_gate_guard_consistency(hat_window_on):
-    """Adversarial gate-vs-guard consistency: wherever the PLANNER
-    assigns a hat window (whole image or per class), RUNNING the kernel
-    on that class's blocks must not trip the runtime coverage guard —
-    including silhouette-straddling geometry (wide-FOV close camera:
-    blocks mix full-span and clipped-short rays, the case where a
-    per-ray-only bound was provably unsound)."""
-    from raynet_tpu.inference.forward_pass import RayNetForwardPass
-    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
-
-    d = 24
-    grid = (16, 16, 64)
-    g = int(np.prod(grid))
-    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
-    rng = np.random.RandomState(4)
-
-    geometries = [
-        (160.0, np.array([0.3, -0.2, -10.0])),  # narrow FOV, full span
-        (40.0, np.array([0.5, -0.3, -5.0])),    # wide FOV, silhouettes
-        (160.0, np.array([-0.3, 0.2, 10.0])),   # mirrored (flip)
-    ]
-    ran_any = False
-    for focal, c in geometries:
-        K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
-        z = -c / np.linalg.norm(c)
-        x = np.cross([0, 1, 0], z)
-        x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        R = np.stack([x, y, z])
-        P1 = K @ np.hstack([R, -R @ c.reshape(3, 1)])
-        P_pinv = np.linalg.pinv(P1)
-        bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
-        info = plan_bp_classes(
-            P_pinv, c, bbox, grid, H, W, d, M, gamma=GAMMA,
-            rays=256, min_rows_ratio=1.0, small_quantile=0.5,
-        )
-        if info is None:
-            continue
-        cl, cs, mask = (
-            info["cfg_large"], info["cfg_small"], info["small_mask"]
-        )
-        idxs = jnp.arange(H * W, dtype=jnp.int32)
-        perm, _ = tile_order(idxs, H)
-        base = np.asarray(idxs[perm])
-        if cs is not None:
-            new_idxs, nsb, ntot = (
-                RayNetForwardPass._reorder_blocks_by_class(
-                    base, mask, cl.rays, 512
-                )
-            )
-            segments = [
-                (cs, new_idxs[: nsb * 512]),
-                (cl, new_idxs[nsb * 512 :]),
-            ]
-        else:
-            segments = [(cl, base)]
-        for cfg, seg_idxs in segments:
-            if len(seg_idxs) == 0 or cfg.hat_window is None:
-                continue
-            ran_any = True
-            dec = np.where(seg_idxs < 0, -seg_idxs - 1, seg_idxs)
-            dirs = rays_from_pixel_idxs(
-                jnp.asarray(dec, jnp.int32),
-                jnp.asarray(P_pinv, jnp.float32),
-                jnp.asarray(c, jnp.float32), H,
-            )
-            s, e = rays_entry_exit_bbox(
-                dirs, jnp.asarray(c, jnp.float32),
-                jnp.asarray(bbox[:3]), jnp.asarray(bbox[3:]),
-            )
-            Sp = jnp.asarray(
-                rng.dirichlet(np.ones(d), size=len(dec)), jnp.float32
-            )
-            valid = jnp.asarray(seg_idxs >= 0, jnp.int32)
-            msgs0 = jnp.zeros((len(dec), cfg.slots), jnp.float32)
-            acc0 = jnp.full((g,), prior, jnp.float32)
-            _, _, ov = bp_beam_message_step(
-                s, e, valid, Sp, msgs0, acc0,
-                jnp.asarray(c, jnp.float32), jnp.asarray(bbox), cfg,
-                first_iteration=False, interpret=True,
-            )
-            assert float(ov.sum()) == 0.0, (
-                "guard tripped for a planner-assigned window: "
-                "focal=%s cfg=%r hw=%s" % (focal, cfg, cfg.hat_window)
-            )
-    assert ran_any, "no geometry produced a windowed class to exercise"
-
-
-def test_planner_quality_bounds_at_canonical_rig(hat_window_on):
+def test_planner_quality_bounds_at_canonical_rig():
     """Loose quality bounds at a DTU-like frontal rig (full-res bench
     geometry scaled down): the small class must stay snap-aware-tight
-    (rows well under the cover-all worst case) and hat-windowed, and
-    cover most blocks. Catches planner regressions that coarse
-    acceptance tests miss (e.g. losing snap-aware needs or window
-    planning) without pinning exact bucket values."""
+    (rows well under the cover-all worst case) and cover most blocks.
+    Catches planner regressions that coarse acceptance tests miss
+    (e.g. losing snap-aware needs) without pinning exact bucket
+    values."""
     from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
 
     h, w = 180, 320
@@ -967,5 +771,3 @@ def test_planner_quality_bounds_at_canonical_rig(hat_window_on):
     if cs is not None:
         assert mask.mean() >= 0.5, float(mask.mean())
     assert eff.rows <= 64, (eff.BA, eff.nstripe, eff.rows)
-    # full-segment frontal geometry: the effective class is hat-windowed
-    assert eff.hat_window is not None

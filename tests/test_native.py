@@ -122,10 +122,6 @@ def test_bp_plan_stats_matches_numpy_planner():
         )
         np.testing.assert_array_equal(stats[1], sa)
         np.testing.assert_array_equal(stats[2], sb)
-        hc = bb._hat_cross_per_block(
-            s, e, bbox, bins, perm, S, S // 8, rays=256, flip=flip
-        )
-        np.testing.assert_array_equal(stats[3], hc)
 
 
 def test_native_rays_entry_exit_matches_numpy():

@@ -166,50 +166,6 @@ def main():
     timed(beam, (S_planes, msgs, acc), "beam kernel (cached scores)",
           lambda o: float(jnp.stack(o).sum()))
 
-    # 4. hat-window A/B. The shipped default is OFF (bp_beam.HAT_WINDOW
-    # = None: two independent device runs measured the window ~5%
-    # SLOWER at this rig, 2026-08-18); time the windowed variant as the
-    # alternative so the decision stays re-checkable. When someone
-    # re-enables the global knob, the primary timings above already
-    # include the window and this times the OFF variant instead.
-    import raynet_tpu.ops.pallas.bp_beam as bp_beam
-
-    if cfg.hat_window is None:
-        knob = bp_beam.HAT_WINDOW
-        bp_beam.HAT_WINDOW = 48
-        try:
-            cfg_alt = plan_bp_config(
-                P_pinv_np, center_np,
-                np.asarray([-3, -3, -3, 3, 3, 3], float),
-                grid_shape, h, w, depth_planes, max_voxels, gamma=0.05,
-                rays=512,
-            )
-        finally:
-            bp_beam.HAT_WINDOW = knob
-        if cfg_alt is None or cfg_alt.hat_window is None:
-            print("hat window not plannable at this rig; no A/B",
-                  file=sys.stderr)
-            cfg_alt = None
-        label = "beam kernel (hat window ON)"
-    else:
-        cfg_alt = cfg.replace(hat_window=None)
-        label = "beam kernel (hat window OFF)"
-
-    if cfg_alt is not None:
-
-        @jax.jit
-        def beam_alt(s_planes, msgs, acc):
-            new_msgs, scatter, _, _ = fused.raynet_beam_message_step(
-                idxs, features, P, P_pinv, center, bbox, msgs, acc,
-                jnp.int32(n), h, w, padding, depth_planes, cfg_alt,
-                band_specs=bands, S_planes=s_planes, strict_bands=True,
-            )
-            return new_msgs.sum() + scatter.sum()
-
-        beam_alt(S_planes, msgs, acc)  # compile
-        timed(beam_alt, (S_planes, msgs, acc), label,
-              lambda o: float(jnp.stack(o).sum()))
-
 
 if __name__ == "__main__":
     main()
