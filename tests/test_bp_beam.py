@@ -341,6 +341,7 @@ def test_bp_beam_filtered_ray_plan(geo):
     )
 
 
+@pytest.mark.slow
 def test_image_scan_matches_per_batch_steps(geo):
     """fused.raynet_image_update/raynet_image_depth (the per-image scan
     with PERM-layout grids and the aliased RMW scatter carry) must equal
@@ -491,6 +492,7 @@ def test_bp_beam_padded_rays_masked(geo):
     assert float(jnp.abs(s_half).sum()) < float(jnp.abs(s_all).sum())
 
 
+@pytest.mark.slow
 def test_bp_beam_block_classes(geo):
     """Per-block box classes: blocks reordered small-first, the two class
     segments scan with their own static configs against a shared store,

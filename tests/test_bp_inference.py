@@ -2,6 +2,7 @@
 reference's triple-backend test pattern — plus reconstruct_scene output.
 """
 import numpy as np
+import pytest
 
 from raynet_tpu.ops.bp_inference import get_bp_backend
 from raynet_tpu.ops.backends import (
@@ -62,6 +63,7 @@ def test_backend_facades(rng):
     np.testing.assert_allclose(out[0, : cnt[0]].sum(), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_reconstruct_scene(mock_scene_dir, tmp_path):
     from raynet_tpu.common.scene import RestrepoScene
     from raynet_tpu.common.generation_parameters import GenerationParameters

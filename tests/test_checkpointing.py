@@ -1,5 +1,6 @@
 """Orbax checkpoint/resume roundtrip for training states."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -7,6 +8,7 @@ from raynet_tpu.train.checkpointing import CheckpointManager
 from raynet_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path, rng):
     d, n, h, w, c = 2, 2, 11, 11, 1
     model, state, loss_fn, wd = create_pretrain_state(

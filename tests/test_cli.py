@@ -90,6 +90,7 @@ def test_compute_metrics_cli(mock_scene_dir, predictions_dir, tmp_path, capsys):
     assert "ppmde: mean=" in out
 
 
+@pytest.mark.slow
 def test_pretrain_cli_one_epoch(mock_scene_dir, tmp_path):
     pretrain_cli.main(
         [
@@ -151,6 +152,7 @@ def test_frame_idxs_type():
     assert frame_idxs_type("3") == [3]
 
 
+@pytest.mark.slow
 def test_pretrain_cli_hartmann(mock_scene_dir, tmp_path):
     pretrain_cli.main(
         [

@@ -478,6 +478,7 @@ def test_per_image_feature_dedup(setup):
     )
 
 
+@pytest.mark.slow
 def test_classes_with_filtered_rays_match_single_config(setup):
     """Per-block box classes x GT ray filtering on the device-fast scan
     (both DEFAULT-ON in production): the class-reordered two-segment run

@@ -4,6 +4,7 @@ import sys
 import os
 
 import numpy as np
+import pytest
 import jax
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -19,6 +20,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g
 

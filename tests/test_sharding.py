@@ -119,6 +119,7 @@ def test_sharded_raynet_message_step(rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_beam_message_step(rng):
     """The fused BP beam kernel under shard_map (interpret mode) matches
     the single-device beam step, including the psum'd grid scatter."""
@@ -345,3 +346,71 @@ def test_sharded_scan_segments_match_full_range(rng):
     np.testing.assert_allclose(
         np.asarray(tot), np.asarray(tot_full), rtol=1e-5, atol=1e-6
     )
+
+
+def _walk_psums(jaxpr, under_scan=False):
+    """Yield (primitive_name, under_scan) for every collective-looking
+    primitive in a (closed) jaxpr, recursing through every sub-jaxpr
+    (scan bodies, pjit bodies, shard_map bodies, conds, ...)."""
+    from jax._src.core import Jaxpr, ClosedJaxpr
+
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name.startswith("psum") or name in ("all_reduce",):
+            yield name, under_scan
+        inner_scan = under_scan or name == "scan"
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for sub in vs:
+                if isinstance(sub, ClosedJaxpr):
+                    yield from _walk_psums(sub.jaxpr, inner_scan)
+                elif isinstance(sub, Jaxpr):
+                    yield from _walk_psums(sub, inner_scan)
+
+
+def test_sharded_update_one_psum_per_segment(rng):
+    """SURVEY §2.4 maps the reference's per-BP-iteration atomicAdd
+    barrier (mrf_bp.cu:169-176) onto ONE psum per (image, sweep)
+    segment. r2 shipped a regression where every per-batch scan step
+    psum'd the 32 MB grid (~4,200 collectives per DTU scene); the
+    equivalence tests can't see collective COUNT, so pin it in the
+    traced jaxpr: exactly one psum in the whole step, and none inside
+    the per-batch scan body (VERDICT r3 #6)."""
+    from raynet_tpu.parallel.sharding import (
+        RAY_AXIS, make_ray_mesh, sharded_image_update,
+    )
+
+    h, w = 16, 32
+    grid = (8, 8, 8)
+    D, M = 4, 16
+    n_dev, batch = 8, 128
+    unit = batch // n_dev
+    nb = (h * w) // batch
+
+    mesh = make_ray_mesh()
+    step = sharded_image_update(
+        mesh, n_dev, batch=batch, height=h, width=w, padding=11,
+        depth_planes=D, grid_shape=grid, max_voxels=M, bp_cfg=None,
+        band_specs=None, first_iteration=True, use_scores=True,
+        use_pallas=False,
+    )
+
+    g = int(np.prod(grid))
+    feats = jnp.zeros((3, h + 12, w + 12, 32), jnp.float32)
+    jaxpr = jax.make_jaxpr(step)(
+        jnp.zeros((n_dev, nb * unit, M), jnp.float32),
+        jnp.zeros((n_dev, nb * unit, D), jnp.float32),
+        jnp.zeros((g,), jnp.float32),
+        jnp.zeros((g,), jnp.float32),
+        jnp.zeros((n_dev, nb, unit), jnp.int32),
+        jnp.zeros((nb,), jnp.int32),
+        jnp.zeros((nb,), jnp.int32),
+        feats,
+        jnp.zeros((3, 3, 4), jnp.float32),
+        jnp.zeros((4, 3), jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+        jnp.zeros((6,), jnp.float32),
+    )
+    found = list(_walk_psums(jaxpr.jaxpr))
+    assert len(found) == 1, "expected exactly 1 psum, found %r" % (found,)
+    assert not found[0][1], "psum sits INSIDE the per-batch scan body"
