@@ -882,10 +882,22 @@ class RayNetForwardPass(ForwardPass):
             self.rays_batch = b
         else:
             t_plan = time.perf_counter()
+            t_sub = time.perf_counter()
+
+            def _lap(label):
+                # sub-phase attribution of the cold plan (device checklist:
+                # the cold number is plan-dominated; act on the biggest
+                # bucket)
+                nonlocal t_sub
+                now = time.perf_counter()
+                self.timer.add("plan:" + label, now - t_sub)
+                t_sub = now
+
             ref_indices = list(range(start, end, skip))
             ray_idxs_per_image = {
                 i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
             }
+            _lap("valid_rays")
             sharded = self._sharded_steps(H, W, gp, grid_shape, M)
             if (
                 self._filter_out_rays
@@ -904,6 +916,7 @@ class RayNetForwardPass(ForwardPass):
             self.rays_batch = self._snap_rays_batch(
                 [len(v) for v in ray_idxs_per_image.values()], sharded
             )
+            _lap("tile_runs_snap")
             # Per-image BP beam plans (the fused Pallas sweep); images the
             # planner rejects keep the XLA path. Beam messages live in the
             # kernel's slot layout, so the per-image column count differs.
@@ -935,6 +948,7 @@ class RayNetForwardPass(ForwardPass):
             )
             for i in ref_indices:
                 features_i, *_ = self._features_and_cameras(scene, i)
+                t_sub = time.perf_counter()  # exclude feature computation
                 small_cfgs[i] = None
                 small_chunks[i] = 0
                 if use_classes:
@@ -959,9 +973,11 @@ class RayNetForwardPass(ForwardPass):
                             sharded["n_dev"] if sharded is not None else 1
                         ),
                     )
+                _lap("bp_classes")
                 band_specs[i] = self._band_specs(
                     scene, i, features_i, ray_idxs=ray_idxs_per_image[i]
                 )
+                _lap("band_specs")
             # Unify per-image segment CHUNK COUNTS scene-wide (within
             # compile-shape groups): GT filtering gives every image a
             # different valid-ray count, and each distinct chunk count
@@ -1020,6 +1036,7 @@ class RayNetForwardPass(ForwardPass):
                     ray_idxs_per_image[i] = np.concatenate(parts)
                     small_chunks[i] = nsb_t
 
+            _lap("chunk_pad")
             bp_cfgs = _coalesce_bp_cfgs(bp_cfgs)
             # the small class shares the large class's slot count (one store):
             # coalesce smalls, then force K/rays to the coalesced large's
@@ -1095,6 +1112,7 @@ class RayNetForwardPass(ForwardPass):
             b = self.rays_batch
             n_dev = sharded["n_dev"] if sharded_fast else 1
             unit = b // n_dev
+            _lap("coalesce")
             if device_fast or host_staged or sharded_fast:
                 stacked = {
                     i: self._stacked_batches(
@@ -1102,6 +1120,7 @@ class RayNetForwardPass(ForwardPass):
                     )
                     for i in ref_indices
                 }
+                _lap("chunks_commit")
                 batches_per_image = None
                 rows = {
                     i: int(stacked[i][0].shape[0]) * b for i in ref_indices

@@ -60,6 +60,13 @@ class FeatureExtractor:
             f.write(flax.serialization.to_bytes(self.variables))
 
     def load_weights(self, path):
+        """Load msgpack (native) or Keras .hdf5/.h5 (reference-published
+        checkpoints, converted via models.keras_import)."""
+        if str(path).endswith((".hdf5", ".h5")):
+            from .keras_import import load_keras_hdf5
+
+            self.variables = load_keras_hdf5(path, self.variables)
+            return
         with open(path, "rb") as f:
             self.variables = flax.serialization.from_bytes(
                 self.variables, f.read()
