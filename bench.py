@@ -397,6 +397,15 @@ def main():
             np.linalg.pinv(Kr @ np.hstack([R, -R @ c.reshape(3, 1)])), c
         )
 
+    def _plans(pp, cc):
+        return (
+            plan_bp_classes(
+                pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
+                grid_shape, h, w, depth_planes, max_voxels, rays=512,
+            )
+            is not None
+        )
+
     acc = tot = 0
     # diagonal azimuths included: dominant-axis-ambiguous viewing is the
     # historical k-cap/ba-cap failure mode (round-3 dense sweep: 44/44)
@@ -406,15 +415,42 @@ def main():
                 np.radians(azim_d), np.radians(elev_d), 2200.0
             )
             tot += 1
-            acc += (
-                plan_bp_classes(
-                    pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
-                    grid_shape, h, w, depth_planes, max_voxels,
-                    rays=512,
-                )
-                is not None
-            )
+            acc += _plans(pp, cc)
     emit("planner_acceptance", acc / tot, "fraction", acc / tot)
+
+    # The DOCUMENTED rejection class, counted explicitly (VERDICT r3 #7:
+    # the supported-rig sweep above is structurally un-failable for this
+    # hole). Wide-FOV cameras near/inside the bbox (radius < ~1.3x the
+    # bbox half-diagonal) reject by design and fall back to the XLA
+    # path; planner_fallback_share is the rejecting fraction of the
+    # COMBINED sweep — it regresses UP if the hole widens and moves
+    # toward 0 if the planner learns these rigs.
+    hole = hole_tot = 0
+    # focal 250 at w=640 is a ~104-deg FOV: rays from an inside-bbox
+    # camera exit the box along BOTH dominant-axis signs
+    # (mixed-dominant-sign) — the class the planner rejects by design
+    for radius, focal in ((1.0, 250.0), (1.5, 250.0), (2.0, 300.0)):
+        for azim_d in (0, 45, 90):
+            Kr = np.array(
+                [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]
+            )
+            az = np.radians(azim_d)
+            cc = radius * np.array([np.sin(az), 0.2, -np.cos(az)])
+            z = -cc / np.linalg.norm(cc)
+            x_ = np.cross([0, 1, 0], z)
+            x_ /= np.linalg.norm(x_)
+            y_ = np.cross(z, x_)
+            Rr = np.stack([x_, y_, z])
+            pp = np.linalg.pinv(
+                Kr @ np.hstack([Rr, -Rr @ cc.reshape(3, 1)])
+            )
+            hole_tot += 1
+            hole += not _plans(pp, cc)
+    fallback_share = (hole + (tot - acc)) / (tot + hole_tot)
+    emit(
+        "planner_fallback_share", fallback_share, "fraction",
+        1.0 - fallback_share,
+    )
 
     # ----------------- 5. full ORCHESTRATED scene (RayNetForwardPass) ----
     # VERDICT r3 #1 ordering: the headline orchestrated variant runs FIRST
