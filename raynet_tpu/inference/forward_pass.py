@@ -1234,6 +1234,7 @@ class RayNetForwardPass(ForwardPass):
                 score_dummy = jnp.zeros((1, gp.depth_planes), jnp.float32)
             if not sharded_fast:
                 _shard_alloc = None
+            _lap("seg_data")
             self._orch_cache[okey] = (
                 ref_indices, ray_idxs_per_image, sharded, bp_cfgs, small_cfgs,
              small_chunks, band_specs, cols_per_image, msgs_on_device,

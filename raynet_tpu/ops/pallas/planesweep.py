@@ -16,14 +16,15 @@ This kernel exploits two structural facts measured on the workload:
    contraction runs on the MXU at full width (cost ~ band_rows MACs/target
    instead of a ~15 ns serial gather per target).
 
-Round 3: targets are DEPTH-MAJOR (t = d*128 + r), so each 512-target
-matmul tile is a 4-plane DEPTH GROUP whose projections cluster in a
-sub-box ~3x smaller than the whole epipolar band (the band's length is
-the full 32-plane sweep; 4/32 of it plus the pixel tile's footprint).
-Per-(block, view, depth-group) DRIFTING origins (the same trick as the
-beam kernel's 8-slice groups) shrink the one-hot eq build — the kernel's
-dominant cost, proportional to static box rows x targets — to the
-sub-box. Boxes stream through per-view double-buffered DMA slots.
+Round 3: targets are DEPTH-MAJOR (t = d*128 + r), so each matmul tile
+is a GROUP_D-plane DEPTH GROUP whose projections cluster in a sub-box
+smaller than the whole epipolar band. Per-(block, view, depth-group)
+DRIFTING origins (the same trick as the beam kernel's 8-slice groups)
+shrink the one-hot eq build — proportional to static box rows x
+targets — to the sub-box. Boxes stream through per-view
+double-buffered DMA slots. Round 4 moved GROUP_D 4 -> 16: the device
+A/B showed per-(view, group) iteration overheads dominate sub-box
+tightness (see the GROUP_D comment).
 
 Layout discipline: TARGETS LIVE IN LANES everywhere (cell ids arrive as
 (V, T) lane vectors, gathered features are (32ch, T), accumulators are
@@ -51,9 +52,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAYS_PER_BLOCK = 128
 TILE_W, TILE_H = 16, 8  # pixel tile (x-extent, y-extent) for ray blocking
-_T_TILE = 512  # targets per matmul tile = one 4-plane depth group
-GROUP_D = 4  # depth planes per target tile (512 targets / 128 rays)
+# Depth planes per target tile (matmul tile = GROUP_D * 128 targets).
+# Device A/B (v5e, bench rig, 2026-08-18): per-(v, g) iteration overhead
+# beats sub-box tightness — sims front+kernel 18.2 / 14.0 / 12.6 / 12.2
+# / 12.3 ms per 65k rays at GROUP_D 2 / 4 / 8 / 16 / 32 despite the
+# boxes growing ~50% from 4 to 16. 16 == 32 within tunnel noise; 16
+# keeps per-group sub-boxes meaningful on long-epipolar (oblique) rigs
+# where one whole-band box risks the VMEM budget.
+GROUP_D = 16
 _DMA_SLOTS = 4  # in-flight sub-box copies per view (latency hiding)
+
+
+def _group_d(depth_planes):
+    """Effective depth-group size: small-D configs (tests run D=8) tile
+    the whole depth range as one group."""
+    return min(GROUP_D, int(depth_planes))
 
 
 def _kernel(
@@ -69,7 +82,9 @@ def _kernel(
 ):
     b = pl.program_id(0)
     T = RAYS_PER_BLOCK * depth_planes
-    G = depth_planes // GROUP_D
+    gd = _group_d(depth_planes)
+    t_tile = RAYS_PER_BLOCK * gd
+    G = depth_planes // gd
     bands = scratch[:n_views]  # per view: (SLOTS, bh, bwg, 128) DMA slots
     sems = scratch[n_views]  # (V, SLOTS)
     out_scr, out_sem = scratch[n_views + 1], scratch[n_views + 2]
@@ -105,19 +120,19 @@ def _kernel(
         if i + _DMA_SLOTS - 1 < len(seq):
             dma_for(i + _DMA_SLOTS - 1).start()
         if v == 0:
-            sumf = jnp.zeros((32, _T_TILE), jnp.float32)
-            ssq = jnp.zeros((1, _T_TILE), jnp.float32)
+            sumf = jnp.zeros((32, t_tile), jnp.float32)
+            ssq = jnp.zeros((1, t_tile), jnp.float32)
         bh, bwg = box_specs[v]
         ctr = bh * bwg
         dma_for(i).wait()
         band = bands[v][slot_of(i)].reshape(ctr, 128)
         f00 = f00_ref[:, v : v + 1]  # (32, 1)
-        cid = cell_ref[0, v : v + 1, pl.ds(g * _T_TILE, _T_TILE)]
+        cid = cell_ref[0, v : v + 1, pl.ds(g * t_tile, t_tile)]
         row = cid >> 2  # (1, Tt)
         sub = cid & 3
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, _T_TILE), 0)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, t_tile), 0)
         eqT = (
-            iota_r == jnp.broadcast_to(row, (ctr, _T_TILE))
+            iota_r == jnp.broadcast_to(row, (ctr, t_tile))
         ).astype(jnp.bfloat16)
         rows_T = jax.lax.dot_general(
             band,
@@ -125,19 +140,19 @@ def _kernel(
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (128, Tt): 4 packed cells x 32 channels, targets in lanes
-        fT = jnp.zeros((32, _T_TILE), jnp.float32)
+        fT = jnp.zeros((32, t_tile), jnp.float32)
         for s in range(4):
             pick = jax.lax.slice(
-                rows_T, (s * 32, 0), ((s + 1) * 32, _T_TILE)
+                rows_T, (s * 32, 0), ((s + 1) * 32, t_tile)
             )
             fT = fT + jnp.where(sub == s, pick, 0.0)
-        fT = jnp.where(cid < 0, jnp.broadcast_to(f00, (32, _T_TILE)), fT)
+        fT = jnp.where(cid < 0, jnp.broadcast_to(f00, (32, t_tile)), fT)
 
         sumf = sumf + fT
         ssq = ssq + (fT * fT).sum(axis=0, keepdims=True)
         if v == n_views - 1:
             pair = 0.5 * ((sumf * sumf).sum(axis=0, keepdims=True) - ssq)
-            out_scr[:, pl.ds(g * _T_TILE, _T_TILE)] = pair
+            out_scr[:, pl.ds(g * t_tile, t_tile)] = pair
 
     # DMA the result out of a scratch row: with a VMEM out_spec XLA may
     # place the WHOLE (NB, 1, T) result in scoped VMEM (8.4 MB at 65k
@@ -230,8 +245,9 @@ def compute_band_boxes(fidx, depth_planes):
     """
     n, d, v, _ = fidx.shape
     nb = n // RAYS_PER_BLOCK
-    g = d // GROUP_D
-    fb = fidx.reshape(nb, RAYS_PER_BLOCK, g, GROUP_D, v, 2)
+    gd = _group_d(d)
+    g = d // gd
+    fb = fidx.reshape(nb, RAYS_PER_BLOCK, g, gd, v, 2)
     fx, fy = fb[..., 0], fb[..., 1]
     sent = (fx == 0) & (fy == 0)
     big = jnp.int32(1 << 20)
@@ -373,9 +389,9 @@ def plan_band_specs(
     pixel tiles, so full-image tile planning under-covers them.
     """
     n = height * width
-    # the kernel tiles RAYS_PER_BLOCK*D targets in 512-wide chunks; a
-    # D % 4 != 0 config would silently drop the tail targets
-    if (RAYS_PER_BLOCK * depth_planes) % _T_TILE != 0:
+    # the kernel tiles RAYS_PER_BLOCK*D targets in GROUP_D-plane chunks;
+    # a D % group config would silently drop the tail targets
+    if depth_planes % _group_d(depth_planes) != 0:
         return None
     idxs = jnp.arange(n, dtype=jnp.int32)
     if ray_idxs is not None:
@@ -502,7 +518,8 @@ def banded_scores_from_segments(
     n = ray_start.shape[0]
     d = depth_planes
     nb = n // RAYS_PER_BLOCK
-    G = d // GROUP_D
+    gd = _group_d(d)
+    G = d // gd
 
     if packed is None:
         packed = pack_features_for_bands(features, box_specs)
@@ -550,9 +567,9 @@ def banded_scores_from_segments(
         fy = jnp.where(ez, 0, fy)
 
         sent = ez  # (nb, d, 128)
-        gx = fx.reshape(nb, G, GROUP_D * RAYS_PER_BLOCK)
-        gy = fy.reshape(nb, G, GROUP_D * RAYS_PER_BLOCK)
-        gs = sent.reshape(nb, G, GROUP_D * RAYS_PER_BLOCK)
+        gx = fx.reshape(nb, G, gd * RAYS_PER_BLOCK)
+        gy = fy.reshape(nb, G, gd * RAYS_PER_BLOCK)
+        gs = sent.reshape(nb, G, gd * RAYS_PER_BLOCK)
         mnx = jnp.where(gs, big, gx).min(axis=2)  # (nb, G)
         mny = jnp.where(gs, big, gy).min(axis=2)
         mxx = jnp.where(gs, -1, gx).max(axis=2)
@@ -648,8 +665,8 @@ def banded_similarities(
     fb = fidx.reshape(nb, RAYS_PER_BLOCK, d, v, 2)
     fx, fy = fb[..., 0], fb[..., 1]  # (nb, 128, D, V)
     sent = (fx == 0) & (fy == 0)
-    y0d = jnp.repeat(y0, GROUP_D, axis=1)  # (nb, D, V) per-plane origins
-    xg0d = jnp.repeat(xg0, GROUP_D, axis=1)
+    y0d = jnp.repeat(y0, _group_d(d), axis=1)  # (nb, D, V) per-plane origins
+    xg0d = jnp.repeat(xg0, _group_d(d), axis=1)
     ly = fy - y0d[:, None, :, :]
     lrow = ly * bwgs[None, None, None, :] + (fx // 4 - xg0d[:, None, :, :])
     lcell = lrow * 4 + (fx & 3)

@@ -196,3 +196,42 @@ def test_banded_handles_sentinels(rng):
         np.asarray(inv)
     ]
     np.testing.assert_allclose(S_kernel, S_ref, rtol=2e-2, atol=2e-3)
+
+
+def test_banded_multi_group_matches_xla(rng, monkeypatch):
+    """Multi-depth-group tiling (G > 1): production D=32 runs two
+    16-plane groups per block, but the CPU tests' D=8 collapses to one
+    group — force GROUP_D=4 so the G=2 path (per-group origins, tile
+    offsets into cell_ref/out_scr) stays covered."""
+    import raynet_tpu.ops.pallas.planesweep as ps
+
+    monkeypatch.setattr(ps, "GROUP_D", 4)
+    h = w = 32
+    d = 8  # 2 groups of 4 planes
+    P, P_pinv, center, bbox, feats, padding = _ring_setup(rng, h, w)
+
+    n = h * w
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    dirs = rays_from_pixel_idxs(idxs, P_pinv, center, h)
+    s, e = rays_entry_exit_bbox(dirs, center, bbox[:3], bbox[3:])
+    pts = sample_points_along_segments(s, e, d)
+    S_ref = np.asarray(compute_similarities(feats, P, pts, padding, h, w))
+
+    perm, inv = tile_order(idxs, h)
+    pts_t = pts[perm]
+    nv = feats.shape[0]
+    pixels = project_points(
+        P, pts_t.reshape(-1, 3)[None].repeat(nv, axis=0)
+    ).reshape(nv, n, d, 2)
+    fidx = np.asarray(
+        pixel_to_feature_idx(jnp.moveaxis(pixels, 0, 2), padding, h, w)
+    )
+    specs = measure_box_specs(fidx, d)
+    pair = ps.banded_similarities(
+        feats, jnp.asarray(fidx), specs, h, w, d, interpret=True
+    )
+    n_pairs = nv * (nv - 1) // 2
+    S_kernel = np.asarray(jax.nn.softmax(pair / n_pairs, axis=-1))[
+        np.asarray(inv)
+    ]
+    np.testing.assert_allclose(S_kernel, S_ref, rtol=2e-2, atol=2e-3)

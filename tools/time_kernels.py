@@ -43,9 +43,7 @@ def main():
 
     if args.group_d:
         ps.GROUP_D = args.group_d
-        ps._T_TILE = ps.RAYS_PER_BLOCK * args.group_d
-        print("GROUP_D=%d (_T_TILE=%d)" % (ps.GROUP_D, ps._T_TILE),
-              file=sys.stderr)
+        print("GROUP_D=%d" % (ps.GROUP_D,), file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
