@@ -26,6 +26,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--group_d", type=int, default=None)
+    ap.add_argument("--rays_block", type=int, default=None,
+                    help="override planesweep.RAYS_PER_BLOCK (A/B)")
+    ap.add_argument("--beam_rays", type=int, default=512,
+                    help="beam kernel rays-per-block (plan_bp_config)")
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
@@ -44,6 +48,9 @@ def main():
     if args.group_d:
         ps.GROUP_D = args.group_d
         print("GROUP_D=%d" % (ps.GROUP_D,), file=sys.stderr)
+    if args.rays_block:
+        ps.RAYS_PER_BLOCK = args.rays_block
+        print("RAYS_PER_BLOCK=%d" % (ps.RAYS_PER_BLOCK,), file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
@@ -123,7 +130,8 @@ def main():
     max_voxels = 650
     cfg = plan_bp_config(
         P_pinv_np, center_np, np.asarray([-3, -3, -3, 3, 3, 3], float),
-        grid_shape, h, w, depth_planes, max_voxels, gamma=0.05, rays=512,
+        grid_shape, h, w, depth_planes, max_voxels, gamma=0.05,
+        rays=args.beam_rays,
     )
     print("bp cfg:", cfg, file=sys.stderr)
     if cfg is None:
