@@ -212,12 +212,12 @@ def main():
 
     bp_cfg = None
     if on_tpu:
-        from raynet_tpu.ops.pallas.bp_beam import plan_bp_config
+        from raynet_tpu.ops.pallas.bp_beam import plan_bp_config_auto
 
-        bp_cfg = plan_bp_config(
+        bp_cfg = plan_bp_config_auto(
             P_pinv_np, center_np, np.asarray([-3, -3, -3, 3, 3, 3], float),
-            grid_shape, h, w, depth_planes, max_voxels, gamma=0.05,
-            rays=512,
+            grid_shape, h, w, depth_planes, max_voxels, rays_batch,
+            gamma=0.05,
         )
     print("bp beam config:", bp_cfg, file=sys.stderr)
 
@@ -375,7 +375,7 @@ def main():
     # VERDICT r3: fraction of synthetic rigs (ring/oblique/elevated/
     # mirrored, DTU-like radii+focals) the per-block class planner covers
     # with exact beam configs; rejected rigs fall back to the XLA path.
-    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes
+    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes_auto
 
     def _rig(azim, elev, focal):
         Kr = np.array(
@@ -398,10 +398,12 @@ def main():
         )
 
     def _plans(pp, cc):
+        # production behavior: any rays-per-block candidate planning
+        # counts as accepted (the orchestrator picks among them)
         return (
-            plan_bp_classes(
+            plan_bp_classes_auto(
                 pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
-                grid_shape, h, w, depth_planes, max_voxels, rays=512,
+                grid_shape, h, w, depth_planes, max_voxels, rays_batch,
             )
             is not None
         )

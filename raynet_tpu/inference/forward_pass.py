@@ -559,22 +559,23 @@ class RayNetForwardPass(ForwardPass):
         if not hasattr(self, "_bp_cfg_cache"):
             self._bp_cfg_cache = {}
         if ref_idx not in self._bp_cfg_cache:
-            from ..ops.pallas.bp_beam import plan_bp_config
+            from ..ops.pallas.bp_beam import plan_bp_config_auto
 
             _, P, P_pinv, center = self._feature_cache[ref_idx]
             gp = self._generation_params
             H, W = scene.image_shape
             gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
-            # 512-ray blocks measured ~13% faster than 256 on v5e (fewer,
-            # wider latency chains); use them when the batch divides.
-            rays = 512 if unit % 512 == 0 else 256
-            self._bp_cfg_cache[ref_idx] = plan_bp_config(
+            # Rays-per-block candidates (1024/512/256, VMEM-bounded) are
+            # planned and the kernel cost model picks: bigger blocks
+            # amortize per-block overheads (~5% per doubling on v5e)
+            # unless the wider footprint bumps the box bucket.
+            self._bp_cfg_cache[ref_idx] = plan_bp_config_auto(
                 np.asarray(P_pinv), np.asarray(center),
                 scene.bbox.reshape(-1), gp.grid_shape, H, W,
                 gp.depth_planes, gp.max_number_of_marched_voxels,
+                unit,
                 gamma=gamma,
                 ray_idxs=ray_idxs if self._filter_out_rays else None,
-                rays=rays,
             )
         return self._bp_cfg_cache[ref_idx]
 
@@ -586,23 +587,22 @@ class RayNetForwardPass(ForwardPass):
         if not hasattr(self, "_bp_class_cache"):
             self._bp_class_cache = {}
         if ref_idx not in self._bp_class_cache:
-            from ..ops.pallas.bp_beam import plan_bp_classes
+            from ..ops.pallas.bp_beam import plan_bp_classes_auto
 
             _, P, P_pinv, center = self._feature_cache[ref_idx]
             gp = self._generation_params
             H, W = scene.image_shape
             gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
             unit = self.rays_batch // shards
-            rays = 512 if unit % 512 == 0 else 256
-            self._bp_class_cache[ref_idx] = plan_bp_classes(
+            self._bp_class_cache[ref_idx] = plan_bp_classes_auto(
                 np.asarray(P_pinv), np.asarray(center),
                 scene.bbox.reshape(-1), gp.grid_shape, H, W,
                 gp.depth_planes, gp.max_number_of_marched_voxels,
+                unit,
                 gamma=gamma,
                 ray_idxs=(
                     ray_idxs if self._filter_out_rays else None
                 ),
-                rays=rays,
             )
         return self._bp_class_cache[ref_idx]
 

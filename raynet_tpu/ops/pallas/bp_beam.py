@@ -68,6 +68,10 @@ _FLT_MAX = 3.4028235e38
 _CLIP_S = 1e-5
 _CLIP_MU = 1e-4
 _EPS_T = 1e-4
+# Tried and rejected (device A/B 2026-08-19): casting the gather/
+# scatter one-hot MXU operands to bf16 measured NEUTRAL (10.29 vs
+# 10.18 ms beam kernel at 1024-ray blocks) — Mosaic's f32 dots are not
+# multi-pass-bound here, so the cast only risked value precision.
 
 
 # --------------------------------------------------------------------- #
@@ -360,6 +364,10 @@ def plan_bp_config(
     nstripe = max(1, -(-need_b // 128))
     if nstripe > 4:
         return _reject("nstripe-cap", explain)
+    if est_scoped_vmem(
+        S, k, ba, nstripe, int(depth_planes), rays
+    ) > _SCOPED_VMEM_LIMIT:
+        return _reject("vmem", explain)
 
     prior = float(np.log(gamma) - np.log(1.0 - gamma))
     cfg = BpBeamConfig(
@@ -372,6 +380,90 @@ def plan_bp_config(
 
 _BA_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 192, 256)  # multiples of 8
 _ROWS_CAP = 512  # ba*nstripe bound: keeps the gather-group VMEM ~4 MB
+# Mosaic's scoped-VMEM budget is 16 MiB on v5e; the model below read
+# 24.97 MiB for a 2048-ray bench config the compiler measured at
+# 24.62 MiB (+1.4%, conservative side). Keep a little headroom.
+_SCOPED_VMEM_LIMIT = int(15.5 * 2**20)
+
+
+def est_scoped_vmem(S, K, BA, nstripe, depth_planes, rays):
+    """Scoped-VMEM bytes of one bp_beam_call program: the four
+    (slots, rays) scratches, double-buffered input blocks, output
+    blocks, and the rays-independent box buffers (gather double-buffer
+    + RMW stage + delta accumulator). Calibrated against a v5e OOM
+    (see _SCOPED_VMEM_LIMIT)."""
+    slots = S * K
+    per_ray = 4 * (4 * slots)  # cell/t/mu/sv scratches
+    per_ray += 4 * 2 * (16 + depth_planes + slots)  # inputs, 2x buffered
+    per_ray += 4 * (slots + 8)  # outputs
+    fixed = 4 * (5 * 8 * nstripe * BA * 128)  # gbuf(2) + dstage(2) + dacc
+    # the compiler's measured allocation ran 8% above this structural
+    # sum on the calibration config (stack temporaries / alignment; modeled as +9%)
+    return int(per_ray * rays * 1.09) + fixed
+
+
+def plan_cost_ms(cfg):
+    """Kernel-time model for choosing among otherwise-valid configs
+    (rays-per-block candidates). Calibrated on v5e 65k-ray sweeps
+    (2026-08-19 device A/B: 256/512/1024 rays at 64 rows =
+    11.75/10.72/10.18 ms): march+hat+recurrences ~4.7 ms, one-hot
+    gather/scatter dots ~5.5 ms at 64 rows and proportional to rows,
+    and a ~55 us-per-block overhead factor."""
+    rows = cfg.BA * cfg.nstripe
+    return (4.7 + 5.5 * rows / 64.0) * (1.0 + 55.0 / cfg.rays)
+
+
+def rays_candidates(unit):
+    """Rays-per-block candidates to plan for a per-device batch of
+    ``unit`` rays, largest first. 1024 is the largest block that fits
+    the scoped-VMEM budget at production shapes (2048 OOMs); planning
+    the top TWO lets the cost model reject a bigger-rays plan whose
+    box bucket jumped (a wider block footprint can need the next
+    _BA_BUCKETS step, and rows cost more than blocks save)."""
+    return [r for r in (1024, 512, 256) if unit % r == 0][:2]
+
+
+def plan_bp_config_auto(P_pinv, camera_center, bbox, grid_shape, height,
+                        width, depth_planes, max_voxels, unit, **kw):
+    """plan_bp_config over rays_candidates(unit); returns the
+    cost-model-cheapest viable plan, or None when nothing plans."""
+    best = None
+    for rays in rays_candidates(unit):
+        cfg = plan_bp_config(
+            P_pinv, camera_center, bbox, grid_shape, height, width,
+            depth_planes, max_voxels, rays=rays, **kw
+        )
+        if cfg is not None and (
+            best is None or plan_cost_ms(cfg) < plan_cost_ms(best)
+        ):
+            best = cfg
+    return best
+
+
+def classes_cost_ms(info):
+    """Block-weighted cost of a plan_bp_classes result."""
+    cl, cs = info["cfg_large"], info["cfg_small"]
+    if cs is None:
+        return plan_cost_ms(cl)
+    f = float(np.mean(info["small_mask"]))
+    return f * plan_cost_ms(cs) + (1.0 - f) * plan_cost_ms(cl)
+
+
+def plan_bp_classes_auto(P_pinv, camera_center, bbox, grid_shape, height,
+                         width, depth_planes, max_voxels, unit, **kw):
+    """plan_bp_classes over rays_candidates(unit); returns the
+    cost-model-cheapest viable class plan, or None."""
+    best = None
+    for rays in rays_candidates(unit):
+        info = plan_bp_classes(
+            P_pinv, camera_center, bbox, grid_shape, height, width,
+            depth_planes, max_voxels, rays=rays, **kw
+        )
+        if info is not None and (
+            best is None or classes_cost_ms(info) < classes_cost_ms(best)
+        ):
+            best = info
+    return best
 
 
 def plan_bp_classes(
@@ -433,6 +525,10 @@ def plan_bp_classes(
         ba_large is None
         or ns_large > 8
         or ba_large * ns_large > _ROWS_CAP
+        # the small class is never wider than the large, so one check
+        or est_scoped_vmem(
+            S, k, ba_large, ns_large, int(depth_planes), rays
+        ) > _SCOPED_VMEM_LIMIT
     ):
         return None
 
@@ -1046,19 +1142,30 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     iota_row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RAYS), 0)
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, RAYS), 0)
 
-    def out_dma(g, direction):
+    def out_dma(g, slot, direction):
         a0_g, bg0_g = grp_origin(g)
         region = out_grid_ref.at[
             _ds8(g * 8, 8), pl.ds(bg0_g, NS), pl.ds(a0_g, BA)
         ]
         if direction == "read":
-            return pltpu.make_async_copy(region, dstage, dsem)
-        return pltpu.make_async_copy(dstage, region, dsem)
+            return pltpu.make_async_copy(
+                region, dstage.at[slot], dsem.at[0, slot]
+            )
+        return pltpu.make_async_copy(
+            dstage.at[slot], region, dsem.at[1, slot]
+        )
 
-    def r2_group(g, carry):
+    def r2_group(g, carry, slot=None):
         # DDA-order prefixes over the k-major layout: per-slice partials
         # over k, serial cross-slice EXCLUSIVE prefixes (EPU/CSU rows),
         # then all per-slot message math runs as (8, RAYS) ops per k.
+        #
+        # ``slot``: static dstage slot under the paired-DMA schedule
+        # (the driver below starts this group's RMW read one pair ahead
+        # and drains its write one pair behind, so both transfer
+        # latencies hide behind another group's message math + dots);
+        # None = serial fallback (read started here, write drained
+        # in-line) for odd group counts.
         if depth_mode:
             ep, cse, bv8, bc8, bs8, ba8, bb8 = carry
         else:
@@ -1073,8 +1180,8 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             * jnp.broadcast_to(inv_total, (8, RAYS))
             for k in range(K)
         ]
-        if not depth_mode:
-            rd = out_dma(g, "read")
+        if not depth_mode and slot is None:
+            rd = out_dma(g, 0, "read")
             rd.start()
         pe = jnp.ones((8, RAYS), jnp.float32)
         pc = jnp.zeros((8, RAYS), jnp.float32)
@@ -1136,12 +1243,13 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                         preferred_element_type=jnp.float32,
                     )
                 dacc[u] = delta.reshape(NS, BA, 128)
-            rd = out_dma(g, "read")
-            rd.wait()
-            dstage[:] = dstage[:] + dacc[:]
-            wr = out_dma(g, "write")
+            s_ = 0 if slot is None else slot
+            out_dma(g, s_, "read").wait()
+            dstage[s_] = dstage[s_] + dacc[:]
+            wr = out_dma(g, s_, "write")
             wr.start()
-            wr.wait()
+            if slot is None:
+                wr.wait()
         if depth_mode:
             return ep, cse, bv8, bc8, bs8, ba8, bb8
         return ep, cse
@@ -1176,7 +1284,33 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             best_bg0 = jnp.where(better, bb8[u : u + 1], best_bg0)
     else:
         init = (ones, jnp.zeros((1, RAYS), jnp.float32))
-        jax.lax.fori_loop(0, S // 8, r2_group, init)
+        if NG % 2 == 0:
+            # Paired double-buffered RMW schedule: group 2j uses dstage
+            # slot 0, group 2j+1 slot 1. Reads start one pair ahead and
+            # writes drain one pair behind (consecutive groups touch
+            # DISJOINT dominant-axis slabs, so only the slot's own
+            # buffer reuse orders the transfers); each block drains its
+            # last two writes before the next grid step can read the
+            # same slabs.
+            out_dma(0, 0, "read").start()
+            out_dma(1, 1, "read").start()
+            carry = r2_group(0, init, slot=0)
+            carry = r2_group(1, carry, slot=1)
+
+            def pair_body(j, carry):
+                ga = j * 2
+                out_dma(ga - 2, 0, "write").wait()
+                out_dma(ga, 0, "read").start()
+                out_dma(ga - 1, 1, "write").wait()
+                out_dma(ga + 1, 1, "read").start()
+                carry = r2_group(ga, carry, slot=0)
+                return r2_group(ga + 1, carry, slot=1)
+
+            jax.lax.fori_loop(1, NG // 2, pair_body, carry)
+            out_dma(NG - 2, 0, "write").wait()
+            out_dma(NG - 1, 1, "write").wait()
+        else:
+            jax.lax.fori_loop(0, NG, r2_group, init)
 
     # ------------------------------------------------------------- misc
     if depth_mode:
@@ -1251,10 +1385,10 @@ def bp_beam_call(
             pltpu.VMEM((slots, RAYS), jnp.float32),
             pltpu.VMEM((slots, RAYS), jnp.float32),
             pltpu.VMEM((2, 8, NS, BA, 128), jnp.float32),  # gather groups
-            pltpu.VMEM((8, NS, BA, 128), jnp.float32),  # RMW stage
+            pltpu.VMEM((2, 8, NS, BA, 128), jnp.float32),  # RMW stages
             pltpu.VMEM((8, NS, BA, 128), jnp.float32),  # delta accum
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 

@@ -773,3 +773,73 @@ def test_planner_quality_bounds_at_canonical_rig():
     if cs is not None:
         assert mask.mean() >= 0.5, float(mask.mean())
     assert eff.rows <= 64, (eff.BA, eff.nstripe, eff.rows)
+
+
+def test_vmem_model_cost_model_and_rays_candidates():
+    """Scoped-VMEM model + rays-per-block candidate selection.
+
+    Calibration anchor: a 2048-ray bench config (S=128, K=3, BA=32,
+    ns=2, D=32) the v5e Mosaic compiler measured at 24.62 MiB scoped
+    VMEM (OOM against its 16 MiB limit, 2026-08-19); the model must
+    land at-or-above that on the conservative side, and the adopted
+    1024-ray config must fit the planner's budget."""
+    from raynet_tpu.ops.pallas.bp_beam import (
+        _SCOPED_VMEM_LIMIT,
+        BpBeamConfig,
+        est_scoped_vmem,
+        plan_cost_ms,
+        rays_candidates,
+    )
+
+    est = est_scoped_vmem(128, 3, 32, 2, 32, 2048)
+    assert 24.62 * 2**20 <= est <= 26.5 * 2**20, est / 2**20
+    assert est_scoped_vmem(128, 3, 32, 2, 32, 1024) <= _SCOPED_VMEM_LIMIT
+    # candidates: largest first, top two, divisibility respected
+    assert rays_candidates(61440) == [1024, 512]
+    assert rays_candidates(512 * 3) == [512, 256]
+    assert rays_candidates(256) == [256]
+
+    def mk(ba, ns, rays):
+        return BpBeamConfig(
+            (2, 0, 1), 128, 256, 256, 3, ba, ns, 32, 650,
+            (0.05, 0.05, 0.05), -2.9, (256, 256, 128), rays=rays,
+        )
+
+    # bigger blocks amortize per-block overheads at equal rows (device
+    # A/B 2026-08-19: 11.75 / 10.72 / 10.18 ms at 256/512/1024) ...
+    assert plan_cost_ms(mk(32, 2, 1024)) < plan_cost_ms(mk(32, 2, 512))
+    # ... but a box-bucket jump from the wider footprint overrides it
+    assert plan_cost_ms(mk(48, 2, 1024)) > plan_cost_ms(mk(32, 2, 512))
+
+
+def test_plan_auto_variants(geo):
+    """The auto planners pick a viable candidate and respect the unit's
+    divisibility; the classes_auto result carries the same contract as
+    plan_bp_classes."""
+    from raynet_tpu.ops.pallas.bp_beam import (
+        classes_cost_ms,
+        plan_bp_classes_auto,
+        plan_bp_config_auto,
+        plan_cost_ms,
+    )
+
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c = np.array([0.5, -0.3, -10.0])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    pp = np.linalg.pinv(K @ np.hstack([R, -R @ c.reshape(3, 1)]))
+    bbox = np.array([-2, -2, -2, 2, 2, 2], float)
+
+    cfg = plan_bp_config_auto(
+        pp, c, bbox, GRID, H, W, D, M, 768, gamma=GAMMA, sample_stride=1
+    )
+    assert cfg is not None and cfg.rays in (512, 256)
+    assert plan_cost_ms(cfg) > 0
+
+    info = plan_bp_classes_auto(pp, c, bbox, GRID, H, W, D, M, 1024)
+    assert info is not None
+    assert info["cfg_large"].rays in (1024, 512)
+    assert classes_cost_ms(info) > 0

@@ -172,6 +172,37 @@ def main():
     timed(beam, (S_planes, msgs, acc), "beam kernel (cached scores)",
           lambda o: float(jnp.stack(o).sum()))
 
+    # 4. decomposition rows: first_iteration elides the occupancy GATHER
+    # (mu is the constant prior); the depth step elides the SCATTER (and
+    # the message write). full - first_iter ~= gather; full - depth ~=
+    # scatter.
+    @jax.jit
+    def beam_first(s_planes, msgs, acc):
+        new_msgs, scatter, _, _ = fused.raynet_beam_message_step(
+            idxs, features, P, P_pinv, center, bbox, msgs, acc,
+            jnp.int32(n), h, w, padding, depth_planes, cfg,
+            band_specs=bands, S_planes=s_planes, strict_bands=True,
+            first_iteration=True,
+        )
+        return new_msgs.sum() + scatter.sum()
+
+    beam_first(S_planes, msgs, acc)  # compile
+    timed(beam_first, (S_planes, msgs, acc), "beam first-iter (no gather)",
+          lambda o: float(jnp.stack(o).sum()))
+
+    @jax.jit
+    def beam_depth(s_planes, msgs, acc):
+        depth, _ = fused.raynet_beam_depth_step(
+            idxs, features, P, P_pinv, center, bbox, msgs, acc,
+            h, w, padding, depth_planes, cfg,
+            band_specs=bands, S_planes=s_planes, strict_bands=True,
+        )
+        return depth.sum()
+
+    beam_depth(S_planes, msgs, acc)  # compile
+    timed(beam_depth, (S_planes, msgs, acc), "beam depth (no scatter)",
+          lambda o: float(jnp.stack(o).sum()))
+
 
 if __name__ == "__main__":
     main()
