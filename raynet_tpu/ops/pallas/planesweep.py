@@ -211,15 +211,19 @@ def _banded_pair_sums(
     )(origins, cellids, f00, feats_packed)
 
 
-def tile_ids(ray_idxs, height, tile_w=TILE_W, tile_h=TILE_H):
+def tile_ids(ray_idxs, height, tile_w=None, tile_h=None):
     """Pixel-tile id per ray (column-major pixel convention: x = r // H,
-    y = r % H). Works on numpy and jax arrays."""
+    y = r % H). Works on numpy and jax arrays. ``tile_w``/``tile_h``
+    default to the MODULE globals at call time (A/B overrides and the
+    block-size coupling below stay coherent)."""
+    tile_w = TILE_W if tile_w is None else tile_w
+    tile_h = TILE_H if tile_h is None else tile_h
     x = ray_idxs // height
     y = ray_idxs % height
     return (x // tile_w) * ((height + tile_h - 1) // tile_h) + y // tile_h
 
 
-def tile_order(ray_idxs, height, tile_w=TILE_W, tile_h=TILE_H):
+def tile_order(ray_idxs, height, tile_w=None, tile_h=None):
     """Permutation putting rays into pixel-tile order.
     Returns (perm, inv_perm)."""
     tile = tile_ids(ray_idxs, height, tile_w, tile_h)

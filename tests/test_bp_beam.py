@@ -84,16 +84,16 @@ def geo():
     )
 
 
-def _xla_sweep(geo, messages_step, grid_acc, first):
+def _xla_sweep(geo, messages_step, grid_acc, first, grid=GRID, m=M):
     """Reference: traversal + mapping + bp_update in step space."""
-    g = int(np.prod(GRID))
+    g = int(np.prod(grid))
     flat_idx, counts = voxel_traversal_flat(
-        geo["bbox"], geo["start"], geo["end"], GRID, M, False
+        geo["bbox"], geo["start"], geo["end"], grid, m, False
     )
-    vox = unflatten_voxel_indices(flat_idx, GRID)
+    vox = unflatten_voxel_indices(flat_idx, grid)
     S_vox = planes_to_voxels_mapping(
         geo["S_planes"], vox, counts, geo["start"], geo["end"],
-        geo["bbox"], GRID, D,
+        geo["bbox"], grid, D,
     )
     if first:
         msgs, scatter = mrf.bp_update_first(
@@ -843,3 +843,70 @@ def test_plan_auto_variants(geo):
     assert info is not None
     assert info["cfg_large"].rays in (1024, 512)
     assert classes_cost_ms(info) > 0
+
+
+def test_bp_beam_odd_group_count_serial_fallback(rng):
+    """A dominant extent of 8 gives ONE 8-slice group (NG=1), which the
+    paired double-buffered RMW schedule cannot cover — the kernel must
+    take the serial read/write fallback and still match XLA on a sweep
+    WITH a scatter (the paired/serial split lives in pass R2)."""
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c = np.array([0.5, -0.3, -10.0])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    P_pinv = np.linalg.pinv(K @ np.hstack([R, -R @ c.reshape(3, 1)]))
+    bbox = np.array([-2, -2, -2, 2, 2, 2], np.float32)
+    grid = (16, 16, 8)  # dominant z extent 8 -> NG = 1 (odd)
+
+    idxs = jnp.arange(H * W, dtype=jnp.int32)
+    perm, _ = tile_order(idxs, H)
+    idxs = idxs[perm]
+    dirs = rays_from_pixel_idxs(
+        idxs, jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(c, jnp.float32), H,
+    )
+    s, e = rays_entry_exit_bbox(
+        dirs, jnp.asarray(c, jnp.float32), jnp.asarray(bbox[:3]),
+        jnp.asarray(bbox[3:]),
+    )
+    S_planes = jnp.asarray(
+        rng.dirichlet(np.ones(D), size=H * W), jnp.float32
+    )
+    cfg = plan_bp_config(
+        P_pinv, c, bbox, grid, H, W, D, M, gamma=GAMMA, sample_stride=1
+    )
+    assert cfg is not None and cfg.S == 8, cfg
+
+    g = int(np.prod(grid))
+    prior = float(np.log(GAMMA) - np.log(1 - GAMMA))
+    acc0 = jnp.full((g,), prior, jnp.float32)
+    geo2 = dict(start=s, end=e, S_planes=S_planes, bbox=jnp.asarray(bbox))
+    x_m1, x_s1, *_ = _xla_sweep(geo2, None, acc0, True, grid=grid)
+
+    n = H * W
+    valid = jnp.ones((n,), jnp.int32)
+    k_m1, k_s1, overflow = bp_beam_message_step(
+        s, e, valid, S_planes, jnp.zeros((n, cfg.slots), jnp.float32),
+        acc0, jnp.asarray(c, jnp.float32), jnp.asarray(bbox), cfg,
+        first_iteration=True, interpret=True,
+    )
+    assert float(overflow) == 0.0
+    _assert_mostly_close(k_s1, x_s1)
+
+    # second sweep: occupancy gather + serial-fallback scatter together
+    x_m2, x_s2, *_ = _xla_sweep(geo2, x_m1, x_s1 + prior, False, grid=grid)
+    k_m2, k_s2, overflow2 = bp_beam_message_step(
+        s, e, valid, S_planes, k_m1, k_s1 + prior,
+        jnp.asarray(c, jnp.float32), jnp.asarray(bbox), cfg,
+        first_iteration=False, interpret=True,
+    )
+    assert float(overflow2) == 0.0
+    _assert_mostly_close(k_s2, x_s2)
+    # slot-space width (S*K=24) != step-space width (M=48) here: pad the
+    # narrower with zeros (dead slots/steps are zero on both sides)
+    k_pad = np.zeros((H * W, M), np.float32)
+    k_pad[:, : cfg.slots] = np.asarray(k_m2)
+    _assert_mostly_close(_sorted_rows(k_pad), _sorted_rows(x_m2))

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--group_d", type=int, default=None)
     ap.add_argument("--rays_block", type=int, default=None,
                     help="override planesweep.RAYS_PER_BLOCK (A/B)")
+    ap.add_argument("--tile_w", type=int, default=None,
+                    help="pixel-tile width for ray blocking (A/B: 32 "
+                         "with --rays_block 256 keeps one tile == one "
+                         "block)")
     ap.add_argument("--beam_rays", type=int, default=512,
                     help="beam kernel rays-per-block (plan_bp_config)")
     ap.add_argument("--rays", type=int, default=65536)
@@ -51,6 +55,9 @@ def main():
     if args.rays_block:
         ps.RAYS_PER_BLOCK = args.rays_block
         print("RAYS_PER_BLOCK=%d" % (ps.RAYS_PER_BLOCK,), file=sys.stderr)
+    if args.tile_w:
+        ps.TILE_W = args.tile_w
+        print("TILE_W=%d" % (ps.TILE_W,), file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
