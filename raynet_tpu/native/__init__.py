@@ -93,6 +93,13 @@ def get_lib():
         ]
         lib.dom_sign_and_fill.restype = ctypes.c_int
 
+        lib.band_plan_spans.argtypes = [
+            i32p, ctypes.c_int64, f64p, ctypes.c_int, f64p, f64p, f64p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i32p,
+        ]
+        lib.band_plan_spans.restype = None
+
         _lib = lib
     except Exception:
         _lib = None
@@ -174,6 +181,28 @@ def rays_entry_exit(ray_idxs, P_pinv, camera_center, bbox, height):
         int(height), out_s, out_e,
     )
     return out_s, out_e
+
+
+def band_plan_spans(ray_idxs, P, P_pinv, camera_center, bbox, height,
+                    width, padding, depth_planes, group_d, rays_per_block):
+    """Per-view (y_span, x_span) maxima over all (ray-block, depth-group)
+    sub-band boxes (see raynet_host.cpp band_plan_spans). ``ray_idxs``
+    must be tile-ordered, non-negative, and a multiple of
+    ``rays_per_block`` long. Returns (V, 2) int32 spans."""
+    lib = get_lib()
+    idxs = np.ascontiguousarray(ray_idxs, dtype=np.int32)
+    P = np.ascontiguousarray(P, dtype=np.float64)
+    n_views = P.shape[0]
+    out = np.zeros((n_views, 2), dtype=np.int32)
+    lib.band_plan_spans(
+        idxs, len(idxs), P.reshape(-1), int(n_views),
+        np.ascontiguousarray(P_pinv, dtype=np.float64).reshape(4, 3),
+        np.ascontiguousarray(camera_center, dtype=np.float64).reshape(3),
+        np.ascontiguousarray(bbox, dtype=np.float64).reshape(6),
+        int(height), int(width), int(padding), int(depth_planes),
+        int(group_d), int(rays_per_block), out,
+    )
+    return out
 
 
 def bp_plan_stats(st, en, rays, S, ngrp, pbins, slack, eps):

@@ -448,6 +448,39 @@ static inline double max_nanprop(double a, double b) {
   return a > b ? a : b;
 }
 
+static inline void ray_segment_single(
+    int32_t ray_idx, const double* P_pinv, const double* cc,
+    const double* bbox, int height, double* s /* (3,) */,
+    double* e /* (3,) */) {
+  const double x = (double)(ray_idx / height);
+  const double y = (double)(ray_idx % height);
+  double hom[4];
+  for (int j = 0; j < 4; ++j)
+    hom[j] = x * P_pinv[3 * j] + y * P_pinv[3 * j + 1] + P_pinv[3 * j + 2];
+  double dir[3], t_near = -std::numeric_limits<double>::infinity(),
+                 t_far = std::numeric_limits<double>::infinity();
+  for (int a = 0; a < 3; ++a) {
+    dir[a] = hom[a] / hom[3] - cc[a];
+    const double t1 = (bbox[a] - cc[a]) / dir[a];
+    const double t2 = (bbox[3 + a] - cc[a]) / dir[a];
+    t_near = max_nanprop(t_near, min_nanprop(t1, t2));
+    t_far = min_nanprop(t_far, max_nanprop(t1, t2));
+  }
+  const bool near_mask = std::fabs(t_near) < std::fabs(t_far);
+  double tna = near_mask ? t_near : t_far;
+  double tfa = near_mask ? t_far : t_near;
+  if (t_near > t_far) {  // line misses the box: mid-slab collapse
+    double t_mid = 0.5 * (t_near + t_far);
+    if (!std::isfinite(t_mid)) t_mid = 0.0;
+    tna = t_mid;
+    tfa = t_mid;
+  }
+  for (int a = 0; a < 3; ++a) {
+    s[a] = cc[a] + tna * dir[a];
+    e[a] = cc[a] + tfa * dir[a];
+  }
+}
+
 void rays_entry_exit(
     const int32_t* ray_idxs /* (n,) non-negative pixel ids */, int64_t n,
     const double* P_pinv /* (4, 3) row-major */, const double* cc /* (3,) */,
@@ -455,33 +488,136 @@ void rays_entry_exit(
     double* out_s /* (n, 3) */, double* out_e /* (n, 3) */) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
-    const double x = (double)(ray_idxs[i] / height);
-    const double y = (double)(ray_idxs[i] % height);
-    double hom[4];
-    for (int j = 0; j < 4; ++j)
-      hom[j] = x * P_pinv[3 * j] + y * P_pinv[3 * j + 1] + P_pinv[3 * j + 2];
-    double dir[3], t_near = -std::numeric_limits<double>::infinity(),
-                   t_far = std::numeric_limits<double>::infinity();
-    for (int a = 0; a < 3; ++a) {
-      dir[a] = hom[a] / hom[3] - cc[a];
-      const double t1 = (bbox[a] - cc[a]) / dir[a];
-      const double t2 = (bbox[3 + a] - cc[a]) / dir[a];
-      t_near = max_nanprop(t_near, min_nanprop(t1, t2));
-      t_far = min_nanprop(t_far, max_nanprop(t1, t2));
+    ray_segment_single(ray_idxs[i], P_pinv, cc, bbox, height,
+                       out_s + 3 * i, out_e + 3 * i);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Band-spec span planning for the plane-sweep kernel: per-view maximum over
+// all (rays_per_block ray block, depth-group) sub-band boxes of
+// (y_span, x_span). Host analog of ops/pallas/planesweep._plan_spans_max —
+// f64 projections with round-half-even (std::nearbyint, like numpy/jnp
+// round); the runtime front end is exact f32, and the +pad margin in
+// plan_band_specs absorbs the f64-vs-f32 rounding jitter (the same contract
+// as the beam planner's +-2 budget). Replaces a 30-150 s remote TPU compile
+// of the planning program plus per-view device round trips.
+// ---------------------------------------------------------------------------
+// One projected feature index. Returns false for a NaN projection or a
+// clamp sentinel (fx == 0 || fy == 0) — excluded from boxes either way.
+static inline bool project_feature_idx_single(
+    const double* Pv /* (3, 4) */, double px, double py, double pz,
+    int offset, int width, int height, double* w_out, int32_t* fx_out,
+    int32_t* fy_out) {
+  const double w = Pv[8] * px + Pv[9] * py + Pv[10] * pz + Pv[11];
+  const double u = (Pv[0] * px + Pv[1] * py + Pv[2] * pz + Pv[3]) / w;
+  const double vv = (Pv[4] * px + Pv[5] * py + Pv[6] * pz + Pv[7]) / w;
+  *w_out = w;
+  *fx_out = 0;
+  *fy_out = 0;
+  double rx = std::nearbyint(u), ry = std::nearbyint(vv);
+  if (rx != rx || ry != ry) return false;  // NaN projection: sentinel
+  // saturate infinities to the clamp range (the runtime's f32 cast
+  // saturates too)
+  rx = std::min(std::max(rx, -2.0e9), 2.0e9);
+  ry = std::min(std::max(ry, -2.0e9), 2.0e9);
+  int64_t fx = (int64_t)rx + offset, fy = (int64_t)ry + offset;
+  fx = fx < 0 ? 0 : (fx > width ? width : fx);
+  fy = fy < 0 ? 0 : (fy > height ? height : fy);
+  *fx_out = (int32_t)fx;
+  *fy_out = (int32_t)fy;
+  return fx != 0 && fy != 0;  // both-zero sentinel
+}
+
+static inline void box_update(int32_t* bx, int32_t fx, int32_t fy) {
+  if (fy < bx[0]) bx[0] = fy;
+  if (fx < bx[1]) bx[1] = fx;
+  if (fy > bx[2]) bx[2] = fy;
+  if (fx > bx[3]) bx[3] = fx;
+}
+
+void band_plan_spans(
+    const int32_t* ray_idxs /* (n,) tile-ordered, non-negative */, int64_t n,
+    const double* P /* (V, 3, 4) row-major */, int n_views,
+    const double* P_pinv /* (4, 3) */, const double* cc /* (3,) */,
+    const double* bbox /* (6,) */, int height, int width, int padding,
+    int depth_planes, int group_d, int rays_per_block,
+    int32_t* out_spans /* (V, 2) (y_span, x_span) maxima */) {
+  const int64_t nb = n / rays_per_block;
+  const int gd = group_d < depth_planes ? group_d : depth_planes;
+  const int ng = depth_planes / gd;
+  const int offset = padding - (padding - 1) / 2;
+  const double inv_dm1 = 1.0 / (double)(depth_planes - 1);
+  // per-(block, group, view) boxes: min_y, min_x, max_y, max_x
+  std::vector<int32_t> boxes((size_t)nb * ng * n_views * 4);
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    int32_t* box = boxes.data() + (size_t)b * ng * n_views * 4;
+    for (int j = 0; j < ng * n_views; ++j) {
+      box[4 * j + 0] = INT32_MAX;  // min_y
+      box[4 * j + 1] = INT32_MAX;  // min_x
+      box[4 * j + 2] = -1;         // max_y
+      box[4 * j + 3] = -1;         // max_x
     }
-    const bool near_mask = std::fabs(t_near) < std::fabs(t_far);
-    double tna = near_mask ? t_near : t_far;
-    double tfa = near_mask ? t_far : t_near;
-    if (t_near > t_far) {  // line misses the box: mid-slab collapse
-      double t_mid = 0.5 * (t_near + t_far);
-      if (!std::isfinite(t_mid)) t_mid = 0.0;
-      tna = t_mid;
-      tfa = t_mid;
+    for (int r = 0; r < rays_per_block; ++r) {
+      double s[3], e[3];
+      ray_segment_single(ray_idxs[b * rays_per_block + r], P_pinv, cc,
+                         bbox, height, s, e);
+      if (s[0] == e[0] && s[1] == e[1] && s[2] == e[2]) continue;  // miss
+      const double dx = e[0] - s[0], dy = e[1] - s[1], dz = e[2] - s[2];
+      for (int v = 0; v < n_views; ++v) {
+        const double* Pv = P + 12 * v;
+        for (int g = 0; g < ng; ++g) {
+          // The projection of the 3D segment is per-coordinate a
+          // MOEBIUS function of the depth index — monotone wherever w
+          // keeps its sign — so a depth group's box is attained at the
+          // group's two ENDPOINT planes unless w changes sign inside
+          // the group or a clamp sentinel interferes; those rare
+          // (border / behind-camera) groups take the per-plane loop.
+          const int d0 = g * gd, d1 = g * gd + gd - 1;
+          const double f0 = (double)d0 * inv_dm1,
+                       f1 = (double)d1 * inv_dm1;
+          double w0, w1;
+          int32_t fx0, fy0, fx1, fy1;
+          const bool ok0 = project_feature_idx_single(
+              Pv, s[0] + f0 * dx, s[1] + f0 * dy, s[2] + f0 * dz,
+              offset, width, height, &w0, &fx0, &fy0);
+          const bool ok1 = project_feature_idx_single(
+              Pv, s[0] + f1 * dx, s[1] + f1 * dy, s[2] + f1 * dz,
+              offset, width, height, &w1, &fx1, &fy1);
+          int32_t* bx = box + 4 * (g * n_views + v);
+          if (ok0 && ok1 && ((w0 > 0.0) == (w1 > 0.0))) {
+            box_update(bx, fx0, fy0);
+            box_update(bx, fx1, fy1);
+            continue;
+          }
+          for (int d = d0; d <= d1; ++d) {
+            const double f = (double)d * inv_dm1;
+            double w;
+            int32_t fx, fy;
+            if (project_feature_idx_single(
+                    Pv, s[0] + f * dx, s[1] + f * dy, s[2] + f * dz,
+                    offset, width, height, &w, &fx, &fy))
+              box_update(bx, fx, fy);
+          }
+        }
+      }
     }
-    for (int a = 0; a < 3; ++a) {
-      out_s[3 * i + a] = cc[a] + tna * dir[a];
-      out_e[3 * i + a] = cc[a] + tfa * dir[a];
-    }
+  }
+  for (int v = 0; v < n_views; ++v) {
+    out_spans[2 * v] = 0;
+    out_spans[2 * v + 1] = 0;
+  }
+  for (int64_t b = 0; b < nb; ++b) {
+    const int32_t* box = boxes.data() + (size_t)b * ng * n_views * 4;
+    for (int g = 0; g < ng; ++g)
+      for (int v = 0; v < n_views; ++v) {
+        const int32_t* bx = box + 4 * (g * n_views + v);
+        if (bx[2] < 0) continue;  // all-sentinel: empty box, span 0
+        const int32_t sy = bx[2] - bx[0], sx = bx[3] - bx[1];
+        if (sy > out_spans[2 * v]) out_spans[2 * v] = sy;
+        if (sx > out_spans[2 * v + 1]) out_spans[2 * v + 1] = sx;
+      }
   }
 }
 

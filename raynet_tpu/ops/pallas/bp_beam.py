@@ -380,10 +380,13 @@ def plan_bp_config(
 
 _BA_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 192, 256)  # multiples of 8
 _ROWS_CAP = 512  # ba*nstripe bound: keeps the gather-group VMEM ~4 MB
-# Mosaic's scoped-VMEM budget is 16 MiB on v5e; the model below read
-# 24.97 MiB for a 2048-ray bench config the compiler measured at
-# 24.62 MiB (+1.4%, conservative side). Keep a little headroom.
-_SCOPED_VMEM_LIMIT = int(15.5 * 2**20)
+# Mosaic's DEFAULT scoped-VMEM budget is 16 MiB, but a v5e core has
+# 128 MiB of VMEM — bp_beam_call raises its own ceiling via
+# CompilerParams(vmem_limit_bytes). The planner guard keeps headroom
+# below that ceiling. The estimator was calibrated against a
+# compiler-measured 24.62 MiB config (model read 24.97, +1.4%).
+_VMEM_LIMIT_BYTES = 64 << 20
+_SCOPED_VMEM_LIMIT = 58 << 20
 
 
 def est_scoped_vmem(S, K, BA, nstripe, depth_planes, rays):
@@ -415,10 +418,12 @@ def plan_cost_ms(cfg):
 
 def rays_candidates(unit):
     """Rays-per-block candidates to plan for a per-device batch of
-    ``unit`` rays, largest first. 1024 is the largest block that fits
-    the scoped-VMEM budget at production shapes (2048 OOMs); planning
-    the top TWO lets the cost model reject a bigger-rays plan whose
-    box bucket jumped (a wider block footprint can need the next
+    ``unit`` rays, largest first. 2048 fits the raised scoped-VMEM
+    ceiling (~25 MiB, vmem_limit_bytes=64 MiB) but measured NEUTRAL on
+    device (10.20 vs 10.01 ms at 1024, v5e 2026-08-19) — the serial
+    march is issue-bound, so wider blocks stopped paying past 1024;
+    planning the top TWO lets the cost model reject a bigger-rays plan
+    whose box bucket jumped (a wider block footprint can need the next
     _BA_BUCKETS step, and rows cost more than blocks save)."""
     return [r for r in (1024, 512, 256) if unit % r == 0][:2]
 
@@ -1402,7 +1407,9 @@ def bp_beam_call(
         ),
         input_output_aliases={5: 1},  # zeros grid -> accumulated output
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
     )(origins, seg, splanes, msgs, grid_perm, zeros_grid)
 
 

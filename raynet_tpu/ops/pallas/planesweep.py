@@ -208,6 +208,9 @@ def _banded_pair_sums(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 1, T), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
     )(origins, cellids, f00, feats_packed)
 
 
@@ -412,6 +415,33 @@ def plan_band_specs(
     n_tiles = perm.shape[0] // RAYS_PER_BLOCK
     perm = np.asarray(perm)
 
+    from ... import native
+
+    if native.is_available():
+        # Native host planning (f64, OpenMP): no remote compile of the
+        # span program (30-150 s cold per process), no idx upload, no
+        # device round trip per view — pure host work. The f64-vs-f32
+        # rounding jitter against the runtime front end is absorbed by
+        # the same ``pad`` margin that covers the planner's other
+        # f32 deltas (cf. the beam planner's +-2 budget).
+        spans_native = native.band_plan_spans(
+            perm, np.asarray(P, np.float64),
+            np.asarray(P_pinv, np.float64),
+            np.asarray(camera_center, np.float64),
+            np.asarray(bbox, np.float64), height, width, padding,
+            depth_planes, _group_d(depth_planes), RAYS_PER_BLOCK,
+        )
+        specs = [
+            _spec_from_need(
+                int(spans_native[v, 0]) + 1 + pad,
+                int(spans_native[v, 1]) + 1 + pad,
+            )
+            for v in range(spans_native.shape[0])
+        ]
+        if _specs_vmem_bytes(specs, depth_planes) > _VMEM_BUDGET:
+            return None
+        return tuple(specs)
+
     chunk_rays = chunk_tiles * RAYS_PER_BLOCK
     # Pad the chunk COUNT to the full-image tile count so every view of
     # an image size compiles ONE _plan_spans_max program (GT-filtered
@@ -447,7 +477,13 @@ def plan_band_specs(
     return tuple(specs)
 
 
-_VMEM_BUDGET = 14 << 20  # bytes of scoped VMEM the banded kernel may plan
+# Bytes of scoped VMEM the banded kernel may plan. The kernel raises
+# Mosaic's 16 MiB default ceiling via CompilerParams(vmem_limit_bytes)
+# — a v5e core has 128 MiB — so wide-FOV geometry that used to fall
+# back to the XLA gather path now plans banded boxes too; the planner
+# budget keeps headroom below the raised ceiling.
+_VMEM_LIMIT_BYTES = 64 << 20
+_VMEM_BUDGET = 58 << 20
 
 
 def _specs_vmem_bytes(box_specs, depth_planes):

@@ -793,7 +793,7 @@ def test_vmem_model_cost_model_and_rays_candidates():
 
     est = est_scoped_vmem(128, 3, 32, 2, 32, 2048)
     assert 24.62 * 2**20 <= est <= 26.5 * 2**20, est / 2**20
-    assert est_scoped_vmem(128, 3, 32, 2, 32, 1024) <= _SCOPED_VMEM_LIMIT
+    assert est <= _SCOPED_VMEM_LIMIT  # 2048-ray blocks fit the raised ceiling
     # candidates: largest first, top two, divisibility respected
     assert rays_candidates(61440) == [1024, 512]
     assert rays_candidates(512 * 3) == [512, 256]

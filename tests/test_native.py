@@ -214,3 +214,90 @@ def test_native_dom_sign_and_fill_matches_numpy():
         z.copy(), z.copy(), rays, bins
     )
     assert flip_e is None and r_e == "empty-rays"
+
+
+def _band_spans_oracle(perm, P, P_pinv, cc, bbox, h, w, padding, D,
+                       group_d, rays_per_block):
+    """Per-point numpy f64 oracle of native.band_plan_spans (the
+    endpoint-monotonicity fast path must be invisible)."""
+    from raynet_tpu.ops.geometry import _host_rays_entry_exit_numpy
+
+    s, e = _host_rays_entry_exit_numpy(perm, P_pinv, cc, bbox, h, np.float64)
+    hit = np.any(s != e, axis=1)
+    frac = np.arange(D, dtype=np.float64) / (D - 1)
+    pts = s[:, None, :] + frac[None, :, None] * (e - s)[:, None, :]  # (N,D,3)
+    V = P.shape[0]
+    offset = padding - (padding - 1) // 2
+    hom = np.einsum("vij,ndj->vnid", P, np.concatenate(
+        [pts, np.ones_like(pts[..., :1])], axis=-1))
+    uv = hom[:, :, :2] / hom[:, :, 2:3]  # (V, N, 2, D)
+    r = np.round(uv)
+    r = np.where(np.isnan(r), -1e18, np.clip(r, -2e9, 2e9))
+    f = r.astype(np.int64) + offset
+    fx = np.clip(f[:, :, 0], 0, w)
+    fy = np.clip(f[:, :, 1], 0, h)
+    sent = (fx == 0) | (fy == 0) | ~hit[None, :, None]
+    gd = min(group_d, D)
+    ng = D // gd
+    nb = len(perm) // rays_per_block
+    fx = fx.reshape(V, nb, rays_per_block, ng, gd)
+    fy = fy.reshape(V, nb, rays_per_block, ng, gd)
+    sent = sent.reshape(V, nb, rays_per_block, ng, gd)
+    big = 1 << 40
+    min_x = np.where(sent, big, fx).min(axis=(2, 4))
+    max_x = np.where(sent, -1, fx).max(axis=(2, 4))
+    min_y = np.where(sent, big, fy).min(axis=(2, 4))
+    max_y = np.where(sent, -1, fy).max(axis=(2, 4))
+    empty = max_x < 0
+    span_x = np.where(empty, 0, max_x - min_x)
+    span_y = np.where(empty, 0, max_y - min_y)
+    return np.stack(
+        [span_y.max(axis=(1, 2)), span_x.max(axis=(1, 2))], axis=-1
+    ).astype(np.int32)
+
+
+@pytest.mark.skipif(not native.is_available(), reason="no native lib")
+def test_native_band_plan_spans_matches_oracle(rng):
+    """band_plan_spans == the per-point numpy oracle: the endpoint
+    (Moebius-monotonicity) fast path must never change a box, including
+    blocks whose rays clip the image border (clamp sentinels force the
+    per-plane fallback) and bbox-miss rays (excluded entirely)."""
+    h, w, V, D, padding = 96, 128, 4, 16, 11
+    K = np.array([[160.0, 0, w / 2], [0, 160.0, h / 2], [0, 0, 1]])
+
+    def cam(az, radius=12.0):
+        c = radius * np.array([np.sin(az), 0.15, -np.cos(az)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        return K @ np.hstack([R, -R @ c.reshape(3, 1)]), c
+
+    Ps, c0 = [], None
+    for i in range(V):
+        Pm, c = cam(0.35 * i)
+        Ps.append(Pm)
+        if i == 0:
+            c0 = c
+    P = np.stack(Ps)
+    P_pinv = np.linalg.pinv(P[0])
+
+    from raynet_tpu.ops.pallas.planesweep import tile_order
+
+    idxs = jnp.arange(h * w, dtype=jnp.int32)
+    perm = np.asarray(tile_order(idxs, h)[0], np.int32)
+
+    # a small bbox (all rays hit) and a shifted one (border clipping +
+    # misses exercise the sentinel/fallback paths)
+    for bbox in (
+        np.array([-2, -2, -2, 2, 2, 2], float),
+        np.array([-1, -6, -1, 7, 2, 3], float),
+    ):
+        spans_n = native.band_plan_spans(
+            perm, P, P_pinv, c0, bbox, h, w, padding, D, 4, 128
+        )
+        spans_o = _band_spans_oracle(
+            perm, P, P_pinv, c0, bbox, h, w, padding, D, 4, 128
+        )
+        np.testing.assert_array_equal(spans_n, spans_o)

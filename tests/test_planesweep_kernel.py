@@ -235,3 +235,35 @@ def test_banded_multi_group_matches_xla(rng, monkeypatch):
         np.asarray(inv)
     ]
     np.testing.assert_allclose(S_kernel, S_ref, rtol=2e-2, atol=2e-3)
+
+
+def test_plan_band_specs_native_matches_jax(rng, monkeypatch):
+    """The native host band planner and the jitted fallback must produce
+    the SAME specs (the f64-vs-f32 rounding jitter disappears into the
+    +pad margin and the bucket ladder), on the full image and on a
+    GT-masked (negative-pad-encoded) ray subset."""
+    from raynet_tpu import native
+    from raynet_tpu.ops.pallas.planesweep import plan_band_specs, tile_order
+
+    if not native.is_available():
+        pytest.skip("no native lib")
+    h = w = 32
+    d = 8
+    P, P_pinv, center, bbox, _, padding = _ring_setup(rng, h, w)
+
+    idxs = jnp.arange(h * w, dtype=jnp.int32)
+    perm = np.asarray(tile_order(idxs, h)[0], np.int32)
+    sub = perm[: 3 * 128 + 40].copy()  # ragged subset -> pad encoding
+    pad_n = 128 - (len(sub) % 128)
+    sub_enc = np.concatenate([sub, np.full(pad_n, -(sub[-1] + 1), np.int32)])
+
+    for ray_idxs in (None, sub_enc):
+        specs_native = plan_band_specs(
+            P, P_pinv, center, bbox, h, w, padding, d, ray_idxs=ray_idxs
+        )
+        monkeypatch.setattr(native, "is_available", lambda: False)
+        specs_jax = plan_band_specs(
+            P, P_pinv, center, bbox, h, w, padding, d, ray_idxs=ray_idxs
+        )
+        monkeypatch.undo()
+        assert specs_native == specs_jax, (specs_native, specs_jax)
