@@ -1114,9 +1114,14 @@ class RayNetForwardPass(ForwardPass):
             unit = b // n_dev
             _lap("coalesce")
             if device_fast or host_staged or sharded_fast:
+                # HOST arrays here: the class segments below upload each
+                # chunk range exactly once. Committing the full tensor
+                # first and slicing segments out of the device array paid
+                # an eager-slice remote compile (seconds each through the
+                # tunnel) plus a duplicate upload of every split image.
                 stacked = {
                     i: self._stacked_batches(
-                        ray_idxs_per_image[i], commit=not sharded_fast
+                        ray_idxs_per_image[i], commit=False
                     )
                     for i in ref_indices
                 }
@@ -1154,20 +1159,19 @@ class RayNetForwardPass(ForwardPass):
                     nchunks = int(chunks_arr.shape[0])
                     out = []
                     for seg_cfg, c0, c1 in _seg_ranges(i, nchunks):
-                        if c0 == 0 and c1 == nchunks:
-                            out.append(
-                                (seg_cfg, c0, c1, chunks_arr, n_valids_arr,
-                                 None)
-                            )
-                        else:
-                            out.append((
-                                seg_cfg, c0, c1,
-                                jax.device_put(chunks_arr[c0:c1]),
-                                jax.device_put(n_valids_arr[c0:c1]),
-                                jax.device_put(
-                                    np.arange(c0, c1, dtype=np.int32) * b
-                                ),
-                            ))
+                        out.append((
+                            seg_cfg, c0, c1,
+                            jax.device_put(
+                                np.ascontiguousarray(chunks_arr[c0:c1])
+                            ),
+                            jax.device_put(
+                                np.ascontiguousarray(n_valids_arr[c0:c1])
+                            ),
+                            None if (c0 == 0 and c1 == nchunks)
+                            else jax.device_put(
+                                np.arange(c0, c1, dtype=np.int32) * b
+                            ),
+                        ))
                     seg_data[i] = out
             if sharded_fast:
                 # device-major chunk layout: device k owns rows

@@ -64,6 +64,7 @@ RAYS = 256  # rays per block (two 16x8 pixel tiles = a 16x16 block)
 # planes save. See git history (HAT_WINDOW) if depth_planes ever grows
 # far beyond 32, where the trade could flip.
 _EPS = 1e-2
+_DEBUG_HAT_OFF = False  # A/B timers only: replace the hat D-loop with ts
 _FLT_MAX = 3.4028235e38
 _CLIP_S = 1e-5
 _CLIP_MU = 1e-4
@@ -1007,10 +1008,13 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         tt = t_scr[_ds8(c * 8, 8)]
         cc = cell_scr[_ds8(c * 8, 8)]
         ts = tt * scale
-        sv = jnp.zeros((8, RAYS), jnp.float32)
-        for d in range(D):
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(ts - d))
-            sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
+        if _DEBUG_HAT_OFF:  # A/B timer knob: D-loop cost isolation
+            sv = ts
+        else:
+            sv = jnp.zeros((8, RAYS), jnp.float32)
+            for d in range(D):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(ts - d))
+                sv = sv + jnp.broadcast_to(sp[d : d + 1], (8, RAYS)) * w
         sv = jnp.where(cc >= 0, sv, 0.0)
         sv_scr[_ds8(c * 8, 8)] = sv
         return total + sv.sum(axis=0, keepdims=True)

@@ -400,20 +400,27 @@ def plan_band_specs(
     # a D % group config would silently drop the tail targets
     if depth_planes % _group_d(depth_planes) != 0:
         return None
-    idxs = jnp.arange(n, dtype=jnp.int32)
+    # Planning is HOST work: the tile order runs in numpy (a jnp
+    # arange/argsort here dispatched eagerly to the TPU — ~20 s of
+    # remote compiles on first use plus a megabyte-scale permutation
+    # download per view through the tunnel).
     if ray_idxs is not None:
         arr = np.asarray(ray_idxs, np.int32)
         if len(arr) == 0:  # image with no valid rays: no banded kernel
             return None
         # negative-encoded pad entries duplicate the preceding ray
-        perm = jnp.asarray(np.where(arr < 0, -arr - 1, arr))
+        perm = np.where(arr < 0, -arr - 1, arr).astype(np.int32)
     else:
-        perm, _ = tile_order(idxs, height)
+        idxs = np.arange(n, dtype=np.int32)
+        # same stable tile sort as tile_order (int keys: np and jnp
+        # stable argsorts agree elementwise)
+        perm = np.argsort(tile_ids(idxs, height), kind="stable").astype(
+            np.int32
+        )
     if perm.shape[0] % RAYS_PER_BLOCK:  # pad to whole blocks
         tail = RAYS_PER_BLOCK - perm.shape[0] % RAYS_PER_BLOCK
-        perm = jnp.concatenate([perm, jnp.repeat(perm[-1:], tail)])
+        perm = np.concatenate([perm, np.repeat(perm[-1:], tail)])
     n_tiles = perm.shape[0] // RAYS_PER_BLOCK
-    perm = np.asarray(perm)
 
     from ... import native
 

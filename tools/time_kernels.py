@@ -34,6 +34,9 @@ def main():
                          "block)")
     ap.add_argument("--beam_rays", type=int, default=512,
                     help="beam kernel rays-per-block (plan_bp_config)")
+    ap.add_argument("--hat_off", action="store_true",
+                    help="A/B: replace the beam kernel's hat D-loop "
+                         "with ts (cost isolation; WRONG results)")
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
@@ -58,6 +61,11 @@ def main():
     if args.tile_w:
         ps.TILE_W = args.tile_w
         print("TILE_W=%d" % (ps.TILE_W,), file=sys.stderr)
+    if args.hat_off:
+        import raynet_tpu.ops.pallas.bp_beam as bb
+
+        bb._DEBUG_HAT_OFF = True
+        print("HAT_OFF", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
