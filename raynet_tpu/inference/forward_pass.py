@@ -31,6 +31,11 @@ def _use_pallas():
     return jax.default_backend() != "cpu"
 
 
+# (H, W, TILE_W, TILE_H) -> frozen tile-sorted all-rays order; see
+# get_valid_rays_per_image (scene-independent, ~3.7 MB per shape)
+_UNFILTERED_RAY_ORDER = {}
+
+
 def _coalesce_band_specs(specs_by_image):
     """Elementwise max of per-image band specs so every reference view of a
     scene shares ONE compiled kernel (specs are static args; per-view
@@ -245,7 +250,24 @@ class ForwardPass:
             grid = idxs.reshape(W, H).T
             G = scene.get_depth_map(i)
             idxs = grid[G != 0].ravel()
-        return self._tile_sort(idxs, H)
+            return self._tile_sort(idxs, H)
+        # Unfiltered: the tile-sorted all-rays order is IMAGE-independent
+        # (arange + a ~1M-row argsort per view at DTU scale, ~20 s of the
+        # extrapolated cold-plan cost) — cache it per image shape. The
+        # cached master is frozen; downstream reorder/pad steps copy.
+        from ..ops.pallas import planesweep as _ps
+
+        key = (H, W, _ps.TILE_W, _ps.TILE_H)
+        out = _UNFILTERED_RAY_ORDER.get(key)
+        if out is None or not self._tile_sorted_applies():
+            out = self._tile_sort(idxs, H)
+            if self._tile_sorted_applies():
+                out.flags.writeable = False
+                _UNFILTERED_RAY_ORDER[key] = out
+        return out
+
+    def _tile_sorted_applies(self):
+        return _use_pallas() and self.rays_batch % 128 == 0
 
     @staticmethod
     def _pad_tile_runs(idxs, height):

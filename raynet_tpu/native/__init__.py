@@ -82,6 +82,15 @@ def get_lib():
         ]
         lib.bp_plan_stats_raw.restype = None
 
+        f64p2 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.bp_plan_agg.argtypes = [
+            f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, f64p, i32p, ctypes.c_int, f64p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i32p, f64p2, f64p2, f64p2, f64p2,
+        ]
+        lib.bp_plan_agg.restype = None
+
         lib.rays_entry_exit.argtypes = [
             i32p, ctypes.c_int64, f64p, f64p, f64p, ctypes.c_int,
             f64p, f64p,
@@ -251,6 +260,35 @@ def dom_sign_and_fill(s, e, rays, bins3):
     if code == 2:
         return int(dom[0]), None, "mixed-dominant-sign"
     return int(dom[0]), bool(flip[0]), "ok"
+
+
+def bp_plan_agg(s, e, rays, S, ngrp, pbins, perm, flip, bmin, ext,
+                slack, eps):
+    """Raw per-block planner aggregates at the FINEST rays-per-block:
+    (k_blk (nb,) int32, lo_a, hi_a, lo_b, hi_b (nb, ngrp) f64 floors).
+    One march per ray serves every coarser candidate — coarse blocks
+    reduce over consecutive fine sub-blocks (bp_beam._needs_from_agg).
+    Marshalling semantics identical to :func:`bp_plan_stats_raw`."""
+    lib = get_lib()
+    s = np.ascontiguousarray(s, dtype=np.float64)
+    e = np.ascontiguousarray(e, dtype=np.float64)
+    n = len(s)
+    nb = n // rays
+    k_blk = np.zeros((nb,), dtype=np.int32)
+    lo_a = np.empty((nb, ngrp), dtype=np.float64)
+    hi_a = np.empty((nb, ngrp), dtype=np.float64)
+    lo_b = np.empty((nb, ngrp), dtype=np.float64)
+    hi_b = np.empty((nb, ngrp), dtype=np.float64)
+    lib.bp_plan_agg(
+        s, e, n, int(rays), int(S), int(ngrp),
+        np.ascontiguousarray(pbins, dtype=np.float64).reshape(3),
+        np.ascontiguousarray(perm, dtype=np.int32).reshape(3),
+        int(bool(flip)),
+        np.ascontiguousarray(bmin, dtype=np.float64).reshape(3),
+        float(ext), float(slack), float(eps),
+        k_blk, lo_a, hi_a, lo_b, hi_b,
+    )
+    return k_blk, lo_a, hi_a, lo_b, hi_b
 
 
 def bp_plan_stats_raw(s, e, rays, S, ngrp, pbins, perm, flip, bmin, ext,

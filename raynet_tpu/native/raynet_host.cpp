@@ -201,6 +201,110 @@ int extract_patches(
 // ext (= S * pb[0], the permuted dominant extent) apply per ray. The
 // arithmetic order matches the numpy marshalling exactly (shift, then
 // mirror), so results stay bit-identical to the pre-permuted form.
+// Per-ray planner accumulation shared by bp_plan_stats_raw (needs) and
+// bp_plan_agg (raw per-block aggregates): K-walk max into *kmax, group
+// lateral lo/hi into the four ngrp-length arrays. The body is the
+// former bp_plan_stats_raw inner loop verbatim, so both entry points
+// stay bit-identical to the pre-refactor results.
+static inline void plan_accum_ray(
+    const double* st, const double* en, int64_t i, const int32_t* perm,
+    int flip, const double* bmin, double ext, const double* pb, int S,
+    int ngrp, double slack, double eps, int* kmax,
+    double* lo_a, double* hi_a, double* lo_b, double* hi_b) {
+  double s3[3], e3[3];
+  for (int a = 0; a < 3; ++a) {
+    s3[a] = st[i * 3 + perm[a]] - bmin[perm[a]];
+    e3[a] = en[i * 3 + perm[a]] - bmin[perm[a]];
+  }
+  if (flip) {
+    s3[0] = ext - s3[0];
+    e3[0] = ext - e3[0];
+  }
+  double stepf[3], tmax[3], tdelta[3];
+  for (int a = 0; a < 3; ++a) {
+    double ray = e3[a] - s3[a];
+    stepf[a] = ray >= 0.0 ? 1.0 : -1.0;
+    double startn = s3[a] + stepf[a] * pb[a] * eps;
+    double cur = std::floor(startn / pb[a]);
+    double cc = cur * pb[a];
+    double boundary = (stepf[a] < 0.0 && cc < startn)
+                          ? cc
+                          : cc + stepf[a] * pb[a];
+    if (ray != 0.0) {
+      tmax[a] = (boundary - startn) / ray;
+      tdelta[a] = stepf[a] * pb[a] / ray;
+    } else {
+      tmax[a] = std::numeric_limits<double>::infinity();
+      tdelta[a] = std::numeric_limits<double>::infinity();
+    }
+  }
+  // --- exact K: walk the S relative dominant slices. Fast-path:
+  // every slice interval is at most td0 + 2*slack long, so
+  // 1 + sum_a (floor((td0 + 2*slack)/td_a) + 1) bounds any
+  // slice's emissions from above — when the bound cannot beat the
+  // block's best-so-far, the walk is provably redundant (the
+  // result is identical: skipped rays satisfy exact <= bound <=
+  // kmax). Most rays skip once kmax reaches the block's true max.
+  double kbound = 1.0;
+  for (int a = 1; a < 3; ++a) {
+    double c = (tdelta[0] + 2.0 * slack) / tdelta[a];
+    kbound += (std::isfinite(c) ? std::floor(c) : 0.0) + 1.0;
+  }
+  if (!std::isfinite(tdelta[0]))
+    kbound = std::numeric_limits<double>::infinity();
+  if (!std::isfinite(kbound) || (int)kbound > *kmax) {
+    double t_prev = 0.0;  // t_entry[0] = 0
+    for (int j = 0; j < S; ++j) {
+      double t_next = tmax[0] + (double)j * tdelta[0];
+      if (!(t_next < 1.0)) t_next = 1.0;  // min(., 1); inf/nan -> 1
+      double tlo = t_prev - slack;
+      double thi = t_next + slack;
+      double em = 1.0;
+      for (int a = 1; a < 3; ++a) {
+        // crossings_below(T) = clip(floor((T - tmax)/tdelta) + 1, 0,)
+        double xh = (thi - tmax[a]) / tdelta[a];
+        double xl = (tlo - tmax[a]) / tdelta[a];
+        double nh = std::isfinite(xh)
+                        ? std::max(std::floor(xh) + 1.0, 0.0)
+                        : 0.0;
+        double nl = std::isfinite(xl)
+                        ? std::max(std::floor(xl) + 1.0, 0.0)
+                        : 0.0;
+        em += nh - nl;
+      }
+      if (std::isfinite(em) && (int)em > *kmax) *kmax = (int)em;
+      t_prev = t_next;
+    }
+  }
+  // --- group-boundary lateral positions (clamped dominant lerp)
+  double d0 = s3[0] / pb[0], d1 = e3[0] / pb[0];
+  double denom = d1 - d0;
+  if (denom < 1e-9) denom = 1e-9;
+  double inv = 1.0 / denom;
+  double a0 = s3[1] / pb[1], da = e3[1] / pb[1] - a0;
+  double b0 = s3[2] / pb[2], db = e3[2] / pb[2] - b0;
+  double pa_prev = 0.0, pb_prev = 0.0;
+  for (int g = 0; g <= ngrp; ++g) {
+    double t = ((double)g * 8.0 - d0) * inv;
+    if (t < 0.0) t = 0.0;
+    if (t > 1.0) t = 1.0;
+    double pa = a0 + t * da;
+    double pbv = b0 + t * db;
+    if (g > 0) {
+      double la = std::floor(std::min(pa_prev, pa));
+      double ha = std::floor(std::max(pa_prev, pa));
+      double lb = std::floor(std::min(pb_prev, pbv));
+      double hb = std::floor(std::max(pb_prev, pbv));
+      if (la < lo_a[g - 1]) lo_a[g - 1] = la;
+      if (ha > hi_a[g - 1]) hi_a[g - 1] = ha;
+      if (lb < lo_b[g - 1]) lo_b[g - 1] = lb;
+      if (hb > hi_b[g - 1]) hi_b[g - 1] = hb;
+    }
+    pa_prev = pa;
+    pb_prev = pbv;
+  }
+}
+
 void bp_plan_stats_raw(
     const double* st, const double* en, int64_t n, int rays, int S,
     int ngrp, const double* pb, const int32_t* perm, int flip,
@@ -212,100 +316,10 @@ void bp_plan_stats_raw(
     std::vector<double> lo_a(ngrp, 1e300), hi_a(ngrp, -1e300);
     std::vector<double> lo_b(ngrp, 1e300), hi_b(ngrp, -1e300);
     int kmax = 1;
-    for (int r = 0; r < rays; ++r) {
-      double s3[3], e3[3];
-      for (int a = 0; a < 3; ++a) {
-        s3[a] = st[(b * rays + r) * 3 + perm[a]] - bmin[perm[a]];
-        e3[a] = en[(b * rays + r) * 3 + perm[a]] - bmin[perm[a]];
-      }
-      if (flip) {
-        s3[0] = ext - s3[0];
-        e3[0] = ext - e3[0];
-      }
-      double stepf[3], tmax[3], tdelta[3];
-      for (int a = 0; a < 3; ++a) {
-        double ray = e3[a] - s3[a];
-        stepf[a] = ray >= 0.0 ? 1.0 : -1.0;
-        double startn = s3[a] + stepf[a] * pb[a] * eps;
-        double cur = std::floor(startn / pb[a]);
-        double cc = cur * pb[a];
-        double boundary = (stepf[a] < 0.0 && cc < startn)
-                              ? cc
-                              : cc + stepf[a] * pb[a];
-        if (ray != 0.0) {
-          tmax[a] = (boundary - startn) / ray;
-          tdelta[a] = stepf[a] * pb[a] / ray;
-        } else {
-          tmax[a] = std::numeric_limits<double>::infinity();
-          tdelta[a] = std::numeric_limits<double>::infinity();
-        }
-      }
-      // --- exact K: walk the S relative dominant slices. Fast-path:
-      // every slice interval is at most td0 + 2*slack long, so
-      // 1 + sum_a (floor((td0 + 2*slack)/td_a) + 1) bounds any
-      // slice's emissions from above — when the bound cannot beat the
-      // block's best-so-far, the walk is provably redundant (the
-      // result is identical: skipped rays satisfy exact <= bound <=
-      // kmax). Most rays skip once kmax reaches the block's true max.
-      double kbound = 1.0;
-      for (int a = 1; a < 3; ++a) {
-        double c = (tdelta[0] + 2.0 * slack) / tdelta[a];
-        kbound += (std::isfinite(c) ? std::floor(c) : 0.0) + 1.0;
-      }
-      if (!std::isfinite(tdelta[0]))
-        kbound = std::numeric_limits<double>::infinity();
-      if (!std::isfinite(kbound) || (int)kbound > kmax) {
-      double t_prev = 0.0;  // t_entry[0] = 0
-      for (int j = 0; j < S; ++j) {
-        double t_next = tmax[0] + (double)j * tdelta[0];
-        if (!(t_next < 1.0)) t_next = 1.0;  // min(., 1); inf/nan -> 1
-        double tlo = t_prev - slack;
-        double thi = t_next + slack;
-        double em = 1.0;
-        for (int a = 1; a < 3; ++a) {
-          // crossings_below(T) = clip(floor((T - tmax)/tdelta) + 1, 0,)
-          double xh = (thi - tmax[a]) / tdelta[a];
-          double xl = (tlo - tmax[a]) / tdelta[a];
-          double nh = std::isfinite(xh)
-                          ? std::max(std::floor(xh) + 1.0, 0.0)
-                          : 0.0;
-          double nl = std::isfinite(xl)
-                          ? std::max(std::floor(xl) + 1.0, 0.0)
-                          : 0.0;
-          em += nh - nl;
-        }
-        if (std::isfinite(em) && (int)em > kmax) kmax = (int)em;
-        t_prev = t_next;
-      }
-      }
-      // --- group-boundary lateral positions (clamped dominant lerp)
-      double d0 = s3[0] / pb[0], d1 = e3[0] / pb[0];
-      double denom = d1 - d0;
-      if (denom < 1e-9) denom = 1e-9;
-      double inv = 1.0 / denom;
-      double a0 = s3[1] / pb[1], da = e3[1] / pb[1] - a0;
-      double b0 = s3[2] / pb[2], db = e3[2] / pb[2] - b0;
-      double pa_prev = 0.0, pb_prev = 0.0;
-      for (int g = 0; g <= ngrp; ++g) {
-        double t = ((double)g * 8.0 - d0) * inv;
-        if (t < 0.0) t = 0.0;
-        if (t > 1.0) t = 1.0;
-        double pa = a0 + t * da;
-        double pbv = b0 + t * db;
-        if (g > 0) {
-          double la = std::floor(std::min(pa_prev, pa));
-          double ha = std::floor(std::max(pa_prev, pa));
-          double lb = std::floor(std::min(pb_prev, pbv));
-          double hb = std::floor(std::max(pb_prev, pbv));
-          if (la < lo_a[g - 1]) lo_a[g - 1] = la;
-          if (ha > hi_a[g - 1]) hi_a[g - 1] = ha;
-          if (lb < lo_b[g - 1]) lo_b[g - 1] = lb;
-          if (hb > hi_b[g - 1]) hi_b[g - 1] = hb;
-        }
-        pa_prev = pa;
-        pb_prev = pbv;
-      }
-    }
+    for (int r = 0; r < rays; ++r)
+      plan_accum_ray(st, en, b * rays + r, perm, flip, bmin, ext, pb, S,
+                     ngrp, slack, eps, &kmax, lo_a.data(), hi_a.data(),
+                     lo_b.data(), hi_b.data());
     int sa = 0, sb = 0;
     for (int g = 0; g < ngrp; ++g) {
       double a0 = 8.0 * std::floor((lo_a[g] - 3.0) / 8.0);
@@ -316,6 +330,40 @@ void bp_plan_stats_raw(
     k_blk[b] = kmax;
     need_a[b] = sa;
     need_b[b] = sb;
+  }
+}
+
+// Raw per-block planner aggregates: per-block K plus the (nb, ngrp)
+// group lateral lo/hi floors, BEFORE the snap-aware need reduction.
+// One pass at the finest rays-per-block candidate serves every coarser
+// candidate too: a coarse block's aggregates are elementwise min/max
+// over its consecutive fine sub-blocks and its K the max (the Python
+// side derives needs per candidate — see bp_beam._needs_from_agg), so
+// the auto-planners march each ray ONCE instead of once per candidate.
+void bp_plan_agg(
+    const double* st, const double* en, int64_t n, int rays, int S,
+    int ngrp, const double* pb, const int32_t* perm, int flip,
+    const double* bmin, double ext, double slack, double eps,
+    int32_t* k_blk, double* lo_a, double* hi_a, double* lo_b,
+    double* hi_b) {
+  const int64_t nb = n / rays;
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    double* la = lo_a + b * ngrp;
+    double* ha = hi_a + b * ngrp;
+    double* lb = lo_b + b * ngrp;
+    double* hb = hi_b + b * ngrp;
+    for (int g = 0; g < ngrp; ++g) {
+      la[g] = 1e300;
+      ha[g] = -1e300;
+      lb[g] = 1e300;
+      hb[g] = -1e300;
+    }
+    int kmax = 1;
+    for (int r = 0; r < rays; ++r)
+      plan_accum_ray(st, en, b * rays + r, perm, flip, bmin, ext, pb, S,
+                     ngrp, slack, eps, &kmax, la, ha, lb, hb);
+    k_blk[b] = kmax;
   }
 }
 

@@ -332,6 +332,16 @@ def plan_bp_config(
     )
     if st is None:
         return _reject(reason, explain)
+    return _config_from_state(
+        st, depth_planes, max_voxels, gamma, ba_cap, rays, explain
+    )
+
+
+def _config_from_state(
+    st, depth_planes, max_voxels, gamma, ba_cap, rays, explain
+):
+    """plan_bp_config's back half: BpBeamConfig (or reject) from a
+    prologue state — shared with the fused multi-candidate planner."""
     s, e, bins, bbox = st["s"], st["e"], st["bins"], st["bbox"]
     grid_shape, perm, others = st["grid_shape"], st["perm"], st["others"]
     flip, k, S, A, B, nb = (
@@ -455,16 +465,162 @@ def classes_cost_ms(info):
     return f * plan_cost_ms(cs) + (1.0 - f) * plan_cost_ms(cl)
 
 
-def plan_bp_classes_auto(P_pinv, camera_center, bbox, grid_shape, height,
-                         width, depth_planes, max_voxels, unit, **kw):
-    """plan_bp_classes over rays_candidates(unit); returns the
-    cost-model-cheapest viable class plan, or None."""
-    best = None
-    for rays in rays_candidates(unit):
-        info = plan_bp_classes(
-            P_pinv, camera_center, bbox, grid_shape, height, width,
-            depth_planes, max_voxels, rays=rays, **kw
+def _needs_from_agg(k_blk, lo_a, hi_a, lo_b, hi_b, factor):
+    """Per-COARSE-block (k, need_a, need_b) from fine-block raw planner
+    aggregates (native bp_plan_agg): a coarse block is ``factor``
+    consecutive fine blocks, its K the max and its group lo/hi the
+    elementwise min/max over them; the snap-aware need reduction mirrors
+    the C++ form in bp_plan_stats_raw exactly (all values are integer
+    floors, so the float arithmetic is exact)."""
+    nbf, ngrp = lo_a.shape
+    nb = nbf // factor
+    trim = nb * factor
+    k = k_blk[:trim].reshape(nb, factor).max(1)
+    la = lo_a[:trim].reshape(nb, factor, ngrp).min(1)
+    ha = hi_a[:trim].reshape(nb, factor, ngrp).max(1)
+    lb = lo_b[:trim].reshape(nb, factor, ngrp).min(1)
+    hb = hi_b[:trim].reshape(nb, factor, ngrp).max(1)
+    a0 = 8.0 * np.floor((la - 3.0) / 8.0)
+    bg = 128.0 * np.floor((lb - 3.0) / 128.0)
+    sa = (ha + 3.0 - a0).max(1)
+    sb = (hb + 3.0 - bg).max(1)
+    return (
+        k.astype(np.int32), sa.astype(np.int32), sb.astype(np.int32)
+    )
+
+
+def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
+                         width, ray_idxs, rays_list, k_cap):
+    """One shared planner march serving SEVERAL rays-per-block
+    candidates: ray decode/pad (to the coarsest candidate), segments,
+    dominant axis/fill and the native per-fine-block aggregates run
+    ONCE; each candidate's block stats derive by reduction
+    (_needs_from_agg). Returns {rays: (state_or_None, reason)} or None
+    when unavailable (no native library / non-nesting candidates) —
+    callers then fall back to per-candidate _plan_prologue.
+
+    Walks EVERY block (the classes-planner contract — no sampling).
+    Derived plans can differ from a direct coarse _plan_prologue only
+    through miss refills: a fully-miss FINE sub-block borrows a global
+    hit ray where the coarse refill would use an in-block one, which
+    can only WIDEN the derived spans — safe (at worst a boundary block
+    buckets up)."""
+    try:
+        from ...native import bp_plan_agg, is_available
+    except ImportError:
+        return None
+    if not is_available():
+        return None
+    fine = min(rays_list)
+    coarse = max(rays_list)
+    if any(r % fine for r in rays_list):
+        return None
+    from .planesweep import tile_ids
+    from ..geometry import host_rays_entry_exit
+
+    bbox = np.asarray(bbox, np.float64).reshape(6)
+    grid_shape = tuple(int(g) for g in grid_shape)
+    n = height * width
+    if ray_idxs is not None:
+        keep = np.asarray(ray_idxs, np.int32)
+        keep = np.where(keep < 0, -keep - 1, keep)
+        if len(keep) == 0:
+            return {r: (None, "empty-rays") for r in rays_list}
+        pad = (-len(keep)) % coarse
+        if pad:
+            keep = np.concatenate(
+                [keep, np.full(pad, keep[-1], np.int32)]
+            )
+        idxs = keep
+    else:
+        all_idxs = np.arange(n, dtype=np.int32)
+        perm_t = np.argsort(
+            tile_ids(all_idxs, height), kind="stable"
+        ).astype(np.int32)
+        pad = (-n) % coarse
+        if pad:
+            perm_t = np.concatenate([perm_t, np.repeat(perm_t[-1:], pad)])
+        idxs = perm_t
+    s, e = host_rays_entry_exit(
+        idxs, P_pinv, camera_center, bbox, height, dtype=np.float64
+    )
+    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
+    s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, fine)
+    if flip is None:
+        return {r: (None, reason) for r in rays_list}
+    others = [a for a in range(3) if a != dom]
+    perm = (dom, others[0], others[1])
+    S = grid_shape[dom]
+    if S % 8:
+        return {r: (None, "s-mod-8") for r in rays_list}
+    bmin = np.asarray(bbox[:3], np.float64)
+    pb = np.asarray([bins[a] for a in perm], np.float64)
+    agg = bp_plan_agg(
+        s, e, fine, S, S // 8, pb, perm, flip, bmin, S * pb[0],
+        1e-4, _EPS,
+    )
+    out = {}
+    for r in rays_list:
+        nb = len(s) // r
+        if nb == 0:
+            out[r] = (None, "no-blocks")
+            continue
+        stats = _needs_from_agg(*agg, r // fine)
+        k = int(stats[0].max())
+        if k > k_cap:
+            out[r] = (None, "k-cap")
+            continue
+        out[r] = (
+            dict(
+                s=s, e=e, bins=bins, bbox=bbox, grid_shape=grid_shape,
+                perm=perm, others=others, flip=flip, k=k, S=S,
+                A=grid_shape[others[0]], B=grid_shape[others[1]],
+                nb=nb, block_stats=stats,
+            ),
+            "ok",
         )
+    return out
+
+
+def plan_bp_classes_auto(P_pinv, camera_center, bbox, grid_shape, height,
+                         width, depth_planes, max_voxels, unit,
+                         gamma=0.05, k_cap=8, ray_idxs=None,
+                         min_rows_ratio=2.6, small_quantile=0.75):
+    """plan_bp_classes over rays_candidates(unit); returns the
+    cost-model-cheapest viable class plan, or None. With the native
+    library the candidates share ONE planner march
+    (_plan_prologue_multi) — the per-ray K/span pass is the dominant
+    cold-plan cost (~3 s per DTU-resolution view, x2 candidates,
+    x49 views before the fusion)."""
+    cands = rays_candidates(unit)
+    states = (
+        _plan_prologue_multi(
+            P_pinv, camera_center, bbox, grid_shape, height, width,
+            ray_idxs, cands, k_cap,
+        )
+        if len(cands) > 1
+        else None
+    )
+    best = None
+    for rays in cands:
+        if states is not None:
+            st, _reason = states[rays]
+            info = (
+                None
+                if st is None
+                else _classes_from_state(
+                    st, depth_planes, max_voxels, gamma, rays,
+                    min_rows_ratio, small_quantile,
+                )
+            )
+        else:
+            info = plan_bp_classes(
+                P_pinv, camera_center, bbox, grid_shape, height, width,
+                depth_planes, max_voxels, gamma=gamma, k_cap=k_cap,
+                ray_idxs=ray_idxs, rays=rays,
+                min_rows_ratio=min_rows_ratio,
+                small_quantile=small_quantile,
+            )
         if info is not None and (
             best is None or classes_cost_ms(info) < classes_cost_ms(best)
         ):
@@ -498,6 +654,18 @@ def plan_bp_classes(
     )
     if st is None:
         return None
+    return _classes_from_state(
+        st, depth_planes, max_voxels, gamma, rays, min_rows_ratio,
+        small_quantile,
+    )
+
+
+def _classes_from_state(
+    st, depth_planes, max_voxels, gamma, rays, min_rows_ratio,
+    small_quantile,
+):
+    """plan_bp_classes' back half: the class split from a prologue
+    state — shared with the fused multi-candidate planner."""
     s, e, bins, bbox = st["s"], st["e"], st["bins"], st["bbox"]
     grid_shape, perm = st["grid_shape"], st["perm"]
     flip, k, S, A, B, nb = (

@@ -124,6 +124,69 @@ def test_bp_plan_stats_matches_numpy_planner():
         np.testing.assert_array_equal(stats[2], sb)
 
 
+def test_plan_prologue_multi_matches_direct():
+    """The fused multi-candidate planner (one native march at the finest
+    rays-per-block, coarser candidates derived by reduction —
+    bp_plan_agg + _needs_from_agg) must reproduce the direct
+    per-candidate _plan_prologue block stats bit-for-bit on all-hit
+    rigs, for both candidates, flipped and unflipped."""
+    import raynet_tpu.ops.pallas.bp_beam as bb
+    from raynet_tpu import native
+
+    if not native.is_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    h, w = 96, 128
+    grid = (64, 64, 32)
+    bbox = np.asarray([-3, -3, -3, 3, 3, 3], float)
+
+    for azim in (0.1, np.pi - 0.1):  # unflipped + mirrored
+        K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]])
+        c = 16.0 * np.array([np.sin(azim), 0.1, -np.cos(azim)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        pp = np.linalg.pinv(K @ np.hstack([R, -R @ c.reshape(3, 1)]))
+        multi = bb._plan_prologue_multi(
+            pp, c, bbox, grid, h, w, None, [512, 256], 8
+        )
+        assert multi is not None
+        for rays in (512, 256):
+            st_d, reason = bb._plan_prologue(
+                pp, c, bbox, grid, h, w, None, rays, 8
+            )
+            st_m, reason_m = multi[rays]
+            assert (st_d is None) == (st_m is None), (reason, reason_m)
+            kd, nad, nbd = st_d["block_stats"]
+            km, nam, nbm = st_m["block_stats"]
+            # direct pads to its own rays; multi pads to the coarsest
+            # candidate, so it may carry extra all-duplicate tail blocks
+            nb = len(kd)
+            assert st_m["nb"] >= st_d["nb"]
+            np.testing.assert_array_equal(kd, km[:nb])
+            np.testing.assert_array_equal(nad, nam[:nb])
+            np.testing.assert_array_equal(nbd, nbm[:nb])
+        # the auto planner (fused path) equals the best per-candidate
+        auto = bb.plan_bp_classes_auto(
+            pp, c, bbox, grid, h, w, 16, 384, 512
+        )
+        per = [
+            bb.plan_bp_classes(
+                pp, c, bbox, grid, h, w, 16, 384, rays=r
+            )
+            for r in (512, 256)
+        ]
+        per = [p for p in per if p is not None]
+        assert (auto is None) == (not per)
+        if auto is not None:
+            best = min(per, key=bb.classes_cost_ms)
+            assert auto["cfg_large"] == best["cfg_large"]
+
+
 def test_native_rays_entry_exit_matches_numpy():
     """The fused C++ slab-segment pass must agree with the numpy oracle
     to ~1 ulp (BLAS dgemm orders the 3-term pixel unprojection mul-adds
