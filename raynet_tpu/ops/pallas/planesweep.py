@@ -61,7 +61,6 @@ TILE_W, TILE_H = 16, 8  # pixel tile (x-extent, y-extent) for ray blocking
 # where one whole-band box risks the VMEM budget.
 GROUP_D = 16
 _DMA_SLOTS = 4  # in-flight sub-box copies per view (latency hiding)
-_EQ_I16 = False  # A/B knob: build the one-hot compare in int16
 
 
 def _group_d(depth_planes):
@@ -131,22 +130,15 @@ def _kernel(
         cid = cell_ref[0, v : v + 1, pl.ds(g * t_tile, t_tile)]
         row = cid >> 2  # (1, Tt)
         sub = cid & 3
-        if _EQ_I16:
-            # A/B knob: i16 compares pack 2 per 32-bit VPU lane (row ids
-            # < ctr <= 4096 fit i16; the -1 sentinel maps to -1). v5e
-            # Mosaic has no 16-bit iota — build i32 and truncate.
-            iota_r = jax.lax.broadcasted_iota(
-                jnp.int32, (ctr, t_tile), 0
-            ).astype(jnp.int16)
-            eqT = (
-                iota_r
-                == jnp.broadcast_to(row.astype(jnp.int16), (ctr, t_tile))
-            ).astype(jnp.bfloat16)
-        else:
-            iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, t_tile), 0)
-            eqT = (
-                iota_r == jnp.broadcast_to(row, (ctr, t_tile))
-            ).astype(jnp.bfloat16)
+        # One-hot row compare stays int32: v5e Mosaic supports neither
+        # 16-bit iota nor i16 vector compares (both tried 2026-08-19 —
+        # "16-bit iota not supported by hardware" / "Target does not
+        # support this comparison"), so the 2-per-lane i16 packing idea
+        # cannot lower on this generation.
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, t_tile), 0)
+        eqT = (
+            iota_r == jnp.broadcast_to(row, (ctr, t_tile))
+        ).astype(jnp.bfloat16)
         rows_T = jax.lax.dot_general(
             band,
             eqT,

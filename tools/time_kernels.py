@@ -37,8 +37,6 @@ def main():
     ap.add_argument("--hat_off", action="store_true",
                     help="A/B: replace the beam kernel's hat D-loop "
                          "with ts (cost isolation; WRONG results)")
-    ap.add_argument("--eq_i16", action="store_true",
-                    help="A/B: int16 one-hot compares in the sims kernel")
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
@@ -68,9 +66,6 @@ def main():
 
         bb._DEBUG_HAT_OFF = True
         print("HAT_OFF", file=sys.stderr)
-    if args.eq_i16:
-        ps._EQ_I16 = True
-        print("EQ_I16", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
