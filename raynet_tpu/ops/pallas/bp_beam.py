@@ -442,13 +442,38 @@ def rays_candidates(unit):
 def plan_bp_config_auto(P_pinv, camera_center, bbox, grid_shape, height,
                         width, depth_planes, max_voxels, unit, **kw):
     """plan_bp_config over rays_candidates(unit); returns the
-    cost-model-cheapest viable plan, or None when nothing plans."""
-    best = None
-    for rays in rays_candidates(unit):
-        cfg = plan_bp_config(
+    cost-model-cheapest viable plan, or None when nothing plans.
+
+    With ``ray_idxs`` (every block walked — no sampling) the candidates
+    share one native march via _plan_prologue_multi; the sampled
+    whole-image path stays per-candidate (each samples ~1/stride of the
+    blocks, so two sampled runs are cheaper than one full march)."""
+    cands = rays_candidates(unit)
+    states = (
+        _plan_prologue_multi(
             P_pinv, camera_center, bbox, grid_shape, height, width,
-            depth_planes, max_voxels, rays=rays, **kw
+            kw["ray_idxs"], cands, kw.get("k_cap", 8),
         )
+        if kw.get("ray_idxs") is not None and len(cands) > 1
+        else None
+    )
+    best = None
+    for rays in cands:
+        if states is not None:
+            st, _reason = states[rays]
+            cfg = (
+                None
+                if st is None
+                else _config_from_state(
+                    st, depth_planes, max_voxels, kw.get("gamma", 0.05),
+                    kw.get("ba_cap", 128), rays, False,
+                )
+            )
+        else:
+            cfg = plan_bp_config(
+                P_pinv, camera_center, bbox, grid_shape, height, width,
+                depth_planes, max_voxels, rays=rays, **kw
+            )
         if cfg is not None and (
             best is None or plan_cost_ms(cfg) < plan_cost_ms(best)
         ):

@@ -584,3 +584,36 @@ def test_filtered_images_share_scan_shapes(setup):
     for m in maps:
         assert np.isfinite(m).all()
         assert (m > 0).any()
+
+
+def test_unfiltered_ray_order_cached_per_shape(setup):
+    """Unfiltered valid-ray lists are image-independent (arange + tile
+    argsort), so the order must be computed once per image SHAPE and
+    shared across views/scenes (a ~1M-row argsort per view was ~20 s of
+    the extrapolated cold DTU plan cost). The cached master is frozen;
+    downstream pad/reorder steps must keep copying."""
+    import raynet_tpu.inference.forward_pass as fpm
+    from raynet_tpu.inference import get_forward_pass_factory
+
+    scene, gp, model, scheme = setup
+    old_pallas = fpm._use_pallas
+    fpm._use_pallas = lambda: True
+    try:
+        fpm._UNFILTERED_RAY_ORDER.clear()
+        fp = get_forward_pass_factory("raynet")(
+            model, gp, scheme, scene.image_shape, 512,
+        )
+        a = fp.get_valid_rays_per_image(scene, 0)
+        b = fp.get_valid_rays_per_image(scene, 1)
+        assert a is b  # one cached master per shape
+        assert not a.flags.writeable
+        assert len(fpm._UNFILTERED_RAY_ORDER) == 1
+        # same content as an uncached tile sort
+        H = scene.image_shape[0]
+        ref = fp._tile_sort(
+            np.arange(np.prod(scene.image_shape), dtype=np.int32), H
+        )
+        np.testing.assert_array_equal(a, ref)
+    finally:
+        fpm._use_pallas = old_pallas
+        fpm._UNFILTERED_RAY_ORDER.clear()

@@ -185,6 +185,21 @@ def test_plan_prologue_multi_matches_direct():
         if auto is not None:
             best = min(per, key=bb.classes_cost_ms)
             assert auto["cfg_large"] == best["cfg_large"]
+        # the filtered config_auto path shares the same fused march
+        idxs = np.arange(h * w, dtype=np.int32)
+        cfg_auto = bb.plan_bp_config_auto(
+            pp, c, bbox, grid, h, w, 16, 384, 512, ray_idxs=idxs
+        )
+        cfg_per = [
+            bb.plan_bp_config(
+                pp, c, bbox, grid, h, w, 16, 384, rays=r, ray_idxs=idxs
+            )
+            for r in (512, 256)
+        ]
+        cfg_per = [p for p in cfg_per if p is not None]
+        assert (cfg_auto is None) == (not cfg_per)
+        if cfg_auto is not None:
+            assert cfg_auto == min(cfg_per, key=bb.plan_cost_ms)
 
 
 def test_native_rays_entry_exit_matches_numpy():
