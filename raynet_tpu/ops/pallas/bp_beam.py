@@ -65,6 +65,10 @@ RAYS = 256  # rays per block (two 16x8 pixel tiles = a 16x16 block)
 # far beyond 32, where the trade could flip.
 _EPS = 1e-2
 _DEBUG_HAT_OFF = False  # A/B timers only: replace the hat D-loop with ts
+# 2-tap hat lerp via sublane dynamic gathers instead of the D-iteration
+# masked sum (needs D % 8 == 0; exact — same two nonzero terms, same
+# association). Module knob for device A/Bs (tools/time_kernels.py).
+_HAT_GATHER = True
 _FLT_MAX = 3.4028235e38
 _CLIP_S = 1e-5
 _CLIP_MU = 1e-4
@@ -1203,6 +1207,27 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
         ts = tt * scale
         if _DEBUG_HAT_OFF:  # A/B timer knob: D-loop cost isolation
             sv = ts
+        elif _HAT_GATHER and D % 8 == 0:
+            # The hat is a 2-tap lerp: sum_d sp[d]*max(0, 1-|ts-d|) =
+            # sp[i]*(1-f) + sp[i+1]*f with i = floor(ts), f = ts - i
+            # (t is clipped to [eps, 1-eps], so i and i+1 stay in
+            # [0, D-1]). The taps are per-lane sublane gathers —
+            # tpu.dynamic_gather via take_along_axis — which v5e
+            # supports only WITHIN an 8-row tile, so walk the D/8
+            # tiles and mask (device-verified exact 2026-08-19). ~60
+            # VPU ops per chunk vs ~5*D for the full-loop form below.
+            i0 = jnp.floor(ts).astype(jnp.int32)
+            f = ts - i0.astype(jnp.float32)
+            v0 = jnp.zeros((8, RAYS), jnp.float32)
+            v1 = jnp.zeros((8, RAYS), jnp.float32)
+            for q in range(D // 8):
+                spq = sp[q * 8 : (q + 1) * 8]
+                loc = i0 - q * 8
+                g0 = jnp.take_along_axis(spq, loc & 7, axis=0)
+                v0 = v0 + jnp.where((loc >= 0) & (loc < 8), g0, 0.0)
+                g1 = jnp.take_along_axis(spq, (loc + 1) & 7, axis=0)
+                v1 = v1 + jnp.where((loc >= -1) & (loc < 7), g1, 0.0)
+            sv = v0 * (1.0 - f) + v1 * f
         else:
             sv = jnp.zeros((8, RAYS), jnp.float32)
             for d in range(D):

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--hat_off", action="store_true",
                     help="A/B: replace the beam kernel's hat D-loop "
                          "with ts (cost isolation; WRONG results)")
+    ap.add_argument("--hat_loop", action="store_true",
+                    help="A/B: force the D-iteration hat loop instead "
+                         "of the 2-tap gather lerp")
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
@@ -66,6 +69,11 @@ def main():
 
         bb._DEBUG_HAT_OFF = True
         print("HAT_OFF", file=sys.stderr)
+    if args.hat_loop:
+        import raynet_tpu.ops.pallas.bp_beam as bb
+
+        bb._HAT_GATHER = False
+        print("HAT_LOOP", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
