@@ -61,6 +61,7 @@ TILE_W, TILE_H = 16, 8  # pixel tile (x-extent, y-extent) for ray blocking
 # where one whole-band box risks the VMEM budget.
 GROUP_D = 16
 _DMA_SLOTS = 4  # in-flight sub-box copies per view (latency hiding)
+_DEBUG_NO_DOT = False  # A/B timers only: skip the one-hot MXU dot
 
 
 def _group_d(depth_planes):
@@ -139,12 +140,22 @@ def _kernel(
         eqT = (
             iota_r == jnp.broadcast_to(row, (ctr, t_tile))
         ).astype(jnp.bfloat16)
-        rows_T = jax.lax.dot_general(
-            band,
-            eqT,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (128, Tt): 4 packed cells x 32 channels, targets in lanes
+        if _DEBUG_NO_DOT:  # A/B timers only (WRONG results): MXU share
+            if ctr >= 128:
+                rows_T = jax.lax.slice(
+                    eqT, (0, 0), (128, t_tile)
+                ).astype(jnp.float32)
+            else:
+                rows_T = jnp.broadcast_to(
+                    eqT[0:1], (128, t_tile)
+                ).astype(jnp.float32)
+        else:
+            rows_T = jax.lax.dot_general(
+                band,
+                eqT,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, Tt): 4 packed cells x 32 ch, targets in lanes
         fT = jnp.zeros((32, t_tile), jnp.float32)
         for s in range(4):
             pick = jax.lax.slice(

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--hat_loop", action="store_true",
                     help="A/B: force the D-iteration hat loop instead "
                          "of the 2-tap gather lerp")
+    ap.add_argument("--no_dot", action="store_true",
+                    help="A/B: skip the sims one-hot MXU dot "
+                         "(cost isolation; WRONG results)")
+    ap.add_argument("--dma_slots", type=int, default=None,
+                    help="A/B: sims band-DMA pipeline depth")
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
@@ -74,6 +79,12 @@ def main():
 
         bb._HAT_GATHER = False
         print("HAT_LOOP", file=sys.stderr)
+    if args.no_dot:
+        ps._DEBUG_NO_DOT = True
+        print("NO_DOT", file=sys.stderr)
+    if args.dma_slots:
+        ps._DMA_SLOTS = args.dma_slots
+        print("DMA_SLOTS=%d" % (ps._DMA_SLOTS,), file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
