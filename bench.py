@@ -71,6 +71,21 @@ def emit(metric, value, unit, vs_baseline):
 
 def main():
     import subprocess
+    import threading
+
+    # Liveness heartbeat for the supervisor: device-probed 2026-08-19,
+    # background threads DO run during normal remote compiles (the wait
+    # releases the GIL) but NOT during a tunnel wedge (the hung C call
+    # holds the GIL) — so silence on this channel means a real wedge,
+    # never a long compile.
+    def _beat():
+        while True:
+            time.sleep(60)
+            print("bench: alive %.0f s" % (time.perf_counter() - t_hb0,),
+                  file=sys.stderr, flush=True)
+
+    t_hb0 = time.perf_counter()
+    threading.Thread(target=_beat, daemon=True).start()
 
     # The tunneled TPU backend can hang indefinitely at first use when the
     # tunnel is down (observed round 3), and the hung C call HOLDS THE GIL
@@ -597,5 +612,83 @@ def main():
             )
 
 
+def supervise():
+    """Run main() in a child process and restart it once if it stalls.
+
+    The tunneled backend can wedge INSIDE a device call (observed
+    2026-08-19: a bench run sat 20+ min in a futex wait before its
+    first metric while fresh processes used the device fine). The hung
+    C call holds the GIL, so no in-process watchdog can fire — the
+    only recovery is killing the process. The supervisor streams the
+    child's output through and, if NO new output appears for
+    BENCH_STALL_S (default 300 s; the child heartbeats its liveness to
+    stderr every 60 s, through compiles too), kills and relaunches it
+    once with the remaining wall budget. Metrics emitted before the
+    stall are already on stdout; the relaunched child re-emits
+    everything, and the headline is re-emitted last either way.
+    """
+    import subprocess
+    import threading
+
+    # the child heartbeats every 60 s through any legit wait (compiles
+    # release the GIL; a wedge holds it), so 300 s of TOTAL silence is
+    # a wedge, not a slow phase
+    stall_s = float(os.environ.get("BENCH_STALL_S", "300"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t0 = time.monotonic()
+    for attempt in range(2):
+        # the relaunched child gets only the REMAINING wall budget, so a
+        # stall + retry never exceeds the driver's original allowance
+        env = dict(
+            os.environ, RAYNET_BENCH_CHILD="1", PYTHONUNBUFFERED="1",
+            BENCH_BUDGET_S=str(max(budget_s - (time.monotonic() - t0), 60)),
+        )
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        last_out = [time.monotonic()]
+
+        def pump(src, dst):
+            # keep the streams separate: the driver parses STDOUT as
+            # JSON metric lines; heartbeats/diagnostics stay on stderr
+            for line in src:
+                dst.buffer.write(line)
+                dst.flush()
+                last_out[0] = time.monotonic()
+
+        threads = [
+            threading.Thread(
+                target=pump, args=(child.stdout, sys.stdout), daemon=True
+            ),
+            threading.Thread(
+                target=pump, args=(child.stderr, sys.stderr), daemon=True
+            ),
+        ]
+        for t in threads:
+            t.start()
+        stalled = False
+        while child.poll() is None:
+            time.sleep(5)
+            if time.monotonic() - last_out[0] > stall_s:
+                stalled = True
+                print(
+                    "bench supervisor: no output for %.0f s; killing "
+                    "the child (attempt %d)" % (stall_s, attempt + 1),
+                    file=sys.stderr,
+                )
+                child.kill()
+                break
+        for t in threads:
+            t.join(timeout=30)
+        if not stalled:
+            sys.exit(child.wait())
+    print("bench supervisor: stalled twice; giving up", file=sys.stderr)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RAYNET_BENCH_CHILD"):
+        main()
+    else:
+        supervise()
