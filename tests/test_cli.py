@@ -117,9 +117,16 @@ def test_pretrain_cli_one_epoch(mock_scene_dir, tmp_path):
     assert params["epochs"] == 1
 
 
+@pytest.mark.slow
 def test_pretrain_cli_resume(mock_scene_dir, tmp_path, capsys):
     """raynet_pretrain --resume continues at the checkpointed epoch with
-    logs appended (no duplicate header)."""
+    logs appended (no duplicate header).
+
+    slow-marked (~19 s: two full CLI invocations, each recompiling the
+    train/val steps): resume stays covered by default via
+    test_checkpointing (state roundtrip) and
+    test_train_cli::test_train_raynet_kill_and_resume (CLI resume on
+    the other trainer)."""
     common = [
         str(mock_scene_dir.parent),
         str(mock_scene_dir.parent),
