@@ -62,6 +62,8 @@ TILE_W, TILE_H = 16, 8  # pixel tile (x-extent, y-extent) for ray blocking
 GROUP_D = 16
 _DMA_SLOTS = 4  # in-flight sub-box copies per view (latency hiding)
 _DEBUG_NO_DOT = False  # A/B timers only: skip the one-hot MXU dot
+_DEBUG_NO_EQ = False  # A/B timers only: constant eq operand (WRONG results)
+_DEBUG_NO_PICK = False  # A/B timers only: skip the 4-way sub-lane pick
 
 
 def _group_d(depth_planes):
@@ -136,10 +138,16 @@ def _kernel(
         # "16-bit iota not supported by hardware" / "Target does not
         # support this comparison"), so the 2-per-lane i16 packing idea
         # cannot lower on this generation.
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, t_tile), 0)
-        eqT = (
-            iota_r == jnp.broadcast_to(row, (ctr, t_tile))
-        ).astype(jnp.bfloat16)
+        if _DEBUG_NO_EQ:  # A/B timers only (WRONG results): eq-build share
+            # data-dependent (cannot fold) but build-free: one broadcast
+            eqT = jnp.broadcast_to(
+                row.astype(jnp.bfloat16), (ctr, t_tile)
+            )
+        else:
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, t_tile), 0)
+            eqT = (
+                iota_r == jnp.broadcast_to(row, (ctr, t_tile))
+            ).astype(jnp.bfloat16)
         if _DEBUG_NO_DOT:  # A/B timers only (WRONG results): MXU share
             if ctr >= 128:
                 rows_T = jax.lax.slice(
@@ -156,13 +164,18 @@ def _kernel(
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (128, Tt): 4 packed cells x 32 ch, targets in lanes
-        fT = jnp.zeros((32, t_tile), jnp.float32)
-        for s in range(4):
-            pick = jax.lax.slice(
-                rows_T, (s * 32, 0), ((s + 1) * 32, t_tile)
+        if _DEBUG_NO_PICK:  # A/B timers only (WRONG results): pick share
+            fT = jax.lax.slice(rows_T, (0, 0), (32, t_tile))
+        else:
+            fT = jnp.zeros((32, t_tile), jnp.float32)
+            for s in range(4):
+                pick = jax.lax.slice(
+                    rows_T, (s * 32, 0), ((s + 1) * 32, t_tile)
+                )
+                fT = fT + jnp.where(sub == s, pick, 0.0)
+            fT = jnp.where(
+                cid < 0, jnp.broadcast_to(f00, (32, t_tile)), fT
             )
-            fT = fT + jnp.where(sub == s, pick, 0.0)
-        fT = jnp.where(cid < 0, jnp.broadcast_to(f00, (32, t_tile)), fT)
 
         sumf = sumf + fT
         ssq = ssq + (fT * fT).sum(axis=0, keepdims=True)

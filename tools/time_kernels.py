@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--no_dot", action="store_true",
                     help="A/B: skip the sims one-hot MXU dot "
                          "(cost isolation; WRONG results)")
+    ap.add_argument("--no_eq", action="store_true",
+                    help="A/B: build-free sims eq operand "
+                         "(cost isolation; WRONG results)")
+    ap.add_argument("--no_pick", action="store_true",
+                    help="A/B: skip the sims 4-way sub-lane pick "
+                         "(cost isolation; WRONG results)")
     ap.add_argument("--dma_slots", type=int, default=None,
                     help="A/B: sims band-DMA pipeline depth")
     ap.add_argument("--rays", type=int, default=65536)
@@ -82,6 +88,12 @@ def main():
     if args.no_dot:
         ps._DEBUG_NO_DOT = True
         print("NO_DOT", file=sys.stderr)
+    if args.no_eq:
+        ps._DEBUG_NO_EQ = True
+        print("NO_EQ", file=sys.stderr)
+    if args.no_pick:
+        ps._DEBUG_NO_PICK = True
+        print("NO_PICK", file=sys.stderr)
     if args.dma_slots:
         ps._DMA_SLOTS = args.dma_slots
         print("DMA_SLOTS=%d" % (ps._DMA_SLOTS,), file=sys.stderr)
