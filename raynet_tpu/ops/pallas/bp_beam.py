@@ -1268,8 +1268,15 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
 
         jax.lax.fori_loop(0, cfg.slots // 8, mu_chunk, 0)
     else:
-        iota_row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RAYS), 0)
-        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, RAYS), 0)
+        # K-BATCHED lane picks: the per-(u, k) dots are ISSUE-bound, not
+        # FLOP-bound (384 small dots/sweep at K=3, each ~free on the
+        # MXU), so the K picks of one sublane ride ONE dot with the k
+        # blocks concatenated along the ray-lane axis. Per k-column the
+        # contraction and the masked row-reduce are the exact same ops
+        # in the same order — bit-identical to the per-k form.
+        KR = K * RAYS
+        iota_rowk = jax.lax.broadcasted_iota(jnp.int32, (ROWS, KR), 0)
+        iota_subk = jax.lax.broadcasted_iota(jnp.int32, (128, KR), 0)
         grid_dma(0, 0).start()
 
         def gather_group(g, _):
@@ -1285,26 +1292,29 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             val_rows = [None] * (8 * K)
             for u in range(8):
                 table = gbuf[slot, u].reshape(ROWS, 128)
+                cid = jnp.concatenate(
+                    [cells[k * 8 + u : k * 8 + u + 1] for k in range(K)],
+                    axis=1,
+                )  # (1, K*RAYS), k-major slot layout
+                rowid = cid >> 7
+                lo = cid & 127
+                # lane-pick FIRST (full 128-wide MXU contraction),
+                # then the masked reduce runs over ROWS (<=128) rows
+                e2 = (iota_subk == jnp.broadcast_to(
+                    lo, (128, KR)
+                )).astype(jnp.float32)
+                cols = jax.lax.dot_general(
+                    table, e2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (ROWS, K*RAYS)
+                picked = jnp.where(
+                    iota_rowk == jnp.broadcast_to(rowid, (ROWS, KR)),
+                    cols, 0.0,
+                ).sum(axis=0, keepdims=True)  # (1, K*RAYS)
                 for k in range(K):
-                    r = k * 8 + u  # k-major slot layout
-                    cid = cells[r : r + 1]
-                    rowid = cid >> 7
-                    lo = cid & 127
-                    # lane-pick FIRST (full 128-wide MXU contraction),
-                    # then the masked reduce runs over ROWS (<=128) rows
-                    e2 = (iota_sub == jnp.broadcast_to(
-                        lo, (128, RAYS)
-                    )).astype(jnp.float32)
-                    cols = jax.lax.dot_general(
-                        table, e2, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (ROWS, RAYS)
-                    val_rows[r] = jnp.where(
-                        iota_row == jnp.broadcast_to(
-                            rowid, (ROWS, RAYS)
-                        ),
-                        cols, 0.0,
-                    ).sum(axis=0, keepdims=True)
+                    val_rows[k * 8 + u] = jax.lax.slice(
+                        picked, (0, k * RAYS), (1, (k + 1) * RAYS)
+                    )
             # stable sigmoid of (val - msg), VECTORIZED over the whole
             # group (8K wide rows) instead of ~8 serial ops per substep
             val = jnp.concatenate(val_rows, axis=0)  # (8K, RAYS)
@@ -1366,8 +1376,9 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
     total = total_r1 * inv_total
 
     # ------------------------------- pass R2: messages (+ depth / scatter)
-    iota_row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, RAYS), 0)
-    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, RAYS), 0)
+    KR = K * RAYS
+    iota_rowk = jax.lax.broadcasted_iota(jnp.int32, (ROWS, KR), 0)
+    iota_subk = jax.lax.broadcasted_iota(jnp.int32, (128, KR), 0)
 
     def out_dma(g, slot, direction):
         a0_g, bg0_g = grp_origin(g)
@@ -1449,26 +1460,35 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
             CSK = CSK + contrib
             EPK = EPK * om_k[k]
         if not depth_mode:
+            # K-BATCHED scatter dots (same issue-count argument as the
+            # gather): the K delta dots of one sublane concatenate
+            # along the contracted ray axis — one dot computes the sum
+            # of all K scatter contributions. A one-hot column touches
+            # one (row, lane) cell, so values land k-blocked in the
+            # same order the three separate dots added their partials;
+            # only multi-hit cells may reassociate at the ulp level
+            # (the XLA reference's scatter order differs anyway).
             for u in range(8):
-                delta = jnp.zeros((ROWS, 128), jnp.float32)
-                for k in range(K):
-                    cid = cells_k[k][u : u + 1]
-                    rowid = cid >> 7
-                    lo = cid & 127
-                    eq = (iota_row == jnp.broadcast_to(
-                        rowid, (ROWS, RAYS)
-                    )).astype(jnp.float32)
-                    X = jnp.where(
-                        iota_sub == jnp.broadcast_to(lo, (128, RAYS)),
-                        jnp.broadcast_to(
-                            pon_k[k][u : u + 1], (128, RAYS)
-                        ),
-                        0.0,
-                    )
-                    delta = delta + jax.lax.dot_general(
-                        eq, X, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                cid = jnp.concatenate(
+                    [cells_k[k][u : u + 1] for k in range(K)], axis=1
+                )  # (1, K*RAYS)
+                pon = jnp.concatenate(
+                    [pon_k[k][u : u + 1] for k in range(K)], axis=1
+                )
+                rowid = cid >> 7
+                lo = cid & 127
+                eq = (iota_rowk == jnp.broadcast_to(
+                    rowid, (ROWS, KR)
+                )).astype(jnp.float32)
+                X = jnp.where(
+                    iota_subk == jnp.broadcast_to(lo, (128, KR)),
+                    jnp.broadcast_to(pon, (128, KR)),
+                    0.0,
+                )
+                delta = jax.lax.dot_general(
+                    eq, X, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
                 dacc[u] = delta.reshape(NS, BA, 128)
             s_ = 0 if slot is None else slot
             out_dma(g, s_, "read").wait()

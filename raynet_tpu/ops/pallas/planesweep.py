@@ -167,12 +167,19 @@ def _kernel(
         if _DEBUG_NO_PICK:  # A/B timers only (WRONG results): pick share
             fT = jax.lax.slice(rows_T, (0, 0), (32, t_tile))
         else:
-            fT = jnp.zeros((32, t_tile), jnp.float32)
-            for s in range(4):
-                pick = jax.lax.slice(
+            # 2-level select tree over the 4 packed cells: 3 (32, Tt)
+            # selects instead of 4 masked adds + a zero init (exact —
+            # selects pick the same values the adds summed)
+            r0, r1, r2, r3 = (
+                jax.lax.slice(
                     rows_T, (s * 32, 0), ((s + 1) * 32, t_tile)
                 )
-                fT = fT + jnp.where(sub == s, pick, 0.0)
+                for s in range(4)
+            )
+            odd = (sub & 1) == 1
+            lo = jnp.where(odd, r1, r0)
+            hi = jnp.where(odd, r3, r2)
+            fT = jnp.where(sub >= 2, hi, lo)
             fT = jnp.where(
                 cid < 0, jnp.broadcast_to(f00, (32, t_tile)), fT
             )
