@@ -17,6 +17,15 @@ recurrences, and the grid scatter — with ONE program per 256-ray block:
 - The occupancy gather and the message scatter are two-level one-hot
   contractions against the per-slice box (row pick on the MXU, lane pick
   by sublane compare) — rays stay in lanes end to end, no transposes.
+  PRECISION: Mosaic lowers in-kernel f32 dot_general at DEFAULT
+  precision with bf16-TRUNCATED operands (probed bit-exactly on v5e,
+  2026-08-19 — see tools/probe_dma_align.py), so the gathered grid
+  log-odds and the scattered message deltas carry ~2^-8 relative
+  (~0.12 absolute at the ±30 log-odds clip) rounding the XLA reference
+  path does not have. Deliberate: the parity tests bound it, the
+  on-device depth agreement stays 1.0, and exact values would cost
+  2-3x the dot passes (hi/mid/lo bf16 value splits) in the hottest
+  kernel. The one-hot operand itself is exact in bf16.
 - The scatter accumulates by read-modify-write DMA into an aliased HBM
   grid (Pallas TPU grid steps run sequentially on the core, so there are
   no races); the wrapper gets the accumulated grid back directly.
@@ -44,7 +53,9 @@ semantics are preserved exactly by the prefix restructure above.
 Wrapper-side planning (host, once per image geometry): dominant axis +
 sign check, K bound, per-block beam boxes. Images the planner cannot
 guarantee (mixed dominant-axis signs, K over budget, boxes too wide) keep
-the XLA path — exactness is never traded.
+the XLA path — coverage is never traded (the one numeric divergence
+from the XLA path is the documented bf16 value rounding in the
+gather/scatter dots above).
 """
 import functools
 

@@ -89,7 +89,46 @@ def run(variant, y0v, xg0v, sub0v):
     return np.array_equal(out, ref)
 
 
+def probe_f32_dot_truncation():
+    """Is an in-kernel f32 dot_general exact, or bf16-truncated?
+
+    v5e result (2026-08-19): TRUNCATED — a diagonal one-hot pick of
+    values needing >8 mantissa bits returns exactly their bf16
+    roundings. Consequence recorded in bp_beam.py's header: the beam
+    grid-gather/scatter dots carry bf16 value rounding by design.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, e_ref, out_ref):
+        out_ref[...] = jax.lax.dot_general(
+            x_ref[...], e_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    n = 128
+    vals = (
+        1.0 + np.arange(n, dtype=np.float64) * 2.0 ** -18
+    ).astype(np.float32)
+    out = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32)
+    )(jnp.asarray(np.diag(vals)), jnp.eye(n, dtype=jnp.float32))
+    got = np.diag(np.asarray(out))
+    if np.array_equal(got, vals):
+        print("f32 dot_general: EXACT (full f32 operands)")
+    else:
+        tr = np.asarray(
+            jnp.asarray(vals, jnp.bfloat16).astype(jnp.float32)
+        )
+        print(
+            "f32 dot_general: TRUNCATED (matches bf16 rounding: %s)"
+            % np.array_equal(got, tr)
+        )
+
+
 def main():
+    probe_f32_dot_truncation()
     cases = [
         ("A", 0, 0, 0),
         ("B", 0, 0, 0),
