@@ -1488,16 +1488,21 @@ def _bp_kernel(cfg, first_iteration, depth_mode, origins_ref,
                 )
                 rowid = cid >> 7
                 lo = cid & 127
-                eq = (iota_rowk == jnp.broadcast_to(
-                    rowid, (ROWS, KR)
-                )).astype(jnp.float32)
-                X = jnp.where(
-                    iota_subk == jnp.broadcast_to(lo, (128, KR)),
-                    jnp.broadcast_to(pon, (128, KR)),
+                # the VALUE rides the SMALL (ROWS-high) operand and the
+                # 128-high lane side stays a binary one-hot — same
+                # products in the same order as the valued-X form, with
+                # (ROWS + 128) valued/binary build rows instead of
+                # (128 + ROWS)
+                eqv = jnp.where(
+                    iota_rowk == jnp.broadcast_to(rowid, (ROWS, KR)),
+                    jnp.broadcast_to(pon, (ROWS, KR)),
                     0.0,
                 )
+                e2 = (iota_subk == jnp.broadcast_to(
+                    lo, (128, KR)
+                )).astype(jnp.float32)
                 delta = jax.lax.dot_general(
-                    eq, X, (((1,), (1,)), ((), ())),
+                    eqv, e2, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 dacc[u] = delta.reshape(NS, BA, 128)

@@ -577,37 +577,24 @@ def pack_features_for_bands(features, box_specs):
     return feats_packed, f00
 
 
-def banded_scores_from_segments(
-    features, P, ray_start, ray_end, depth_planes, padding,
-    height, width, box_specs, interpret=False, packed=None,
+def banded_front_end(
+    P, ray_start, ray_end, depth_planes, padding,
+    height, width, box_specs, hfp, wgp, n_views,
 ):
-    """Lane-major banded plane sweep straight from ray segments.
+    """Front end of the banded sweep: lane-major projections, per-group
+    drifting origins, packed local cell ids, and the strict-band fit
+    check. Split out of :func:`banded_scores_from_segments` so the
+    kernel timers can isolate the XLA front-end share; callers trace it
+    in the same jit as the kernel, so the split changes nothing.
 
-    Sampling, projection, feature-cell mapping, per-depth-group origins
-    and packed cell ids all run in (NB, D, 128) layout — RAYS IN LANES.
-    The legacy route materialized an (N, D, V, 2) index tensor whose
-    2-wide minor dim pads to 128 lanes on TPU (measured ~12 ms per
-    65k-ray batch just for the projection chain vs ~1 ms here).
-
-    Returns (pair_sum (N, D) f32 pre-softmax/pre-/n_pairs, fits) where
-    ``fits`` is the in-graph strict-band check (False => the static boxes
-    do not cover this batch and the scores are garbage).
-
-    Arithmetic parity: identical formulas to sample_points_along_segments
-    + project_points + pixel_to_feature_idx evaluated per coordinate; f32
-    rounding may flip a round()-boundary cell on ~1e-7 of targets.
+    Returns (cellids (NB, V, T), origins flat int32, fits scalar bool).
     """
-    v = features.shape[0]
+    v = n_views
     n = ray_start.shape[0]
     d = depth_planes
     nb = n // RAYS_PER_BLOCK
     gd = _group_d(d)
     G = d // gd
-
-    if packed is None:
-        packed = pack_features_for_bands(features, box_specs)
-    feats_packed, f00 = packed
-    hfp, wgp = feats_packed.shape[1], feats_packed.shape[2]
 
     def lanes(x):  # (N,) -> (nb, 1, 128)
         return x.reshape(nb, 1, RAYS_PER_BLOCK)
@@ -615,10 +602,8 @@ def banded_scores_from_segments(
     frac = (
         jnp.arange(d, dtype=jnp.float32) / jnp.float32(d - 1)
     ).reshape(1, d, 1)
-    pc = []
-    for a in range(3):
-        s_ = lanes(ray_start[:, a])
-        pc.append(s_ + frac * (lanes(ray_end[:, a]) - s_))  # (nb, d, 128)
+    sl = [lanes(ray_start[:, a]) for a in range(3)]  # (nb, 1, 128)
+    el = [lanes(ray_end[:, a]) for a in range(3)]
 
     # bbox-MISS rays (zero-length segments) score as sentinels: their
     # collapsed point projects wherever, and including it would inflate
@@ -634,9 +619,23 @@ def banded_scores_from_segments(
     fits = None
     for vi in range(v):
         Pv = P[vi]
-        u = Pv[0, 0] * pc[0] + Pv[0, 1] * pc[1] + Pv[0, 2] * pc[2] + Pv[0, 3]
-        w_ = Pv[1, 0] * pc[0] + Pv[1, 1] * pc[1] + Pv[1, 2] * pc[2] + Pv[1, 3]
-        z_ = Pv[2, 0] * pc[0] + Pv[2, 1] * pc[1] + Pv[2, 2] * pc[2] + Pv[2, 3]
+        # Homogeneous coordinates are AFFINE in the depth fraction, so
+        # project the two ENDPOINTS per view ((nb, 1, 128) madds) and
+        # lerp u/w/z along depth — one madd per coordinate on the big
+        # (nb, d, 128) shape instead of the 3-coordinate point lerp
+        # plus a 4-madd projection (device A/B 2026-08-19: strict sims
+        # 12.4 -> 11.9 ms). f32 reassociation vs the XLA path's
+        # point-then-project order can flip round()-boundary cells on
+        # ~1e-6 of targets (same class as the f32-vs-f64 planner
+        # jitter the pad margin absorbs).
+        us, ue, ws, we, zs, ze = (
+            Pv[r, 0] * q[0] + Pv[r, 1] * q[1] + Pv[r, 2] * q[2] + Pv[r, 3]
+            for r in range(3)
+            for q in (sl, el)
+        )
+        u = us + frac * (ue - us)  # (nb, d, 128)
+        w_ = ws + frac * (we - ws)
+        z_ = zs + frac * (ze - zs)
         # true division (not reciprocal-multiply): bitwise parity with
         # geometry.project_points' dehomogenization
         fx = jnp.clip(
@@ -680,6 +679,46 @@ def banded_scores_from_segments(
 
     cellids = jnp.concatenate(cell_rows, axis=1)  # (NB, V, T) depth-major
     origins = jnp.stack(origin_rows, axis=1).reshape(-1)  # (nb, V, G, 2)
+    return cellids, origins, fits
+
+
+def banded_scores_from_segments(
+    features, P, ray_start, ray_end, depth_planes, padding,
+    height, width, box_specs, interpret=False, packed=None,
+):
+    """Lane-major banded plane sweep straight from ray segments.
+
+    Sampling, projection, feature-cell mapping, per-depth-group origins
+    and packed cell ids all run in (NB, D, 128) layout — RAYS IN LANES.
+    The legacy route materialized an (N, D, V, 2) index tensor whose
+    2-wide minor dim pads to 128 lanes on TPU (measured ~12 ms per
+    65k-ray batch just for the projection chain vs ~1 ms here).
+
+    Returns (pair_sum (N, D) f32 pre-softmax/pre-/n_pairs, fits) where
+    ``fits`` is the in-graph strict-band check (False => the static boxes
+    do not cover this batch and the scores are garbage).
+
+    Arithmetic parity: same formulas as sample_points_along_segments +
+    project_points + pixel_to_feature_idx with the projection lerped in
+    HOMOGENEOUS coordinates (affine in the depth fraction — endpoint
+    projections once per view, one madd per depth); the f32
+    reassociation vs the XLA path's point-then-project order may flip a
+    round()-boundary cell on ~1e-6 of targets.
+    """
+    v = features.shape[0]
+    n = ray_start.shape[0]
+    d = depth_planes
+    nb = n // RAYS_PER_BLOCK
+
+    if packed is None:
+        packed = pack_features_for_bands(features, box_specs)
+    feats_packed, f00 = packed
+    hfp, wgp = feats_packed.shape[1], feats_packed.shape[2]
+
+    cellids, origins, fits = banded_front_end(
+        P, ray_start, ray_end, depth_planes, padding, height, width,
+        box_specs, hfp, wgp, v,
+    )
 
     pair = _banded_pair_sums(
         feats_packed, origins, cellids, f00,

@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--no_pick", action="store_true",
                     help="A/B: skip the sims 4-way sub-lane pick "
                          "(cost isolation; WRONG results)")
+    ap.add_argument("--front_bisect", action="store_true",
+                    help="attribute the sims XLA front end by stage")
     ap.add_argument("--dma_slots", type=int, default=None,
                     help="A/B: sims band-DMA pipeline depth")
     ap.add_argument("--rays", type=int, default=65536)
@@ -168,6 +170,112 @@ def main():
           lambda o: float(jnp.stack(o).sum()))
     timed(sims, sims_args, "strict sims (front+kernel)",
           lambda o: float(jnp.stack(o).sum()))
+
+    # 1b. pure banded kernel: front-end outputs precomputed + committed,
+    # so (strict sims) - (this) = the XLA front-end share
+    hfp, wgp = packed[0].shape[1], packed[0].shape[2]
+
+    @jax.jit
+    def sims_front(s, e):
+        return ps.banded_front_end(
+            P, s, e, depth_planes, padding, h, w, bands, hfp, wgp,
+            n_views,
+        )
+
+    cellids, origins, _ = jax.block_until_ready(sims_front(s, e))
+    cellids = jax.device_put(cellids)
+    origins = jax.device_put(origins)
+
+    @jax.jit
+    def sims_kernel(fp_, origins_, cellids_, f00_):
+        pair = ps._banded_pair_sums(
+            fp_, origins_, cellids_, f00_, tuple(bands), n_views,
+            depth_planes,
+        )
+        return pair.sum()
+
+    kargs = (packed[0], origins, cellids, packed[1])
+    sims_kernel(*kargs)  # compile
+    timed(sims_kernel, kargs, "banded kernel (pure)",
+          lambda o: float(jnp.stack(o).sum()))
+
+    if args.front_bisect:
+        # attribute the XLA front end: full, and with the tail stages
+        # cut (cells = cid packing + (nb,d,128)->(nb,1,T) relayout;
+        # mins = per-group reductions + origins; proj = the lerp +
+        # projection + round/clip chain)
+        @jax.jit
+        def front_full(s, e):
+            c, o, f = sims_front(s, e)
+            return c.sum() + o.sum() + f.astype(jnp.int32)
+
+        def _mk_partial(stage):
+            nb = n // ps.RAYS_PER_BLOCK
+            d = depth_planes
+
+            @jax.jit
+            def fn(s, e):
+                def lanes(x):
+                    return x.reshape(nb, 1, ps.RAYS_PER_BLOCK)
+
+                frac = (
+                    jnp.arange(d, dtype=jnp.float32) / jnp.float32(d - 1)
+                ).reshape(1, d, 1)
+                pc = []
+                for a in range(3):
+                    s_ = lanes(s[:, a])
+                    pc.append(s_ + frac * (lanes(e[:, a]) - s_))
+                miss = lanes(
+                    jnp.all(s == e, axis=1).astype(jnp.int32)
+                ) > 0
+                offset = padding - (padding - 1) // 2
+                acc = jnp.float32(0.0)
+                for vi in range(n_views):
+                    Pv = P[vi]
+                    u = (Pv[0, 0] * pc[0] + Pv[0, 1] * pc[1]
+                         + Pv[0, 2] * pc[2] + Pv[0, 3])
+                    w_ = (Pv[1, 0] * pc[0] + Pv[1, 1] * pc[1]
+                          + Pv[1, 2] * pc[2] + Pv[1, 3])
+                    z_ = (Pv[2, 0] * pc[0] + Pv[2, 1] * pc[1]
+                          + Pv[2, 2] * pc[2] + Pv[2, 3])
+                    fx = jnp.clip(
+                        jnp.round(u / z_).astype(jnp.int32) + offset,
+                        0, w,
+                    )
+                    fy = jnp.clip(
+                        jnp.round(w_ / z_).astype(jnp.int32) + offset,
+                        0, h,
+                    )
+                    ez = (fx == 0) | (fy == 0) | miss
+                    fx = jnp.where(ez, 0, fx)
+                    fy = jnp.where(ez, 0, fy)
+                    if stage == "proj":
+                        acc = acc + fx.sum() + fy.sum()
+                        continue
+                    gd = ps._group_d(d)
+                    G = d // gd
+                    big = jnp.int32(1 << 20)
+                    gx = fx.reshape(nb, G, gd * ps.RAYS_PER_BLOCK)
+                    gy = fy.reshape(nb, G, gd * ps.RAYS_PER_BLOCK)
+                    gs = ez.reshape(nb, G, gd * ps.RAYS_PER_BLOCK)
+                    mnx = jnp.where(gs, big, gx).min(axis=2)
+                    mny = jnp.where(gs, big, gy).min(axis=2)
+                    mxx = jnp.where(gs, -1, gx).max(axis=2)
+                    mxy = jnp.where(gs, -1, gy).max(axis=2)
+                    acc = (acc + mnx.sum() + mny.sum() + mxx.sum()
+                           + mxy.sum())
+                return acc
+
+            return fn
+
+        for stage in ("proj", "mins"):
+            fn = _mk_partial(stage)
+            fn(s, e)
+            timed(fn, (s, e), "front %s-only" % stage,
+                  lambda o: float(jnp.stack(o).sum()))
+        front_full(s, e)
+        timed(front_full, (s, e), "front full",
+              lambda o: float(jnp.stack(o).sum()))
 
     # 2. fused BP beam message step (sims + beam kernel, production path)
     from raynet_tpu.ops.pallas.bp_beam import plan_bp_config
