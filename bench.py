@@ -56,16 +56,33 @@ def _cameras(h, w, n_views):
 
 
 def emit(metric, value, unit, vs_baseline):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(float(value), 4),
-                "unit": unit,
-                "vs_baseline": round(float(vs_baseline), 3),
-            }
-        )
-    )
+    rec = {
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(vs_baseline), 3),
+    }
+    # every metric is recorded so main() can re-emit the WHOLE decision
+    # set as the final block (VERDICT r4 #2: the driver captures only the
+    # stdout tail, and the agreement/correctness lines scrolled out of
+    # the round-4 artifact); latest value wins for re-emitted metrics
+    EMITTED[metric] = rec
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+EMITTED = {}
+
+
+def emit_final_block(headline_metric):
+    """Re-print every recorded metric, headline LAST, so the driver's
+    tail always contains the full correctness + performance evidence."""
+    print("bench: final metric block", file=sys.stderr)
+    ordered = [m for m in EMITTED if m != headline_metric]
+    if headline_metric in EMITTED:
+        ordered.append(headline_metric)
+    for m in ordered:
+        print(json.dumps(EMITTED[m]))
     sys.stdout.flush()
 
 
@@ -603,13 +620,10 @@ def main():
                 file=sys.stderr,
             )
 
-        # (e) re-emit the headline as the final JSON line (the driver
-        # parses the last line).
-        if headline is not None:
-            emit(
-                "dtu_scene_orchestrated_s", headline, "s",
-                DTU_SCENE_TARGET_S / headline,
-            )
+    # Final block: re-emit EVERY captured metric, headline last (the
+    # driver parses the last line and records only the tail — the whole
+    # correctness evidence must live there, VERDICT r4 #2).
+    emit_final_block("dtu_scene_orchestrated_s")
 
 
 def supervise():
@@ -679,6 +693,11 @@ def supervise():
                 )
                 child.kill()
                 break
+        if stalled:
+            # reap the killed child before relaunching (ADVICE r4: an
+            # unreaped zombie + still-pumping threads raced the next
+            # attempt's output interleaving)
+            child.wait()
         for t in threads:
             t.join(timeout=30)
         if not stalled:

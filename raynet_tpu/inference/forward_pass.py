@@ -14,6 +14,7 @@ Design deltas vs the reference, deliberate:
 - BP messages stay in device/host arrays keyed by image (the reference used
   np.memmap scratch files).
 """
+import sys
 import time
 
 import numpy as np
@@ -860,6 +861,49 @@ class RayNetForwardPass(ForwardPass):
             del self._msgs_dir
 
     def forward_pass(self, scene, images_range):
+        """Yield one (H, W) depth map per reference image.
+
+        Thin rescue wrapper around the planned pass: the beam planner's
+        VMEM estimator (est_scoped_vmem, a fast-path filter calibrated
+        on one v5e config) can under-estimate an unusual shape, in which
+        case the Mosaic compile of the fused sweep fails at the FIRST
+        dispatch — 30-150 s into the run, long after planning (ADVICE
+        r4). All depth maps are yielded after the sweeps, so a compile
+        failure precedes the first yield and the whole pass can be
+        retried once with the beam kernel disabled (the XLA path)."""
+        gen = self._forward_pass_planned(scene, images_range)
+        yielded = False
+        while True:
+            try:
+                item = next(gen)
+            except StopIteration:
+                return
+            except Exception as e:  # noqa: BLE001 — re-raised unless VMEM
+                msg = str(e).lower()
+                is_vmem = "vmem" in msg and (
+                    "exceed" in msg or "alloc" in msg or "scoped" in msg
+                )
+                if yielded or not is_vmem or self.bp_beam == "off":
+                    raise
+                print(
+                    "forward_pass: beam kernel failed to compile (%s); "
+                    "retrying this pass on the XLA path" % (e,),
+                    file=sys.stderr,
+                )
+                prev = self.bp_beam
+                self.bp_beam = "off"
+                try:
+                    for m in self._forward_pass_planned(
+                        scene, images_range
+                    ):
+                        yield m
+                finally:
+                    self.bp_beam = prev
+                return
+            yielded = True
+            yield item
+
+    def _forward_pass_planned(self, scene, images_range):
         assert isinstance(images_range, tuple)
         self._check_scene(scene)
         start, end, skip = images_range

@@ -58,6 +58,7 @@ from the XLA path is the documented bf16 value rounding in the
 gather/scatter dots above).
 """
 import functools
+import sys
 
 import numpy as np
 import jax
@@ -450,8 +451,21 @@ def rays_candidates(unit):
     march is issue-bound, so wider blocks stopped paying past 1024;
     planning the top TWO lets the cost model reject a bigger-rays plan
     whose box bucket jumped (a wider block footprint can need the next
-    _BA_BUCKETS step, and rows cost more than blocks save)."""
-    return [r for r in (1024, 512, 256) if unit % r == 0][:2]
+    _BA_BUCKETS step, and rows cost more than blocks save).
+
+    A ``unit`` that no candidate divides (ADVICE r4: silently returning
+    [] sent the orchestrator to the ~30x slower XLA path) falls back to
+    planning rays=256 — the planners pad partial blocks, and runtime
+    callers pad batches to whole blocks — with a one-line stderr note."""
+    cands = [r for r in (1024, 512, 256) if unit % r == 0][:2]
+    if not cands and unit >= 256:
+        print(
+            "bp_beam: unit=%d is not a multiple of 256; planning "
+            "rays=256 with padding" % (unit,),
+            file=sys.stderr,
+        )
+        cands = [256]
+    return cands
 
 
 def plan_bp_config_auto(P_pinv, camera_center, bbox, grid_shape, height,
@@ -462,7 +476,18 @@ def plan_bp_config_auto(P_pinv, camera_center, bbox, grid_shape, height,
     With ``ray_idxs`` (every block walked — no sampling) the candidates
     share one native march via _plan_prologue_multi; the sampled
     whole-image path stays per-candidate (each samples ~1/stride of the
-    blocks, so two sampled runs are cheaper than one full march)."""
+    blocks, so two sampled runs are cheaper than one full march).
+
+    Extra ``kw`` are forwarded to plan_bp_config on the sampled path and
+    IGNORED on the fused-states path (only gamma/ba_cap/k_cap are read
+    there). ``explain`` is rejected outright: it changes plan_bp_config's
+    return type to a (cfg, reason) tuple, which the cost-model selection
+    here cannot consume (ADVICE r4)."""
+    if kw.pop("explain", False):
+        raise ValueError(
+            "plan_bp_config_auto does not support explain=True; call "
+            "plan_bp_config(..., explain=True) per candidate instead"
+        )
     cands = rays_candidates(unit)
     states = (
         _plan_prologue_multi(

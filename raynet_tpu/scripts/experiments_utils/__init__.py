@@ -1,7 +1,10 @@
 from .experiments_manager import (
-    experiment_tag,
-    set_output_directory,
-    save_experiment_locally,
-    register_experiment,
+    GspreadSheetsClient,
     Metrics,
+    build_registration_row,
+    experiment_tag,
+    load_params_ordering,
+    register_experiment,
+    save_experiment_locally,
+    set_output_directory,
 )

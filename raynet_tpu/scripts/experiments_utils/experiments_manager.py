@@ -114,28 +114,101 @@ def _jsonable(v):
     return v if isinstance(v, (int, float, str, bool, list, type(None))) else str(v)
 
 
-def register_experiment(credentials, spreadsheet, parameters, results):
-    """Append the experiment to a Google Sheet when the gspread stack is
-    available; otherwise append to ~/.raynet_tpu_experiments.jsonl."""
-    try:
-        import gspread  # noqa: F401 — optional dependency
-
-        raise NotImplementedError(
-            "spreadsheet registration requires network access"
+def load_params_ordering(path=None):
+    """Column ordering for the registration row: one parameter name per
+    line (parity: /root/reference/config/pretrain_network_experiment_params.txt,
+    consumed by the reference's register_experiment params_ordering arg).
+    Defaults to the checked-in config/pretrain_network_experiment_params.txt;
+    returns None when no ordering file exists (all params, sorted)."""
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ))),
+            "config", "pretrain_network_experiment_params.txt",
         )
-    except ImportError:
-        fallback = os.path.expanduser("~/.raynet_tpu_experiments.jsonl")
-        with open(fallback, "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "spreadsheet": spreadsheet,
-                        "parameters": {
-                            k: _jsonable(v) for k, v in parameters.items()
-                        },
-                        "results": _jsonable(results),
-                    }
-                )
-                + "\n"
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return [l.strip() for l in f if l.strip()]
+
+
+def build_registration_row(parameters, results, tag=None,
+                           params_ordering=None):
+    """One flat spreadsheet row: [tag] + ordered parameter values +
+    flattened results (parity: the reference builds
+    [experiment_tag] + params[params_ordering] + metrics,
+    experiments_manager.py:108-122). Parameters missing from the
+    ordering render as '' so the sheet columns stay aligned."""
+    if params_ordering is None:
+        params_ordering = load_params_ordering() or sorted(parameters)
+    row = [tag if tag is not None else experiment_tag()]
+    for k in params_ordering:
+        v = parameters.get(k, "")
+        row.append(json.dumps(_jsonable(v)) if isinstance(
+            v, (list, tuple, np.ndarray, dict)
+        ) else _jsonable(v))
+    row.extend(
+        float(x) for x in np.asarray(results, dtype=np.float64).reshape(-1)
+    )
+    return row
+
+
+class GspreadSheetsClient:
+    """Thin Google-Sheets append client over gspread service-account
+    auth (the reference used googleapiclient+oauth2client,
+    google_cloud_utils.py:38-58; gspread is its maintained successor).
+    Instantiation requires gspread + a credentials keyfile; tests
+    inject a fake with the same append_row surface."""
+
+    def __init__(self, credentials_path):
+        import gspread  # optional dependency; ImportError -> fallback
+
+        self._gc = gspread.service_account(filename=credentials_path)
+
+    def append_row(self, spreadsheet_id, sheet, row):
+        ws = self._gc.open_by_key(spreadsheet_id).worksheet(sheet)
+        ws.append_row(
+            [str(v) for v in row], value_input_option="USER_ENTERED"
+        )
+
+
+def register_experiment(credentials, spreadsheet, parameters, results,
+                        sheet="Sheet1", tag=None, params_ordering=None,
+                        client=None):
+    """Append one experiment row to a Google Sheet; without the gspread
+    stack (or credentials) append the same row to a local JSONL archive
+    (~/.raynet_tpu_experiments.jsonl) so offline runs keep a registry.
+
+    ``client``: any object with append_row(spreadsheet, sheet, row) —
+    the injection point that keeps the sheet path offline-testable.
+    Returns "sheet" when the row went to the spreadsheet, else the
+    fallback file path."""
+    row = build_registration_row(
+        parameters, results, tag=tag, params_ordering=params_ordering
+    )
+    if client is None and credentials and os.path.isfile(str(credentials)):
+        try:
+            client = GspreadSheetsClient(credentials)
+        except ImportError:
+            client = None
+    if client is not None:
+        client.append_row(spreadsheet, sheet, row)
+        return "sheet"
+    fallback = os.path.expanduser("~/.raynet_tpu_experiments.jsonl")
+    with open(fallback, "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "spreadsheet": spreadsheet,
+                    "sheet": sheet,
+                    "row": [_jsonable(v) for v in row],
+                    "parameters": {
+                        k: _jsonable(v) for k, v in parameters.items()
+                    },
+                    "results": _jsonable(results),
+                }
             )
-        return fallback
+            + "\n"
+        )
+    return fallback

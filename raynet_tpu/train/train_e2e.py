@@ -116,9 +116,17 @@ def build_end_to_end_training(
     train_with_gamma=True,
     bp_iterations=3,
     weight_file=None,
+    return_grads=False,
 ):
     """Returns (state, train_fn, eval_fn) — the functional counterpart of the
-    reference's (train_on_batch, evaluate_on_batch) K.functions."""
+    reference's (train_on_batch, evaluate_on_batch) K.functions.
+
+    ``return_grads``: include the raw gradient pytree in train_fn's
+    metrics. Used by the sharded-vs-single-device parity tests: post-Adam
+    params cannot be compared for functionally-degenerate directions
+    (a conv bias feeding BatchNorm has zero gradient; Adam amplifies its
+    reduction-order noise to ±lr), but the gradients themselves must
+    agree to float tolerance."""
     gp = generation_params
     model = cnn_factory(cnn_name)()
     ph, pw, c = gp.patch_shape
@@ -198,7 +206,10 @@ def build_end_to_end_training(
             )
         if updates is not None:
             state = state.replace(batch_stats=updates["batch_stats"])
-        return state, {"loss": loss_val, "gamma": g}
+        metrics = {"loss": loss_val, "gamma": g}
+        if return_grads:
+            metrics["grads"] = grads
+        return state, metrics
 
     @jax.jit
     def eval_fn(state, batch):

@@ -798,6 +798,10 @@ def test_vmem_model_cost_model_and_rays_candidates():
     assert rays_candidates(61440) == [1024, 512]
     assert rays_candidates(512 * 3) == [512, 256]
     assert rays_candidates(256) == [256]
+    # non-multiple-of-256 units fall back to a padded 256 plan instead
+    # of silently planning nothing (ADVICE r4)
+    assert rays_candidates(1000) == [256]
+    assert rays_candidates(100) == []
 
     def mk(ba, ns, rays):
         return BpBeamConfig(
@@ -838,6 +842,15 @@ def test_plan_auto_variants(geo):
     )
     assert cfg is not None and cfg.rays in (512, 256)
     assert plan_cost_ms(cfg) > 0
+
+    # explain=True changes plan_bp_config's return TYPE; the auto
+    # selector must reject it loudly rather than mis-select (ADVICE r4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="explain"):
+        plan_bp_config_auto(
+            pp, c, bbox, GRID, H, W, D, M, 768, gamma=GAMMA, explain=True
+        )
 
     info = plan_bp_classes_auto(pp, c, bbox, GRID, H, W, D, M, 1024)
     assert info is not None

@@ -271,3 +271,57 @@ def test_forward_cli_rescues_planner_invariant_violation(
     assert "retrying the scene on the exact XLA path" in err
     d0 = np.load(tmp_path / "depth_000.npy")
     assert np.isfinite(d0).all() and (d0 > 0).any()
+
+
+def test_register_experiment_sheet_and_fallback(tmp_path, monkeypatch):
+    """Experiment registration (reference: google_cloud_utils.py:38-58 +
+    experiments_manager.py:99-122): with a sheets client the row is
+    appended [tag, ordered params..., metrics...]; without one the same
+    row lands in the local JSONL archive. The ordering comes from
+    config/pretrain_network_experiment_params.txt."""
+    import json
+
+    from raynet_tpu.scripts.experiments_utils import (
+        build_registration_row,
+        load_params_ordering,
+        register_experiment,
+    )
+
+    ordering = load_params_ordering()
+    assert ordering is not None and ordering[0] == "training_directory"
+
+    params = {"depth_planes": 8, "lr": 1e-3, "patch_shape": (11, 11, 3)}
+    results = [[0.5, 0.6, 1.2], [0.4, 0.65, 1.1]]
+
+    row = build_registration_row(
+        params, results, tag="tag123",
+        params_ordering=["depth_planes", "lr", "missing", "patch_shape"],
+    )
+    assert row[:3] == ["tag123", 8, 0.001]
+    assert row[3] == ""  # missing param keeps the column aligned
+    assert json.loads(row[4]) == [11, 11, 3]
+    assert row[5:] == [0.5, 0.6, 1.2, 0.4, 0.65, 1.1]
+
+    class FakeClient:
+        calls = []
+
+        def append_row(self, spreadsheet, sheet, row):
+            self.calls.append((spreadsheet, sheet, row))
+
+    client = FakeClient()
+    out = register_experiment(
+        None, "sheet-id", params, results, tag="t",
+        params_ordering=["lr"], client=client,
+    )
+    assert out == "sheet"
+    assert client.calls == [("sheet-id", "Sheet1", ["t", 0.001] + row[5:])]
+
+    # offline fallback: no client, no credentials file -> JSONL archive
+    monkeypatch.setenv("HOME", str(tmp_path))
+    out = register_experiment(
+        "/nonexistent", "sheet-id", params, results, tag="t",
+        params_ordering=["lr"],
+    )
+    rec = json.loads(open(out).read().strip().splitlines()[-1])
+    assert rec["row"][:2] == ["t", 0.001]
+    assert rec["spreadsheet"] == "sheet-id"

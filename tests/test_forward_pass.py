@@ -617,3 +617,40 @@ def test_unfiltered_ray_order_cached_per_shape(setup):
     finally:
         fpm._use_pallas = old_pallas
         fpm._UNFILTERED_RAY_ORDER.clear()
+
+
+def test_vmem_compile_failure_falls_back_to_xla(setup):
+    """A Mosaic scoped-VMEM compile failure surfaces at the FIRST fused
+    dispatch — after planning, before any depth map is yielded. The
+    forward_pass wrapper must retry the whole pass once with the beam
+    kernel off (ADVICE r4: est_scoped_vmem is a calibrated fast-path
+    filter, not a guarantee) and restore bp_beam afterwards."""
+    from raynet_tpu.inference.forward_pass import RayNetForwardPass
+
+    scene, gp, model, scheme = setup
+    fp = RayNetForwardPass(model, gp, scheme, scene.image_shape, 512)
+    calls = []
+
+    def fake_planned(scene_, images_range):
+        calls.append(fp.bp_beam)
+        if fp.bp_beam != "off":
+            raise RuntimeError(
+                "Mosaic failed to compile TPU kernel: scoped vmem "
+                "allocation exceeds the limit"
+            )
+        yield np.zeros(scene_.image_shape, np.float32)
+
+    fp._forward_pass_planned = fake_planned
+    maps = list(fp.forward_pass(scene, (0, 1, 1)))
+    assert len(maps) == 1
+    assert calls == ["auto", "off"]
+    assert fp.bp_beam == "auto"  # restored
+
+    # non-VMEM errors must NOT be swallowed
+    def fake_raise(scene_, images_range):
+        raise RuntimeError("kernel planner invariant violated (3 ...)")
+        yield  # pragma: no cover
+
+    fp._forward_pass_planned = fake_raise
+    with pytest.raises(RuntimeError, match="invariant"):
+        list(fp.forward_pass(scene, (0, 1, 1)))
