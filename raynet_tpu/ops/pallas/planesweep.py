@@ -61,6 +61,11 @@ TILE_W, TILE_H = 16, 8  # pixel tile (x-extent, y-extent) for ray blocking
 # where one whole-band box risks the VMEM budget.
 GROUP_D = 16
 _DMA_SLOTS = 4  # in-flight sub-box copies per view (latency hiding)
+# Build iteration i+1's one-hot eq operand between iteration i's dot
+# issue and its first consumer, so the VPU eq stream overlaps the MXU
+# matmul (device A/B pending; the isolation timers measured the two
+# shares as ADDITIVE, ~5 ms dot + ~6 ms eq of the 12.4 ms sims step).
+_PIPELINE_EQ = True
 _DEBUG_NO_DOT = False  # A/B timers only: skip the one-hot MXU dot
 _DEBUG_NO_EQ = False  # A/B timers only: constant eq operand (WRONG results)
 _DEBUG_NO_PICK = False  # A/B timers only: skip the 4-way sub-lane pick
@@ -114,11 +119,40 @@ def _kernel(
             sems.at[v, slot_of(i)],
         )
 
+    def build_eq(i):
+        """(eqT, row, sub, cid) for iteration i. Depends ONLY on the
+        always-resident cell_ref (not the DMA'd band), so it can be
+        built one iteration AHEAD of its dot (see _PIPELINE_EQ).
+
+        One-hot row compare stays int32: v5e Mosaic supports neither
+        16-bit iota nor i16 vector compares (both tried 2026-08-19 —
+        "16-bit iota not supported by hardware" / "Target does not
+        support this comparison"), so the 2-per-lane i16 packing idea
+        cannot lower on this generation."""
+        v, g = seq[i]
+        bh, bwg = box_specs[v]
+        ctr = bh * bwg
+        cid = cell_ref[0, v : v + 1, pl.ds(g * t_tile, t_tile)]
+        row = cid >> 2  # (1, Tt)
+        sub = cid & 3
+        if _DEBUG_NO_EQ:  # A/B timers only (WRONG results): eq-build share
+            # data-dependent (cannot fold) but build-free: one broadcast
+            eqT = jnp.broadcast_to(
+                row.astype(jnp.bfloat16), (ctr, t_tile)
+            )
+        else:
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, t_tile), 0)
+            eqT = (
+                iota_r == jnp.broadcast_to(row, (ctr, t_tile))
+            ).astype(jnp.bfloat16)
+        return eqT, row, sub, cid
+
     # deep DMA pipeline: sub-box copies are small (~64-128 KB) and their
     # ~1 us issue latency exceeds a tile's compute, so keep
     # _DMA_SLOTS - 1 copies in flight ahead of the consumer
     for j in range(min(_DMA_SLOTS - 1, len(seq))):
         dma_for(j).start()
+    eq_cur = build_eq(0) if _PIPELINE_EQ else None
     for i, (v, g) in enumerate(seq):
         if i + _DMA_SLOTS - 1 < len(seq):
             dma_for(i + _DMA_SLOTS - 1).start()
@@ -130,24 +164,10 @@ def _kernel(
         dma_for(i).wait()
         band = bands[v][slot_of(i)].reshape(ctr, 128)
         f00 = f00_ref[:, v : v + 1]  # (32, 1)
-        cid = cell_ref[0, v : v + 1, pl.ds(g * t_tile, t_tile)]
-        row = cid >> 2  # (1, Tt)
-        sub = cid & 3
-        # One-hot row compare stays int32: v5e Mosaic supports neither
-        # 16-bit iota nor i16 vector compares (both tried 2026-08-19 —
-        # "16-bit iota not supported by hardware" / "Target does not
-        # support this comparison"), so the 2-per-lane i16 packing idea
-        # cannot lower on this generation.
-        if _DEBUG_NO_EQ:  # A/B timers only (WRONG results): eq-build share
-            # data-dependent (cannot fold) but build-free: one broadcast
-            eqT = jnp.broadcast_to(
-                row.astype(jnp.bfloat16), (ctr, t_tile)
-            )
+        if _PIPELINE_EQ:
+            eqT, row, sub, cid = eq_cur
         else:
-            iota_r = jax.lax.broadcasted_iota(jnp.int32, (ctr, t_tile), 0)
-            eqT = (
-                iota_r == jnp.broadcast_to(row, (ctr, t_tile))
-            ).astype(jnp.bfloat16)
+            eqT, row, sub, cid = build_eq(i)
         if _DEBUG_NO_DOT:  # A/B timers only (WRONG results): MXU share
             if ctr >= 128:
                 rows_T = jax.lax.slice(
@@ -164,6 +184,13 @@ def _kernel(
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (128, Tt): 4 packed cells x 32 ch, targets in lanes
+        if _PIPELINE_EQ and i + 1 < len(seq):
+            # Build the NEXT iteration's eq operand here — between the
+            # dot issue and its first consumer — so the VPU compare/cast
+            # stream overlaps the in-flight MXU matmul (the A/B-measured
+            # shares were ADDITIVE: ~5 ms dot + ~6 ms eq in a 12.4 ms
+            # sims step, i.e. no overlap with the in-order build order).
+            eq_cur = build_eq(i + 1)
         if _DEBUG_NO_PICK:  # A/B timers only (WRONG results): pick share
             fT = jax.lax.slice(rows_T, (0, 0), (32, t_tile))
         else:

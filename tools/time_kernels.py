@@ -53,6 +53,9 @@ def main():
                     help="attribute the sims XLA front end by stage")
     ap.add_argument("--dma_slots", type=int, default=None,
                     help="A/B: sims band-DMA pipeline depth")
+    ap.add_argument("--no_pipeline_eq", action="store_true",
+                    help="A/B: build each eq operand at its own "
+                         "iteration (no VPU/MXU overlap)")
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
@@ -98,6 +101,9 @@ def main():
         print("NO_PICK", file=sys.stderr)
     if args.dma_slots:
         ps._DMA_SLOTS = args.dma_slots
+    if args.no_pipeline_eq:
+        ps._PIPELINE_EQ = False
+        print("NO_PIPELINE_EQ", file=sys.stderr)
         print("DMA_SLOTS=%d" % (ps._DMA_SLOTS,), file=sys.stderr)
 
     import jax
