@@ -1,0 +1,251 @@
+"""Device-side BP beam planner aggregates — the TPU-native bp_plan_agg.
+
+The cold-scene plan phase is dominated by the per-ray planner march:
+segments + exact-K + group lateral spans over every ray of every view
+(~0.5 s/view at 720p on the single-core planning host, linear in rays —
+~47 s extrapolated for a 49-view DTU scene at 1600x1200, VERDICT r4 #3).
+The march is embarrassingly parallel and pure arithmetic, so it
+vectorizes onto the device: per-ray closed forms (no walk) evaluated as
+(N,)-shaped XLA ops, block-reduced on device, with only the per-block
+aggregates (k_blk + 4 x (nb, ngrp) floors, ~2 MB/view) downloaded.
+
+Numerics: f32 on device vs the native/n's f64. The t-parameter formulas
+here have ~1e-6 relative jitter against f64 while the planner's
+boundary slack is 1e-4 (native raynet_host.cpp uses the same slack for
+the f64-planner-vs-f32-runtime gap), and the lateral floors carry the
+downstream +-2-cell snap budget — the same margins that already absorb
+runtime-f32 drift absorb planner-f32 drift. Parity is tested
+block-exactly against the native/numpy planner on synthetic rigs
+(tests/test_bp_beam.py).
+
+Geometry precision rule (CLAUDE.md): the backprojection runs as scalar
+f32 multiply-add chains (ops/geometry.rays_from_pixel_idxs), never an
+MXU contraction — default-precision f32 matmuls truncate operands to
+bf16 on TPU.
+
+Mirrors: native/raynet_host.cpp::plan_accum_ray (the arithmetic is the
+same closed forms, reduction order aside); reference analog is the
+planning half of ray_tracing.pyx:64-199.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry import rays_entry_exit_bbox, rays_from_pixel_idxs
+
+
+@functools.partial(jax.jit, static_argnames=("height", "fine"))
+def _segments_stats(ray_idxs, P_pinv, camera_center, bbox, *, height,
+                    fine):
+    """Program A: segments + dominant-axis statistics + per-fine-block
+    miss-fill sources. Segment endpoints STAY ON DEVICE (s, e); the
+    scalar statistics and the (N,) fill map are what the host reads."""
+    dirs = rays_from_pixel_idxs(ray_idxs, P_pinv, camera_center, height)
+    s, e = rays_entry_exit_bbox(
+        dirs, camera_center, bbox[:3], bbox[3:]
+    )
+    ray = e - s
+    hit = jnp.abs(ray).sum(axis=1) > 0
+    n_hit = hit.sum()
+    # sums (not means): the host divides by bins and n_hit; argmax is
+    # invariant to the common factor
+    abs_sums = jnp.where(hit[:, None], jnp.abs(ray), 0.0).sum(axis=0)
+    n_pos = jnp.where(hit[:, None], ray > 0, False).sum(axis=0)
+    n_neg = jnp.where(hit[:, None], ray < 0, False).sum(axis=0)
+    # per-fine-block first-hit fill (global first hit as the fallback),
+    # mirroring _dom_sign_and_fill_numpy
+    nb = ray_idxs.shape[0] // fine
+    hb = hit.reshape(nb, fine)
+    first = jnp.argmax(hb, axis=1).astype(jnp.int32)
+    has = hb.any(axis=1)
+    gsrc = jnp.argmax(hit).astype(jnp.int32)
+    src = jnp.where(
+        has, jnp.arange(nb, dtype=jnp.int32) * fine + first, gsrc
+    )
+    # HIT rays keep themselves; only misses borrow the block's first hit
+    fill = jnp.where(
+        hit, jnp.arange(hit.shape[0], dtype=jnp.int32),
+        jnp.repeat(src, fine),
+    )
+    return s, e, fill, abs_sums, n_hit, n_pos, n_neg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("perm", "flip", "S", "ngrp", "fine", "slack", "eps"),
+)
+def _agg_device(s, e, fill, bmin, pb, ext, *, perm, flip, S, ngrp, fine,
+                slack=1e-4, eps=1e-2):
+    """Program B: per-fine-block (k, group lateral lo/hi floors).
+
+    Closed forms (no cell walk): slice j's t-interval is
+    [tmax0+(j-1)*td0, tmax0+j*td0] clamped to [0, 1], and the lateral
+    crossings below a time T follow floor((T - tmax_a)/td_a) + 1 — the
+    same counting the native planner walks serially per ray."""
+    # miss rays borrow a hit ray from their own block (zero-length
+    # segments would poison the sign/K statistics — see
+    # _dom_sign_and_fill); at runtime they are dead lanes
+    s = s[fill]
+    e = e[fill]
+    sp = [s[:, perm[a]] - bmin[perm[a]] for a in range(3)]
+    ep = [e[:, perm[a]] - bmin[perm[a]] for a in range(3)]
+    if flip:
+        sp[0] = ext - sp[0]
+        ep[0] = ext - ep[0]
+
+    inf = jnp.float32(jnp.inf)
+    tmax, tdelta = [], []
+    for a in range(3):
+        ray = ep[a] - sp[a]
+        stepf = jnp.where(ray >= 0, 1.0, -1.0)
+        startn = sp[a] + stepf * (pb[a] * eps)
+        cur = jnp.floor(startn / pb[a])
+        cc = cur * pb[a]
+        boundary = jnp.where(
+            (stepf < 0) & (cc < startn), cc, cc + stepf * pb[a]
+        )
+        nz = ray != 0
+        tmax.append(jnp.where(nz, (boundary - startn) / ray, inf))
+        tdelta.append(jnp.where(nz, stepf * pb[a] / ray, inf))
+
+    def crossings_below(T, a):
+        x = (T - tmax[a]) / tdelta[a]
+        n = jnp.floor(x) + 1.0
+        return jnp.maximum(jnp.where(jnp.isfinite(x), n, 0.0), 0.0)
+
+    def k_body(j, carry):
+        kmax, t_prev = carry
+        t_next = tmax[0] + j.astype(jnp.float32) * tdelta[0]
+        # NaN/inf compare false -> clamp to 1 (native: !(t < 1) -> 1)
+        t_next = jnp.where(t_next < 1.0, t_next, 1.0)
+        tlo = t_prev - slack
+        thi = t_next + slack
+        em = 1.0
+        for a in (1, 2):
+            em = em + crossings_below(thi, a) - crossings_below(tlo, a)
+        em = jnp.where(jnp.isfinite(em), em, 1.0)
+        return jnp.maximum(kmax, em), t_next
+
+    kmax, _ = jax.lax.fori_loop(
+        0, S, k_body,
+        (jnp.ones_like(sp[0]), jnp.zeros_like(sp[0])),
+    )
+    nb = sp[0].shape[0] // fine
+    k_blk = kmax.reshape(nb, fine).max(axis=1).astype(jnp.int32)
+
+    # group-boundary lateral positions (clamped dominant lerp), reduced
+    # to per-block floors group by group — no (N, ngrp) temporaries
+    d0 = sp[0] / pb[0]
+    d1 = ep[0] / pb[0]
+    inv = 1.0 / jnp.maximum(d1 - d0, 1e-9)
+    a0 = sp[1] / pb[1]
+    da = ep[1] / pb[1] - a0
+    b0 = sp[2] / pb[2]
+    db = ep[2] / pb[2] - b0
+    lo_a, hi_a, lo_b, hi_b = [], [], [], []
+    pa_prev = pb_prev = None
+    for g in range(ngrp + 1):
+        t = jnp.clip((g * 8.0 - d0) * inv, 0.0, 1.0)
+        pa = a0 + t * da
+        pbv = b0 + t * db
+        if g > 0:
+            la = jnp.floor(jnp.minimum(pa_prev, pa)).reshape(nb, fine)
+            ha = jnp.floor(jnp.maximum(pa_prev, pa)).reshape(nb, fine)
+            lb = jnp.floor(jnp.minimum(pb_prev, pbv)).reshape(nb, fine)
+            hb = jnp.floor(jnp.maximum(pb_prev, pbv)).reshape(nb, fine)
+            lo_a.append(la.min(axis=1))
+            hi_a.append(ha.max(axis=1))
+            lo_b.append(lb.min(axis=1))
+            hi_b.append(hb.max(axis=1))
+        pa_prev, pb_prev = pa, pbv
+    return (
+        k_blk,
+        jnp.stack(lo_a, axis=1),
+        jnp.stack(hi_a, axis=1),
+        jnp.stack(lo_b, axis=1),
+        jnp.stack(hi_b, axis=1),
+    )
+
+
+# per-(image-shape) committed tile-order index cache: unfiltered views
+# all share one padded tile-sorted ray list — upload it once, not per
+# view (~8 MB/view at DTU resolution through the tunnel)
+_IDX_CACHE = {}
+
+
+def device_plan_state(idxs, P_pinv, camera_center, bbox, grid_shape,
+                      height, fine, cache_key=None):
+    """Run program A + the host dom/flip decision. Returns
+    (state, "ok") where state carries the device s/e/fill plus
+    (bins, perm, flip, ...), or (None, reason) mirroring
+    _dom_sign_and_fill's rejections."""
+    bbox = np.asarray(bbox, np.float64).reshape(6)
+    grid_shape = tuple(int(g) for g in grid_shape)
+    if cache_key is not None and cache_key in _IDX_CACHE:
+        idxs_dev = _IDX_CACHE[cache_key]
+    else:
+        idxs_dev = jax.device_put(np.ascontiguousarray(idxs, np.int32))
+        if cache_key is not None:
+            _IDX_CACHE[cache_key] = idxs_dev
+    s, e, fill, abs_sums, n_hit, n_pos, n_neg = _segments_stats(
+        idxs_dev,
+        jnp.asarray(P_pinv, jnp.float32),
+        jnp.asarray(camera_center, jnp.float32),
+        jnp.asarray(bbox, jnp.float32),
+        height=int(height), fine=int(fine),
+    )
+    # ONE host sync for all the scalars
+    stats = np.asarray(
+        jnp.concatenate([
+            abs_sums,
+            jnp.stack([n_hit.astype(jnp.float32)]),
+            n_pos.astype(jnp.float32),
+            n_neg.astype(jnp.float32),
+        ])
+    )
+    abs_sums, n_hit = stats[:3], stats[3]
+    n_pos, n_neg = stats[4:7], stats[7:10]
+    if n_hit == 0:
+        return None, "empty-rays"
+    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
+    dom = int(np.argmax(abs_sums / bins))
+    if n_pos[dom] == n_hit:
+        flip = False
+    elif n_neg[dom] == n_hit:
+        flip = True
+    else:
+        return None, "mixed-dominant-sign"
+    return dict(
+        s=s, e=e, fill=fill, bins=bins, bbox=bbox, grid_shape=grid_shape,
+        dom=dom, flip=flip, n=len(idxs),
+    ), "ok"
+
+
+def device_plan_agg(state, fine):
+    """Run program B on a device_plan_state: returns numpy
+    (k_blk, lo_a, hi_a, lo_b, hi_b) with the native bp_plan_agg's
+    contract (fine-block aggregates, f64 floors)."""
+    dom, flip = state["dom"], state["flip"]
+    others = [a for a in range(3) if a != dom]
+    perm = (dom, others[0], others[1])
+    grid_shape, bins, bbox = (
+        state["grid_shape"], state["bins"], state["bbox"],
+    )
+    S = grid_shape[dom]
+    pb = np.asarray([bins[a] for a in perm], np.float64)
+    out = _agg_device(
+        state["s"], state["e"], state["fill"],
+        jnp.asarray(bbox[:3], jnp.float32),
+        jnp.asarray(pb, jnp.float32),
+        jnp.float32(S * pb[0]),
+        perm=perm, flip=bool(flip), S=int(S), ngrp=int(S) // 8,
+        fine=int(fine),
+    )
+    k_blk, lo_a, hi_a, lo_b, hi_b = (np.asarray(x) for x in out)
+    return (
+        k_blk.astype(np.int32),
+        lo_a.astype(np.float64), hi_a.astype(np.float64),
+        lo_b.astype(np.float64), hi_b.astype(np.float64),
+    )

@@ -282,6 +282,41 @@ def _plan_prologue(
             perm_t = np.concatenate([perm_t, np.repeat(perm_t[-1:], pad)])
         idxs = perm_t
 
+    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
+    if _use_device_planner():
+        # device march (see _plan_prologue_multi / ops/bp_plan_device)
+        from ..bp_plan_device import device_plan_agg, device_plan_state
+
+        st_dev, reason = device_plan_state(
+            idxs, P_pinv, camera_center, bbox, grid_shape, height, rays,
+            cache_key=(
+                ("tile", height, width, rays)
+                if ray_idxs is None and sample_stride is None
+                else None
+            ),
+        )
+        if st_dev is None:
+            return None, reason
+        dom, flip = st_dev["dom"], st_dev["flip"]
+        others = [a for a in range(3) if a != dom]
+        perm = (dom, others[0], others[1])
+        S = grid_shape[dom]
+        if S % 8:
+            return None, "s-mod-8"
+        nb = len(idxs) // rays
+        if nb == 0:
+            return None, "no-blocks"
+        block_stats = _needs_from_agg(*device_plan_agg(st_dev, rays), 1)
+        k = int(block_stats[0].max())
+        if k > k_cap:
+            return None, "k-cap"
+        return dict(
+            s=None, e=None, bins=bins, bbox=bbox, grid_shape=grid_shape,
+            perm=perm, others=others, flip=flip, k=k, S=S,
+            A=grid_shape[others[0]], B=grid_shape[others[1]],
+            nb=nb, block_stats=block_stats,
+        ), "ok"
+
     # Host f64 segments (exact miss-collapse parity with the device op):
     # the planner used to dispatch the f32 segment program and download
     # 22 MB/view through the axon tunnel (~1.4 s at 720p); numpy f64 is
@@ -290,7 +325,6 @@ def _plan_prologue(
     s, e = host_rays_entry_exit(
         idxs, P_pinv, camera_center, bbox, height, dtype=np.float64
     )
-    bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
     s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, rays)
     if flip is None:
         return None, reason
@@ -570,18 +604,19 @@ def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
     hit ray where the coarse refill would use an in-block one, which
     can only WIDEN the derived spans — safe (at worst a boundary block
     buckets up)."""
-    try:
-        from ...native import bp_plan_agg, is_available
-    except ImportError:
-        return None
-    if not is_available():
-        return None
     fine = min(rays_list)
     coarse = max(rays_list)
     if any(r % fine for r in rays_list):
         return None
+    use_device = _use_device_planner()
+    if not use_device:
+        try:
+            from ...native import bp_plan_agg, is_available
+        except ImportError:
+            return None
+        if not is_available():
+            return None
     from .planesweep import tile_ids
-    from ..geometry import host_rays_entry_exit
 
     bbox = np.asarray(bbox, np.float64).reshape(6)
     grid_shape = tuple(int(g) for g in grid_shape)
@@ -597,6 +632,7 @@ def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
                 [keep, np.full(pad, keep[-1], np.int32)]
             )
         idxs = keep
+        idx_cache_key = None
     else:
         all_idxs = np.arange(n, dtype=np.int32)
         perm_t = np.argsort(
@@ -606,27 +642,57 @@ def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
         if pad:
             perm_t = np.concatenate([perm_t, np.repeat(perm_t[-1:], pad)])
         idxs = perm_t
-    s, e = host_rays_entry_exit(
-        idxs, P_pinv, camera_center, bbox, height, dtype=np.float64
-    )
+        idx_cache_key = ("tile", height, width, coarse)
+
     bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
-    s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, fine)
-    if flip is None:
-        return {r: (None, reason) for r in rays_list}
-    others = [a for a in range(3) if a != dom]
-    perm = (dom, others[0], others[1])
-    S = grid_shape[dom]
-    if S % 8:
-        return {r: (None, "s-mod-8") for r in rays_list}
-    bmin = np.asarray(bbox[:3], np.float64)
-    pb = np.asarray([bins[a] for a in perm], np.float64)
-    agg = bp_plan_agg(
-        s, e, fine, S, S // 8, pb, perm, flip, bmin, S * pb[0],
-        1e-4, _EPS,
-    )
+    if use_device:
+        # DEVICE planner march (the TPU-native bp_plan_agg): the
+        # per-ray closed forms vectorize onto the chip; only the
+        # per-block aggregates come back (~2 MB/view vs ~0.5-1 s/view
+        # of single-core host march, VERDICT r4 #3)
+        from ..bp_plan_device import device_plan_agg, device_plan_state
+
+        st_dev, reason = device_plan_state(
+            idxs, P_pinv, camera_center, bbox, grid_shape, height, fine,
+            cache_key=idx_cache_key,
+        )
+        if st_dev is None:
+            return {r: (None, reason) for r in rays_list}
+        dom, flip = st_dev["dom"], st_dev["flip"]
+        others = [a for a in range(3) if a != dom]
+        perm = (dom, others[0], others[1])
+        S = grid_shape[dom]
+        if S % 8:
+            return {r: (None, "s-mod-8") for r in rays_list}
+        agg = device_plan_agg(st_dev, fine)
+        s = e = None
+        n_rays_total = st_dev["n"]
+    else:
+        from ..geometry import host_rays_entry_exit
+
+        s, e = host_rays_entry_exit(
+            idxs, P_pinv, camera_center, bbox, height, dtype=np.float64
+        )
+        s, e, dom, flip, reason = _dom_sign_and_fill(s, e, bins, fine)
+        if flip is None:
+            return {r: (None, reason) for r in rays_list}
+        others = [a for a in range(3) if a != dom]
+        perm = (dom, others[0], others[1])
+        S = grid_shape[dom]
+        if S % 8:
+            return {r: (None, "s-mod-8") for r in rays_list}
+        bmin = np.asarray(bbox[:3], np.float64)
+        pb = np.asarray([bins[a] for a in perm], np.float64)
+        from ...native import bp_plan_agg
+
+        agg = bp_plan_agg(
+            s, e, fine, S, S // 8, pb, perm, flip, bmin, S * pb[0],
+            1e-4, _EPS,
+        )
+        n_rays_total = len(s)
     out = {}
     for r in rays_list:
-        nb = len(s) // r
+        nb = n_rays_total // r
         if nb == 0:
             out[r] = (None, "no-blocks")
             continue
@@ -645,6 +711,21 @@ def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
             "ok",
         )
     return out
+
+
+def _use_device_planner():
+    """Device planner gate: on by default on an accelerator backend, off
+    on CPU (tests exercise it explicitly; the native/numpy planners stay
+    the host fallback). RAYNET_DEVICE_PLANNER=0/1 overrides for A/Bs."""
+    import os
+
+    v = os.environ.get("RAYNET_DEVICE_PLANNER")
+    if v is not None:
+        return v not in ("0", "off", "false")
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def plan_bp_classes_auto(P_pinv, camera_center, bbox, grid_shape, height,

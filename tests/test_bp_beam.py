@@ -923,3 +923,95 @@ def test_bp_beam_odd_group_count_serial_fallback(rng):
     k_pad = np.zeros((H * W, M), np.float32)
     k_pad[:, : cfg.slots] = np.asarray(k_m2)
     _assert_mostly_close(_sorted_rows(k_pad), _sorted_rows(x_m2))
+
+
+def test_device_planner_matches_native(monkeypatch):
+    """The device (XLA) planner march must derive the same beam configs
+    as the native/numpy f64 planner: same dom/flip/K and block needs
+    within the shared +-2-cell snap budget (here: exactly equal on the
+    test rig). Runs the device programs on the CPU backend."""
+    from raynet_tpu.ops.pallas import bp_beam as bb
+
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c = np.array([0.5, -0.3, -10.0])
+    z = -c / np.linalg.norm(c)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    pp = np.linalg.pinv(K @ np.hstack([R, -R @ c.reshape(3, 1)]))
+    bbox = np.array([-2, -2, -2, 2, 2, 2], float)
+
+    monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "1")
+    dev_info = bb.plan_bp_classes_auto(
+        pp, c, bbox, GRID, H, W, D, M, 1024
+    )
+    dev_cfg = bb.plan_bp_config_auto(
+        pp, c, bbox, GRID, H, W, D, M, 768, gamma=GAMMA, sample_stride=1
+    )
+    monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "0")
+    nat_info = bb.plan_bp_classes_auto(
+        pp, c, bbox, GRID, H, W, D, M, 1024
+    )
+    nat_cfg = bb.plan_bp_config_auto(
+        pp, c, bbox, GRID, H, W, D, M, 768, gamma=GAMMA, sample_stride=1
+    )
+
+    assert (dev_info is None) == (nat_info is None)
+    if dev_info is not None:
+        assert dev_info["cfg_large"] == nat_info["cfg_large"]
+        assert dev_info["cfg_small"] == nat_info["cfg_small"]
+        np.testing.assert_array_equal(
+            dev_info["small_mask"], nat_info["small_mask"]
+        )
+    assert (dev_cfg is None) == (nat_cfg is None)
+    if dev_cfg is not None:
+        assert dev_cfg == nat_cfg
+
+    # more rigs: flipped dominant sign (+z camera), oblique azimuth,
+    # and a GT-filtered ray subset
+    rigs = [
+        np.array([0.4, 0.2, 10.0]),   # flip path
+        np.array([8.0, 2.0, -4.0]),   # oblique azimuth, clear dominant
+    ]
+    for cc in rigs:
+        z2 = -cc / np.linalg.norm(cc)
+        x2 = np.cross([0, 1, 0], z2)
+        x2 /= np.linalg.norm(x2)
+        y2 = np.cross(z2, x2)
+        R2 = np.stack([x2, y2, z2])
+        pp2 = np.linalg.pinv(K @ np.hstack([R2, -R2 @ cc.reshape(3, 1)]))
+        sub = np.arange(0, H * W, 2, dtype=np.int32)  # filtered subset
+        for ridx in (None, sub):
+            monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "1")
+            d = bb.plan_bp_classes_auto(
+                pp2, cc, bbox, GRID, H, W, D, M, 1024, ray_idxs=ridx
+            )
+            monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "0")
+            nt = bb.plan_bp_classes_auto(
+                pp2, cc, bbox, GRID, H, W, D, M, 1024, ray_idxs=ridx
+            )
+            assert (d is None) == (nt is None), (cc, ridx is None)
+            if d is not None:
+                assert d["cfg_large"] == nt["cfg_large"], (cc, ridx is None)
+                assert d["cfg_small"] == nt["cfg_small"], (cc, ridx is None)
+
+    # rejection parity on a mixed-dominant-sign rig (inside-bbox camera)
+    cc = np.array([0.1, 0.1, -0.5])
+    z2 = -cc / np.linalg.norm(cc)
+    x2 = np.cross([0, 1, 0], z2)
+    x2 /= np.linalg.norm(x2)
+    y2 = np.cross(z2, x2)
+    R2 = np.stack([x2, y2, z2])
+    K2 = np.array([[8.0, 0, W / 2], [0, 8.0, H / 2], [0, 0, 1]])
+    pp2 = np.linalg.pinv(K2 @ np.hstack([R2, -R2 @ cc.reshape(3, 1)]))
+    monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "1")
+    st_dev, reason_dev = bb._plan_prologue(
+        pp2, cc, bbox, GRID, H, W, None, 256, 8, sample_stride=1
+    )
+    monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "0")
+    st_nat, reason_nat = bb._plan_prologue(
+        pp2, cc, bbox, GRID, H, W, None, 256, 8, sample_stride=1
+    )
+    assert (st_dev is None) == (st_nat is None)
+    assert reason_dev == reason_nat
