@@ -175,6 +175,26 @@ def _agg_device(s, e, fill, bmin, pb, ext, *, perm, flip, S, ngrp, fine,
 _IDX_CACHE = {}
 
 
+def _use_device_planner():
+    """Device planner gate: on by default on an accelerator backend, off
+    on CPU (tests exercise it explicitly; the native/numpy planners stay
+    the host fallback). RAYNET_DEVICE_PLANNER=0/1 overrides for A/Bs."""
+    import os
+
+    v = os.environ.get("RAYNET_DEVICE_PLANNER")
+    if v is not None:
+        return v not in ("0", "off", "false")
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+# the band-spec span program shares the same gate (one knob: the cold
+# plan phase is host-bound or it is not)
+_use_device_spans = _use_device_planner
+
+
 def device_plan_state(idxs, P_pinv, camera_center, bbox, grid_shape,
                       height, fine, cache_key=None):
     """Run program A + the host dom/flip decision. Returns

@@ -714,18 +714,11 @@ def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
 
 
 def _use_device_planner():
-    """Device planner gate: on by default on an accelerator backend, off
-    on CPU (tests exercise it explicitly; the native/numpy planners stay
-    the host fallback). RAYNET_DEVICE_PLANNER=0/1 overrides for A/Bs."""
-    import os
+    """Device planner gate — see ops.bp_plan_device (shared with the
+    band-spec span program; RAYNET_DEVICE_PLANNER=0/1 overrides)."""
+    from ..bp_plan_device import _use_device_planner as gate
 
-    v = os.environ.get("RAYNET_DEVICE_PLANNER")
-    if v is not None:
-        return v not in ("0", "off", "false")
-    try:
-        return jax.default_backend() != "cpu"
-    except Exception:
-        return False
+    return gate()
 
 
 def plan_bp_classes_auto(P_pinv, camera_center, bbox, grid_shape, height,

@@ -487,7 +487,14 @@ def plan_band_specs(
 
     from ... import native
 
-    if native.is_available():
+    # On an accelerator backend, prefer the DEVICE span program: one
+    # dispatch + an 8-int download per view once compiled, vs ~0.2 s/view
+    # of single-core host march at 720p (~0.4 s at DTU resolution) — the
+    # cold plan phase is host-bound (VERDICT r4 #3). The native planner
+    # stays the host-side path (CPU tests, no-remote-compile contexts).
+    from ..bp_plan_device import _use_device_spans
+
+    if native.is_available() and not _use_device_spans():
         # Native host planning (f64, OpenMP): no remote compile of the
         # span program (30-150 s cold per process), no idx upload, no
         # device round trip per view — pure host work. The f64-vs-f32
@@ -528,9 +535,20 @@ def plan_band_specs(
             [flat, np.repeat(flat[-1:], n_chunks * chunk_rays - len(flat))]
         )
     idx2d[:] = flat.reshape(n_chunks, chunk_rays)
+    # commit the (shared, image-shape-keyed) unfiltered tile order once:
+    # re-uploading ~8 MB of indices per view rides the slow tunnel
+    if ray_idxs is None:
+        from ..bp_plan_device import _IDX_CACHE
+
+        ck = ("band2d", height, width, n_chunks, chunk_rays)
+        if ck not in _IDX_CACHE:
+            _IDX_CACHE[ck] = jax.device_put(idx2d)
+        idx_dev = _IDX_CACHE[ck]
+    else:
+        idx_dev = jnp.asarray(idx2d)
     spans_max = np.asarray(
         _plan_spans_max(
-            jnp.asarray(idx2d), P, P_pinv, camera_center, bbox,
+            idx_dev, P, P_pinv, camera_center, bbox,
             height, width, padding, depth_planes,
         )
     )
