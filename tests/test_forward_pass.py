@@ -668,3 +668,33 @@ def test_vmem_compile_failure_falls_back_to_xla(setup):
     fp._forward_pass_planned = fake_raise
     with pytest.raises(RuntimeError, match="invariant"):
         list(fp.forward_pass(scene, (0, 1, 1)))
+
+
+def test_forward_pass_with_device_planner(setup, monkeypatch):
+    """The orchestrated pass with the DEVICE planner march forced
+    (RAYNET_DEVICE_PLANNER=1 — production default on an accelerator)
+    must produce the same depth maps as the host-planner pass: the
+    planners must derive identical configs end to end, including the
+    class reorder and segment plumbing."""
+    import raynet_tpu.inference.forward_pass as fpm
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene, gp, model, scheme = setup
+    old_pallas = fpm._use_pallas
+    fpm._use_pallas = lambda: True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            maps = {}
+            for flag in ("1", "0"):
+                monkeypatch.setenv("RAYNET_DEVICE_PLANNER", flag)
+                fp = get_forward_pass_factory("raynet")(
+                    model, gp, scheme, scene.image_shape, 512,
+                )
+                fp._band_specs = lambda *a, **k: None
+                fp.bp_iterations = 1
+                fp.multichip = "off"
+                maps[flag] = list(fp.forward_pass(scene, (0, 1, 1)))
+    finally:
+        fpm._use_pallas = old_pallas
+    for a, b in zip(maps["1"], maps["0"]):
+        np.testing.assert_array_equal(a, b)
