@@ -403,47 +403,6 @@ def main():
         66.0 / (500 * step_s),  # reference: 66-69 s/epoch
     )
 
-    # --------------- 4a''. training QUALITY (VERDICT r4 #6) --------------
-    # The reference reaches val_acc 0.58-0.65 / val_mde 1.1-1.5 within
-    # <=40 epochs of raynet_pretrain (getting-started.md:58-86; metric
-    # definitions models.py:77-87). No dataset ships here, so the analog
-    # trains the same pipeline on the textured-quad mock scene: samples
-    # via DefaultSampleGenerator/BatchProvider, epochs over a device-
-    # committed set, val metrics from the same eval_step.
-    if budget_left() > 300:
-        try:
-            from tools.bench_training_quality import (
-                e2e_quality, pretrain_quality,
-            )
-
-            q = pretrain_quality(steps=2000, n_train=1024, n_val=256)
-            emit(
-                "pretrain_val_acc", q["val_acc"], "fraction",
-                q["val_acc"] / 0.58,
-            )
-            emit(
-                "pretrain_val_mde", q["val_mde"], "planes",
-                1.5 / max(q["val_mde"], 1e-9),
-            )
-            e2e = e2e_quality()
-            # loss decreased (ratio < 1) and the trainable clipped gamma
-            # moved off its 0.031 init (the e2e graph trains end to end)
-            emit(
-                "e2e_train_loss_ratio",
-                e2e["loss_last"] / max(e2e["loss_first"], 1e-9), "x",
-                e2e["loss_first"] / max(e2e["loss_last"], 1e-9),
-            )
-            emit(
-                "e2e_gamma_moved", e2e["gamma_delta"], "abs",
-                1.0 if e2e["gamma_delta"] > 1e-4 else 0.0,
-            )
-        except Exception as e:
-            print("training-quality bench failed: %r" % (e,),
-                  file=sys.stderr)
-    else:
-        print("training-quality bench skipped: %.0f s budget left"
-              % budget_left(), file=sys.stderr)
-
     # ------------------- 4b. beam planner acceptance over camera rigs ----
     # VERDICT r3: fraction of synthetic rigs (ring/oblique/elevated/
     # mirrored, DTU-like radii+focals) the per-block class planner covers
@@ -695,6 +654,47 @@ def main():
                 file=sys.stderr,
             )
 
+
+    # --------------- 4a''. training QUALITY (VERDICT r4 #6) --------------
+    # The reference reaches val_acc 0.58-0.65 / val_mde 1.1-1.5 within
+    # <=40 epochs of raynet_pretrain (getting-started.md:58-86; metric
+    # definitions models.py:77-87). No dataset ships here, so the analog
+    # trains the same pipeline on the textured-quad mock scene: samples
+    # via DefaultSampleGenerator/BatchProvider, epochs over a device-
+    # committed set, val metrics from the same eval_step.
+    if budget_left() > 300:
+        try:
+            from tools.bench_training_quality import (
+                e2e_quality, pretrain_quality,
+            )
+
+            q = pretrain_quality(steps=2000, n_train=1024, n_val=256)
+            emit(
+                "pretrain_val_acc", q["val_acc"], "fraction",
+                q["val_acc"] / 0.58,
+            )
+            emit(
+                "pretrain_val_mde", q["val_mde"], "planes",
+                1.5 / max(q["val_mde"], 1e-9),
+            )
+            e2e = e2e_quality()
+            # loss decreased (ratio < 1) and the trainable clipped gamma
+            # moved off its 0.031 init (the e2e graph trains end to end)
+            emit(
+                "e2e_train_loss_ratio",
+                e2e["loss_last"] / max(e2e["loss_first"], 1e-9), "x",
+                e2e["loss_first"] / max(e2e["loss_last"], 1e-9),
+            )
+            emit(
+                "e2e_gamma_moved", e2e["gamma_delta"], "abs",
+                1.0 if e2e["gamma_delta"] > 1e-4 else 0.0,
+            )
+        except Exception as e:
+            print("training-quality bench failed: %r" % (e,),
+                  file=sys.stderr)
+    else:
+        print("training-quality bench skipped: %.0f s budget left"
+              % budget_left(), file=sys.stderr)
     # Final block: re-emit EVERY captured metric, headline last (the
     # driver parses the last line and records only the tail — the whole
     # correctness evidence must live there, VERDICT r4 #2).
