@@ -23,6 +23,7 @@ def run_scene_benchmark(
     grid=(128, 128, 64), max_voxels=384, rays_batch=65536, focal=400.0,
     filter_rays=False, host_staged=False, scan_dir=None, scan_format=None,
     profile=False, repeats=5, measure_cold=True,
+    messages_device_budget=None,
 ):
     """Build a synthetic ring scene — or load a REAL scan directory when
     ``scan_dir`` is given (VERDICT r2: real-data validation hook;
@@ -134,6 +135,12 @@ def run_scene_benchmark(
         model, gp, get_sampling_scheme("sample_in_bbox")(gp),
         scene.image_shape, args.rays_batch, filter_out_rays=filter_rays,
     )
+    if messages_device_budget is not None:
+        # paper-resolution runs: 2 views of beam-slot messages are
+        # ~5.9 GB — over the conservative 4 GB class default but well
+        # inside a v5e's 16 GB HBM; without this the bench silently
+        # flips to the host-staged path and measures the tunnel
+        fp.messages_device_budget = messages_device_budget
     if host_staged:
         # force the full-DTU single-chip storage plan: per-(image, sweep)
         # f16 store staging through the device around the fused scan

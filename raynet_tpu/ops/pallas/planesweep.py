@@ -62,10 +62,14 @@ TILE_W, TILE_H = 16, 8  # pixel tile (x-extent, y-extent) for ray blocking
 GROUP_D = 16
 _DMA_SLOTS = 4  # in-flight sub-box copies per view (latency hiding)
 # Build iteration i+1's one-hot eq operand between iteration i's dot
-# issue and its first consumer, so the VPU eq stream overlaps the MXU
-# matmul (device A/B pending; the isolation timers measured the two
-# shares as ADDITIVE, ~5 ms dot + ~6 ms eq of the 12.4 ms sims step).
-_PIPELINE_EQ = True
+# issue and its first consumer, hoping the VPU eq stream overlaps the
+# MXU matmul. Device A/B (v5e, 2026-08-19, --no_pipeline_eq): NEUTRAL —
+# 12.55 vs 12.58 ms strict sims. The additive ~5 ms "dot" + ~6 ms "eq"
+# shares are NOT parallel engines idling: the binding resource is the
+# single in-order issue/operand-staging pipeline (the "dot" share is
+# mostly eqT staging into the MXU), so instruction reordering cannot
+# overlap them. Default OFF (natural order); knob kept for re-A/Bs.
+_PIPELINE_EQ = False
 _DEBUG_NO_DOT = False  # A/B timers only: skip the one-hot MXU dot
 _DEBUG_NO_EQ = False  # A/B timers only: constant eq operand (WRONG results)
 _DEBUG_NO_PICK = False  # A/B timers only: skip the 4-way sub-lane pick

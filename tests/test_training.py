@@ -212,3 +212,51 @@ def test_end_to_end_training_step(mock_scene_dir, gp):
 
     em = eval_fn(state, batch)
     assert np.isfinite(float(em["loss"]))
+
+
+def test_textured_quality_scene_learnable():
+    """The training-quality bench's synthetic scene must carry signal:
+    the quad fills the frame (non-trivial image energy) and the sample
+    pipeline accepts a usable fraction of draws with concentrated
+    dirac targets (tools/bench_training_quality feeds bench.py's
+    pretrain_val_acc/val_mde metrics)."""
+    import tempfile
+
+    from tools.bench_training_quality import make_textured_scene
+    from raynet_tpu.common.dataset import RestrepoDataset
+    from raynet_tpu.common.generation_parameters import (
+        GenerationParameters, get_target_distribution_factory,
+    )
+    from raynet_tpu.common.sampling_schemes import get_sampling_scheme
+    from raynet_tpu.scripts.arguments import default_input_output_shape
+    from raynet_tpu.train.sample import DefaultSampleGenerator
+
+    root = tempfile.mkdtemp(prefix="quality_scene_test_")
+    make_textured_scene(root + "/scene_1")
+    ds = RestrepoDataset(root)
+    scene = ds.get_scene(0)
+    im = scene.get_image(2)
+    assert im.image.std() > 0.15, "texture missing"
+    assert im.image.mean() > 0.1, "quad does not fill the frame"
+
+    gp = GenerationParameters(
+        depth_planes=8, neighbors=4, patch_shape=(11, 11, 3),
+        grid_shape=np.array([12, 12, 12], np.int32),
+        max_number_of_marched_voxels=24, padding=11,
+        target_distribution_factory=get_target_distribution_factory(
+            "dirac", 1.0, False
+        ),
+    )
+    scheme = get_sampling_scheme("sample_in_bbox")(gp)
+    ins, outs = default_input_output_shape(gp)
+    sg = DefaultSampleGenerator(
+        scheme, gp, [0], ins, outs, rng=np.random.RandomState(0)
+    )
+    ok = 0
+    for _ in range(60):
+        s = sg.get_sample(ds)
+        if s.X is not None:
+            ok += 1
+            assert s.X[0].shape == ins[0]
+            assert np.isclose(s.y[0].sum(), 1.0)
+    assert ok >= 12, "acceptance rate collapsed: %d/60" % ok

@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--no_pipeline_eq", action="store_true",
                     help="A/B: build each eq operand at its own "
                          "iteration (no VPU/MXU overlap)")
+    ap.add_argument("--sims_only", action="store_true",
+                    help="exit after the sims timers (skip the beam/"
+                         "fused compiles — each 30-150 s remote)")
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
@@ -204,6 +207,8 @@ def main():
     sims_kernel(*kargs)  # compile
     timed(sims_kernel, kargs, "banded kernel (pure)",
           lambda o: float(jnp.stack(o).sum()))
+    if args.sims_only:
+        return
 
     if args.front_bisect:
         # attribute the XLA front end: full, and with the tail stages
