@@ -527,6 +527,7 @@ def main():
             res = run_scene_benchmark(
                 images=2, height=1200, width=1600, focal=2750.0,
                 repeats=3 if budget_left() > 900 else 2,
+                messages_device_budget=8 << 30,
             )
             headline = res["extrapolated_full_dtu_seconds"]
             emit(
