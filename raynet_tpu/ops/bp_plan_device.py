@@ -110,28 +110,44 @@ def _agg_device(s, e, fill, bmin, pb, ext, *, perm, flip, S, ngrp, fine,
         tmax.append(jnp.where(nz, (boundary - startn) / ray, inf))
         tdelta.append(jnp.where(nz, stepf * pb[a] / ray, inf))
 
-    def crossings_below(T, a):
-        x = (T - tmax[a]) / tdelta[a]
-        n = jnp.floor(x) + 1.0
-        return jnp.maximum(jnp.where(jnp.isfinite(x), n, 0.0), 0.0)
-
-    def k_body(j, carry):
-        kmax, t_prev = carry
-        t_next = tmax[0] + j.astype(jnp.float32) * tdelta[0]
+    # The slice loop has NO real carried dependency: the loop formulation
+    # carried t_prev, but t_prev(j) is itself closed-form —
+    # t_prev(0) = 0 and t_prev(j) = clamp(tmax0 + (j-1)*td0) — so j
+    # vectorizes. Chunking j (J_CHUNK slices per step, (N, JC) ops)
+    # re-reads the six per-ray inputs S/JC times instead of S times;
+    # measured 90 -> ~15 ms per 1.92M-ray view on v5e. Arithmetic per
+    # (ray, j) is IDENTICAL to the sequential loop (same expressions,
+    # same clamps), keeping block-exact parity with the native planner.
+    def k_chunk(j0, kmax, jc):
+        j = j0 + jnp.arange(jc, dtype=jnp.float32)[None, :]
+        t_next = tmax[0][:, None] + j * tdelta[0][:, None]
         # NaN/inf compare false -> clamp to 1 (native: !(t < 1) -> 1)
         t_next = jnp.where(t_next < 1.0, t_next, 1.0)
+        t_prevu = tmax[0][:, None] + (j - 1.0) * tdelta[0][:, None]
+        t_prev = jnp.where(t_prevu < 1.0, t_prevu, 1.0)
+        t_prev = jnp.where(j == 0.0, 0.0, t_prev)
         tlo = t_prev - slack
         thi = t_next + slack
         em = 1.0
         for a in (1, 2):
-            em = em + crossings_below(thi, a) - crossings_below(tlo, a)
+            x_hi = (thi - tmax[a][:, None]) / tdelta[a][:, None]
+            n_hi = jnp.maximum(
+                jnp.where(jnp.isfinite(x_hi), jnp.floor(x_hi) + 1.0, 0.0),
+                0.0,
+            )
+            x_lo = (tlo - tmax[a][:, None]) / tdelta[a][:, None]
+            n_lo = jnp.maximum(
+                jnp.where(jnp.isfinite(x_lo), jnp.floor(x_lo) + 1.0, 0.0),
+                0.0,
+            )
+            em = em + n_hi - n_lo
         em = jnp.where(jnp.isfinite(em), em, 1.0)
-        return jnp.maximum(kmax, em), t_next
+        return jnp.maximum(kmax, em.max(axis=1))
 
-    kmax, _ = jax.lax.fori_loop(
-        0, S, k_body,
-        (jnp.ones_like(sp[0]), jnp.zeros_like(sp[0])),
-    )
+    JC = 8
+    kmax = jnp.ones_like(sp[0])
+    for j0 in range(0, S, JC):
+        kmax = k_chunk(jnp.float32(j0), kmax, min(JC, S - j0))
     nb = sp[0].shape[0] // fine
     k_blk = kmax.reshape(nb, fine).max(axis=1).astype(jnp.int32)
 
@@ -160,12 +176,20 @@ def _agg_device(s, e, fill, bmin, pb, ext, *, perm, flip, S, ngrp, fine,
             lo_b.append(lb.min(axis=1))
             hi_b.append(hb.max(axis=1))
         pa_prev, pb_prev = pa, pbv
-    return (
-        k_blk,
-        jnp.stack(lo_a, axis=1),
-        jnp.stack(hi_a, axis=1),
-        jnp.stack(lo_b, axis=1),
-        jnp.stack(hi_b, axis=1),
+    # ONE packed (nb, 1 + 4*ngrp) f32 output: each np.asarray download
+    # pays a ~40 ms tunnel round trip, so five separate aggregate
+    # arrays cost more in latency than the whole program's compute
+    # (measured 0.14-0.16 s vs 0.09 s per view). k fits f32 exactly
+    # (small counts); the floors are f32 already.
+    return jnp.concatenate(
+        [
+            k_blk.astype(jnp.float32)[:, None],
+            jnp.stack(lo_a, axis=1),
+            jnp.stack(hi_a, axis=1),
+            jnp.stack(lo_b, axis=1),
+            jnp.stack(hi_b, axis=1),
+        ],
+        axis=1,
     )
 
 
@@ -255,15 +279,21 @@ def device_plan_agg(state, fine):
     )
     S = grid_shape[dom]
     pb = np.asarray([bins[a] for a in perm], np.float64)
-    out = _agg_device(
-        state["s"], state["e"], state["fill"],
-        jnp.asarray(bbox[:3], jnp.float32),
-        jnp.asarray(pb, jnp.float32),
-        jnp.float32(S * pb[0]),
-        perm=perm, flip=bool(flip), S=int(S), ngrp=int(S) // 8,
-        fine=int(fine),
+    ngrp = int(S) // 8
+    packed = np.asarray(
+        _agg_device(
+            state["s"], state["e"], state["fill"],
+            jnp.asarray(bbox[:3], jnp.float32),
+            jnp.asarray(pb, jnp.float32),
+            jnp.float32(S * pb[0]),
+            perm=perm, flip=bool(flip), S=int(S), ngrp=ngrp,
+            fine=int(fine),
+        )
     )
-    k_blk, lo_a, hi_a, lo_b, hi_b = (np.asarray(x) for x in out)
+    k_blk = packed[:, 0]
+    lo_a, hi_a, lo_b, hi_b = (
+        packed[:, 1 + i * ngrp: 1 + (i + 1) * ngrp] for i in range(4)
+    )
     return (
         k_blk.astype(np.int32),
         lo_a.astype(np.float64), hi_a.astype(np.float64),
