@@ -162,15 +162,15 @@ class ForwardPass:
                 self._beam_sharded_cache.clear()
 
     def _view_cameras(self, scene, ref_idx):
-        """(P, P_pinv, center) device tensors for a reference view set,
+        """(P, P_pinv, center) HOST f32 arrays for a reference view set,
         WITHOUT touching features: all host-side planning (beam configs,
         classes, band specs) needs only camera geometry, so the cold
         plan phase runs before any image upload or CNN dispatch
         (VERDICT r4 #3 — the plan loop used to force the whole feature
-        phase view-by-view ahead of the sweeps)."""
-        if ref_idx in self._feature_cache:
-            _, P, P_pinv, center = self._feature_cache[ref_idx]
-            return P, P_pinv, center
+        phase view-by-view ahead of the sweeps). Numpy, not device
+        arrays: the planners key caches by value bytes and the plan
+        prefetcher needs byte-exact keys — a device-array round trip per
+        view would add the tunnel latency this path exists to avoid."""
         if not hasattr(self, "_camera_cache"):
             self._camera_cache = {}
         if ref_idx not in self._camera_cache:
@@ -179,11 +179,9 @@ class ForwardPass:
             )
             cams = [scene.get_image(j).camera for j in view_idxs]
             self._camera_cache[ref_idx] = (
-                jnp.asarray(
-                    np.stack([c.P for c in cams]), dtype=jnp.float32
-                ),
-                jnp.asarray(cams[0].P_pinv, dtype=jnp.float32),
-                jnp.asarray(cams[0].center[:3, 0], dtype=jnp.float32),
+                np.stack([c.P for c in cams]).astype(np.float32),
+                np.asarray(cams[0].P_pinv, np.float32),
+                np.asarray(cams[0].center[:3, 0], np.float32),
             )
         return self._camera_cache[ref_idx]
 
@@ -208,7 +206,7 @@ class ForwardPass:
             H, W = scene.image_shape
             self._band_cache[ref_idx] = plan_band_specs(
                 P, P_pinv, center,
-                jnp.asarray(scene.bbox.reshape(-1), dtype=jnp.float32),
+                np.asarray(scene.bbox.reshape(-1), np.float32),
                 H, W, gp.padding, gp.depth_planes,
                 ray_idxs=ray_idxs if self._filter_out_rays else None,
             )
@@ -1049,6 +1047,28 @@ class RayNetForwardPass(ForwardPass):
                 next(iter(self._feature_cache.values()))[0].shape[-1]
                 if self._feature_cache else 32,
             )
+            # Prefetch every view's device plan programs (group-wise
+            # enqueue + async downloads): the per-view loop below then
+            # pops host-ready results instead of paying a sync round
+            # trip per program per view (~0.3 s/view at DTU resolution
+            # through the tunnel). Unfiltered classes path only; a miss
+            # just falls through to the per-view dispatch.
+            if use_classes and not self._filter_out_rays:
+                try:
+                    from ..ops.plan_prefetch import prefetch_view_plans
+
+                    prefetch_view_plans(
+                        [self._view_cameras(scene, i) for i in ref_indices],
+                        scene.bbox.reshape(-1), gp.grid_shape, H, W,
+                        gp.padding, gp.depth_planes,
+                        self.rays_batch // n_shards,
+                        spans=(feat_dim == 32 and self.rays_batch % 128 == 0),
+                    )
+                except Exception as e:  # optimization only — never fatal
+                    print(
+                        "plan prefetch skipped: %r" % (e,), file=sys.stderr
+                    )
+                _lap("prefetch")
             for i in ref_indices:
                 t_sub = time.perf_counter()
                 small_cfgs[i] = None

@@ -198,6 +198,43 @@ def _agg_device(s, e, fill, bmin, pb, ext, *, perm, flip, S, ngrp, fine,
 # view (~8 MB/view at DTU resolution through the tunnel)
 _IDX_CACHE = {}
 
+# One-shot prefetched plan states (ops.plan_prefetch fills it before the
+# orchestrator's per-view plan loop; device_plan_state pops): the serial
+# per-view plan chain (program A -> scalar sync -> program B -> download)
+# stalls the host ~2x the device time per view through the tunnel, so
+# the prefetcher enqueues every view's programs group-wise and starts
+# the downloads async — by the time the plan loop asks, the answers are
+# already on the host.
+_STATE_PREFETCH = {}
+
+
+def _plan_state_key(cache_key, P_pinv, camera_center, bbox, grid_shape,
+                    height, fine):
+    """Exact-input key for a prefetched plan state. ``cache_key`` is the
+    shared-idx identity (unfiltered tile order); geometry is keyed by
+    f32 bytes — the precision the device programs consume."""
+    return (
+        cache_key,
+        np.asarray(P_pinv, np.float32).tobytes(),
+        np.asarray(camera_center, np.float32).tobytes(),
+        np.asarray(bbox, np.float32).tobytes(),
+        tuple(int(g) for g in grid_shape),
+        int(height), int(fine),
+    )
+
+
+def _decide_dom_flip(abs_sums, n_hit, n_pos, n_neg, bins):
+    """Host half of program A: dominant axis + sign decision (shared by
+    device_plan_state and the prefetcher)."""
+    if n_hit == 0:
+        return None, None, "empty-rays"
+    dom = int(np.argmax(abs_sums / bins))
+    if n_pos[dom] == n_hit:
+        return dom, False, "ok"
+    if n_neg[dom] == n_hit:
+        return dom, True, "ok"
+    return None, None, "mixed-dominant-sign"
+
 
 def _use_device_planner():
     """Device planner gate: on by default on an accelerator backend, off
@@ -227,6 +264,14 @@ def device_plan_state(idxs, P_pinv, camera_center, bbox, grid_shape,
     _dom_sign_and_fill's rejections."""
     bbox = np.asarray(bbox, np.float64).reshape(6)
     grid_shape = tuple(int(g) for g in grid_shape)
+    if cache_key is not None and _STATE_PREFETCH:
+        pk = _plan_state_key(
+            cache_key, P_pinv, camera_center, bbox, grid_shape, height,
+            fine,
+        )
+        hit = _STATE_PREFETCH.pop(pk, None)
+        if hit is not None:
+            return hit
     if cache_key is not None and cache_key in _IDX_CACHE:
         idxs_dev = _IDX_CACHE[cache_key]
     else:
@@ -251,16 +296,12 @@ def device_plan_state(idxs, P_pinv, camera_center, bbox, grid_shape,
     )
     abs_sums, n_hit = stats[:3], stats[3]
     n_pos, n_neg = stats[4:7], stats[7:10]
-    if n_hit == 0:
-        return None, "empty-rays"
     bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)
-    dom = int(np.argmax(abs_sums / bins))
-    if n_pos[dom] == n_hit:
-        flip = False
-    elif n_neg[dom] == n_hit:
-        flip = True
-    else:
-        return None, "mixed-dominant-sign"
+    dom, flip, reason = _decide_dom_flip(
+        abs_sums, n_hit, n_pos, n_neg, bins
+    )
+    if flip is None:
+        return None, reason
     return dict(
         s=s, e=e, fill=fill, bins=bins, bbox=bbox, grid_shape=grid_shape,
         dom=dom, flip=flip, n=len(idxs),
@@ -280,16 +321,22 @@ def device_plan_agg(state, fine):
     S = grid_shape[dom]
     pb = np.asarray([bins[a] for a in perm], np.float64)
     ngrp = int(S) // 8
-    packed = np.asarray(
-        _agg_device(
-            state["s"], state["e"], state["fill"],
-            jnp.asarray(bbox[:3], jnp.float32),
-            jnp.asarray(pb, jnp.float32),
-            jnp.float32(S * pb[0]),
-            perm=perm, flip=bool(flip), S=int(S), ngrp=ngrp,
-            fine=int(fine),
+    pre = state.get("packed")
+    if pre is not None:
+        # prefetched: program B already ran and its (async) download was
+        # started while other views' programs occupied the device
+        packed = np.asarray(pre)
+    else:
+        packed = np.asarray(
+            _agg_device(
+                state["s"], state["e"], state["fill"],
+                jnp.asarray(bbox[:3], jnp.float32),
+                jnp.asarray(pb, jnp.float32),
+                jnp.float32(S * pb[0]),
+                perm=perm, flip=bool(flip), S=int(S), ngrp=ngrp,
+                fine=int(fine),
+            )
         )
-    )
     k_blk = packed[:, 0]
     lo_a, hi_a, lo_b, hi_b = (
         packed[:, 1 + i * ngrp: 1 + (i + 1) * ngrp] for i in range(4)

@@ -446,6 +446,56 @@ def _plan_spans_max(chunk_idxs, P, P_pinv, center, bbox, height, width,
     return spans.max(axis=(0, 1, 2))
 
 
+def _band_idx_dev(height, width, chunk_tiles=512):
+    """Committed (n_chunks, chunk_rays) unfiltered tile-order ray chunks
+    for the whole-view span program, cached per image shape (the stable
+    tile argsort costs ~0.2 s per 1.9M rays on the single-core planning
+    host; every unfiltered view of an image shape shares one copy)."""
+    from ..bp_plan_device import _IDX_CACHE
+
+    chunk_rays = chunk_tiles * RAYS_PER_BLOCK
+    full_tiles = -(-(height * width) // RAYS_PER_BLOCK)
+    n_chunks = -(-full_tiles // chunk_tiles)
+    ck = ("band2d", height, width, n_chunks, chunk_rays)
+    if ck not in _IDX_CACHE:
+        n = height * width
+        idxs = np.arange(n, dtype=np.int32)
+        # same stable tile sort as tile_order (int keys: np and jnp
+        # stable argsorts agree elementwise)
+        perm = np.argsort(tile_ids(idxs, height), kind="stable").astype(
+            np.int32
+        )
+        if perm.shape[0] % RAYS_PER_BLOCK:
+            tail = RAYS_PER_BLOCK - perm.shape[0] % RAYS_PER_BLOCK
+            perm = np.concatenate([perm, np.repeat(perm[-1:], tail)])
+        if len(perm) < n_chunks * chunk_rays:
+            perm = np.concatenate(
+                [perm, np.repeat(perm[-1:], n_chunks * chunk_rays - len(perm))]
+            )
+        _IDX_CACHE[ck] = jax.device_put(
+            perm.reshape(n_chunks, chunk_rays)
+        )
+    return _IDX_CACHE[ck]
+
+
+# One-shot prefetched whole-view span maxima (ops.plan_prefetch fills,
+# plan_band_specs pops): lets every view's span program run while the
+# device is busy with other plan programs, with the 8-int downloads
+# started async — instead of a dispatch + sync round trip per view.
+_SPANS_PREFETCH = {}
+
+
+def _spans_prefetch_key(P, P_pinv, camera_center, bbox, height, width,
+                        padding, depth_planes):
+    return (
+        np.asarray(P, np.float32).tobytes(),
+        np.asarray(P_pinv, np.float32).tobytes(),
+        np.asarray(camera_center, np.float32).tobytes(),
+        np.asarray(bbox, np.float32).tobytes(),
+        int(height), int(width), int(padding), int(depth_planes),
+    )
+
+
 def plan_band_specs(
     P, P_pinv, camera_center, bbox, height, width, padding, depth_planes,
     chunk_tiles=512, pad=4, ray_idxs=None,
@@ -471,24 +521,6 @@ def plan_band_specs(
     # arange/argsort here dispatched eagerly to the TPU — ~20 s of
     # remote compiles on first use plus a megabyte-scale permutation
     # download per view through the tunnel).
-    if ray_idxs is not None:
-        arr = np.asarray(ray_idxs, np.int32)
-        if len(arr) == 0:  # image with no valid rays: no banded kernel
-            return None
-        # negative-encoded pad entries duplicate the preceding ray
-        perm = np.where(arr < 0, -arr - 1, arr).astype(np.int32)
-    else:
-        idxs = np.arange(n, dtype=np.int32)
-        # same stable tile sort as tile_order (int keys: np and jnp
-        # stable argsorts agree elementwise)
-        perm = np.argsort(tile_ids(idxs, height), kind="stable").astype(
-            np.int32
-        )
-    if perm.shape[0] % RAYS_PER_BLOCK:  # pad to whole blocks
-        tail = RAYS_PER_BLOCK - perm.shape[0] % RAYS_PER_BLOCK
-        perm = np.concatenate([perm, np.repeat(perm[-1:], tail)])
-    n_tiles = perm.shape[0] // RAYS_PER_BLOCK
-
     from ... import native
 
     # On an accelerator backend, prefer the DEVICE span program: one
@@ -498,7 +530,35 @@ def plan_band_specs(
     # stays the host-side path (CPU tests, no-remote-compile contexts).
     from ..bp_plan_device import _use_device_spans
 
-    if native.is_available() and not _use_device_spans():
+    use_native = native.is_available() and not _use_device_spans()
+    if ray_idxs is not None:
+        arr = np.asarray(ray_idxs, np.int32)
+        if len(arr) == 0:  # image with no valid rays: no banded kernel
+            return None
+        # negative-encoded pad entries duplicate the preceding ray
+        perm = np.where(arr < 0, -arr - 1, arr).astype(np.int32)
+    elif use_native:
+        idxs = np.arange(n, dtype=np.int32)
+        # same stable tile sort as tile_order (int keys: np and jnp
+        # stable argsorts agree elementwise)
+        perm = np.argsort(tile_ids(idxs, height), kind="stable").astype(
+            np.int32
+        )
+    else:
+        # device path, unfiltered: the committed tile-order chunks are
+        # cached per image shape — skip the per-view 1.9M-element
+        # argsort entirely (it was ~40% of the re-primed band cost)
+        perm = None
+    if perm is not None and perm.shape[0] % RAYS_PER_BLOCK:
+        tail = RAYS_PER_BLOCK - perm.shape[0] % RAYS_PER_BLOCK
+        perm = np.concatenate([perm, np.repeat(perm[-1:], tail)])
+    n_tiles = (
+        perm.shape[0] // RAYS_PER_BLOCK
+        if perm is not None
+        else -(-(height * width) // RAYS_PER_BLOCK)
+    )
+
+    if use_native:
         # Native host planning (f64, OpenMP): no remote compile of the
         # span program (30-150 s cold per process), no idx upload, no
         # device round trip per view — pure host work. The f64-vs-f32
@@ -532,30 +592,38 @@ def plan_band_specs(
     # max-reduced span.
     full_tiles = -(-(height * width) // RAYS_PER_BLOCK)
     n_chunks = max(-(-full_tiles // chunk_tiles), -(-n_tiles // chunk_tiles))
-    idx2d = np.empty((n_chunks, chunk_rays), np.int32)
-    flat = perm
-    if len(flat) < n_chunks * chunk_rays:
-        flat = np.concatenate(
-            [flat, np.repeat(flat[-1:], n_chunks * chunk_rays - len(flat))]
-        )
-    idx2d[:] = flat.reshape(n_chunks, chunk_rays)
-    # commit the (shared, image-shape-keyed) unfiltered tile order once:
-    # re-uploading ~8 MB of indices per view rides the slow tunnel
     if ray_idxs is None:
-        from ..bp_plan_device import _IDX_CACHE
-
-        ck = ("band2d", height, width, n_chunks, chunk_rays)
-        if ck not in _IDX_CACHE:
-            _IDX_CACHE[ck] = jax.device_put(idx2d)
-        idx_dev = _IDX_CACHE[ck]
+        idx_dev = _band_idx_dev(height, width, chunk_tiles)
     else:
+        idx2d = np.empty((n_chunks, chunk_rays), np.int32)
+        flat = perm
+        if len(flat) < n_chunks * chunk_rays:
+            flat = np.concatenate(
+                [
+                    flat,
+                    np.repeat(flat[-1:], n_chunks * chunk_rays - len(flat)),
+                ]
+            )
+        idx2d[:] = flat.reshape(n_chunks, chunk_rays)
         idx_dev = jnp.asarray(idx2d)
-    spans_max = np.asarray(
-        _plan_spans_max(
-            idx_dev, P, P_pinv, camera_center, bbox,
-            height, width, padding, depth_planes,
+    spans_max = None
+    if ray_idxs is None and _SPANS_PREFETCH:
+        pre = _SPANS_PREFETCH.pop(
+            _spans_prefetch_key(
+                P, P_pinv, camera_center, bbox, height, width, padding,
+                depth_planes,
+            ),
+            None,
         )
-    )
+        if pre is not None:
+            spans_max = np.asarray(pre)
+    if spans_max is None:
+        spans_max = np.asarray(
+            _plan_spans_max(
+                idx_dev, P, P_pinv, camera_center, bbox,
+                height, width, padding, depth_planes,
+            )
+        )
     specs = [
         _spec_from_need(
             int(spans_max[v, 0]) + 1 + pad, int(spans_max[v, 1]) + 1 + pad

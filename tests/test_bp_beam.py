@@ -1015,3 +1015,76 @@ def test_device_planner_matches_native(monkeypatch):
     )
     assert (st_dev is None) == (st_nat is None)
     assert reason_dev == reason_nat
+
+
+def test_plan_prefetch_parity(monkeypatch):
+    """prefetch_view_plans + the per-view planners must produce exactly
+    the configs/specs of direct per-view calls (the prefetcher only
+    reorders WHEN the same device programs run and how their results
+    come back), and every prefetched entry must be consumed."""
+    from raynet_tpu.ops.pallas import bp_beam as bb
+    from raynet_tpu.ops.pallas import planesweep as ps
+    from raynet_tpu.ops import bp_plan_device as bpd
+    from raynet_tpu.ops.plan_prefetch import prefetch_view_plans
+
+    h, w = 90, 120
+    grid = (32, 32, 16)
+    dpl, mv, unit = 8, 48, 1024
+    bbox = np.array([-3, -3, -3, 3, 3, 3], float)
+
+    def rig(i):
+        K = np.array([[200.0, 0, w / 2], [0, 200.0, h / 2], [0, 0, 1]])
+        ang = (i - 1) * 0.05
+        c = np.array([16.0 * np.sin(ang), 0.0, -16.0 * np.cos(ang)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        P = K @ np.hstack([R, -R @ c.reshape(3, 1)])
+        return (
+            np.stack([P] * 5).astype(np.float32),
+            np.linalg.pinv(P).astype(np.float32),
+            c.astype(np.float32),
+        )
+
+    monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "1")
+    assert len(bb.rays_candidates(unit)) > 1  # the prefetched path
+
+    base_cls, base_bands = [], []
+    for i in range(3):
+        P, pp, c = rig(i)
+        base_cls.append(
+            bb.plan_bp_classes_auto(pp, c, bbox, grid, h, w, dpl, mv, unit)
+        )
+        base_bands.append(
+            ps.plan_band_specs(
+                P, pp, c, np.asarray(bbox, np.float32), h, w, 11, dpl
+            )
+        )
+
+    cams = [rig(i) for i in range(3)]
+    n = prefetch_view_plans(cams, bbox, grid, h, w, 11, dpl, unit)
+    assert n == 3
+    assert len(bpd._STATE_PREFETCH) == 3
+    assert len(ps._SPANS_PREFETCH) == 3
+    for i in range(3):
+        P, pp, c = cams[i]
+        got = bb.plan_bp_classes_auto(
+            pp, c, bbox, grid, h, w, dpl, mv, unit
+        )
+        bands = ps.plan_band_specs(
+            P, pp, c, np.asarray(bbox, np.float32), h, w, 11, dpl
+        )
+        ref = base_cls[i]
+        assert (got is None) == (ref is None)
+        if ref is not None:
+            assert got["cfg_large"] == ref["cfg_large"]
+            assert got["cfg_small"] == ref["cfg_small"]
+            np.testing.assert_array_equal(
+                got["small_mask"], ref["small_mask"]
+            )
+        assert bands == base_bands[i]
+    # one-shot: everything consumed
+    assert not bpd._STATE_PREFETCH
+    assert not ps._SPANS_PREFETCH
