@@ -14,6 +14,7 @@ Design deltas vs the reference, deliberate:
 - BP messages stay in device/host arrays keyed by image (the reference used
   np.memmap scratch files).
 """
+import functools
 import sys
 import time
 
@@ -35,6 +36,23 @@ def _use_pallas():
 # (H, W, TILE_W, TILE_H) -> frozen tile-sorted all-rays order; see
 # get_valid_rays_per_image (scene-independent, ~3.7 MB per shape)
 _UNFILTERED_RAY_ORDER = {}
+
+# (H, W, tile) -> (base_blocks_dev, base_blocks_host, inv_perm): the
+# committed 256-row blocks of the scene-wide tile order that unfiltered
+# per-view chunk tensors are assembled from ON DEVICE (see
+# _chunk_seg_to_device)
+_CHUNK_ASM_CACHE = {}
+
+
+@functools.partial(jax.jit, static_argnames=("b",))
+def _assemble_chunks(base_blocks_dev, srcmap, fills, *, b):
+    """(nblk_out,) block map -> (nchunks, b) chunk tensor: gather base
+    blocks where srcmap >= 0, broadcast the constant dead fill where
+    srcmap < 0."""
+    src = jnp.where(srcmap >= 0, srcmap, 0)
+    out = base_blocks_dev[src]
+    out = jnp.where((srcmap >= 0)[:, None], out, fills[:, None])
+    return out.reshape(-1, b)
 
 
 def _coalesce_band_specs(specs_by_image):
@@ -433,6 +451,64 @@ class ForwardPass:
             yield i, len(ray_idxs[i : i + b]), jax.device_put(
                 np.ascontiguousarray(chunk)
             )
+
+    def _chunk_seg_to_device(self, chunks_arr, height, width):
+        """Device-side assembly of an unfiltered view's chunk tensor.
+
+        After class reorder + scene-wide chunk padding, an unfiltered
+        view's (nchunks, b) ray-id tensor is a BLOCK permutation of the
+        scene-wide tile order plus constant dead-fill blocks — so
+        instead of uploading ~8 MB per view (49 x 8 MB rides the
+        tunnel), commit the tile order's 256-row blocks ONCE per scene
+        and ship only a ~30 KB block map per view. Every 256-row block
+        is host-verified (array_equal) against the base; any mismatch
+        returns None and the caller uploads the host tensor unchanged.
+
+        Returns ``seg(c0, c1) -> committed (c1-c0, b) int32`` or None.
+        """
+        BLK = 256
+        from ..ops.pallas import planesweep as _ps
+
+        key = (height, width, _ps.TILE_W, _ps.TILE_H)
+        base = _UNFILTERED_RAY_ORDER.get(key)
+        nchunks, b = chunks_arr.shape
+        if base is None or b % BLK or len(base) % BLK:
+            return None
+        cache = _CHUNK_ASM_CACHE.get(key)
+        if cache is None:
+            base_blocks = base.reshape(-1, BLK)
+            inv = np.empty(len(base), np.int64)
+            inv[base] = np.arange(len(base))
+            base_dev = jax.device_put(np.ascontiguousarray(base_blocks))
+            cache = (base_dev, base_blocks, inv)
+            _CHUNK_ASM_CACHE[key] = cache
+        base_dev, base_blocks, inv = cache
+        flat = chunks_arr.reshape(-1, BLK)
+        first = flat[:, 0].astype(np.int64)
+        neg = first < 0
+        ok = np.zeros(len(flat), bool)
+        # dead blocks must be one constant fill value
+        ok[neg] = (flat[neg] == flat[neg, :1]).all(axis=1)
+        # real blocks must be aligned base blocks, bit-equal
+        pos = inv[np.clip(first, 0, len(base) - 1)]
+        src = (pos // BLK).astype(np.int32)
+        cand = np.nonzero((~neg) & (pos % BLK == 0))[0]
+        ok[cand] = (base_blocks[src[cand]] == flat[cand]).all(axis=1)
+        if not ok.all():
+            return None
+        srcmap = np.where(neg, -1, src).astype(np.int32)
+        fills = np.where(neg, flat[:, 0], 0).astype(np.int32)
+        bpb = b // BLK
+
+        def seg(c0, c1):
+            return _assemble_chunks(
+                base_dev,
+                jnp.asarray(srcmap[c0 * bpb: c1 * bpb]),
+                jnp.asarray(fills[c0 * bpb: c1 * bpb]),
+                b=b,
+            )
+
+        return seg
 
     def _stacked_batches(self, ray_idxs, commit=True):
         """All batches of an image as one committed (nb, B) tensor plus a
@@ -1279,11 +1355,18 @@ class RayNetForwardPass(ForwardPass):
                 for i in ref_indices:
                     chunks_arr, n_valids_arr = stacked[i]
                     nchunks = int(chunks_arr.shape[0])
+                    seg_fn = (
+                        self._chunk_seg_to_device(chunks_arr, H, W)
+                        if not self._filter_out_rays
+                        else None
+                    )
                     out = []
                     for seg_cfg, c0, c1 in _seg_ranges(i, nchunks):
                         out.append((
                             seg_cfg, c0, c1,
-                            jax.device_put(
+                            seg_fn(c0, c1)
+                            if seg_fn is not None
+                            else jax.device_put(
                                 np.ascontiguousarray(chunks_arr[c0:c1])
                             ),
                             jax.device_put(

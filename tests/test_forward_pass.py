@@ -698,3 +698,53 @@ def test_forward_pass_with_device_planner(setup, monkeypatch):
         fpm._use_pallas = old_pallas
     for a, b in zip(maps["1"], maps["0"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_chunk_seg_device_assembly():
+    """_chunk_seg_to_device must reproduce the host chunk tensor
+    bit-exactly from the committed tile-order base (block permutation +
+    constant dead fills), and refuse anything else."""
+    import raynet_tpu.inference.forward_pass as fpm
+
+    H, W = 64, 64
+    n = H * W
+    key = None
+    from raynet_tpu.ops.pallas import planesweep as _ps
+
+    key = (H, W, _ps.TILE_W, _ps.TILE_H)
+    rng = np.random.RandomState(0)
+    base = rng.permutation(n).astype(np.int32)  # any order works
+    fpm._UNFILTERED_RAY_ORDER[key] = base
+    fpm._CHUNK_ASM_CACHE.pop(key, None)
+
+    b = 1024
+    blocks = base.reshape(-1, 256)          # 16 blocks
+    perm = rng.permutation(len(blocks))
+    dead = np.full((4, 256), -7, np.int32)  # one dead chunk
+    chunks = np.concatenate([blocks[perm], dead]).reshape(-1, b)
+
+    class Dummy:
+        _filter_out_rays = False
+    seg = fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), chunks, H, W)
+    assert seg is not None
+    got = np.asarray(seg(0, chunks.shape[0]))
+    np.testing.assert_array_equal(got, chunks)
+    got_tail = np.asarray(seg(1, chunks.shape[0]))
+    np.testing.assert_array_equal(got_tail, chunks[1:])
+
+    # a tensor that is NOT a block permutation must be refused
+    bad = chunks.copy()
+    bad[0, 3] = bad[0, 4]
+    assert (
+        fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), bad, H, W)
+        is None
+    )
+    # non-constant dead block refused too
+    bad2 = chunks.copy()
+    bad2[-1, -1] = -9
+    assert (
+        fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), bad2, H, W)
+        is None
+    )
+    fpm._UNFILTERED_RAY_ORDER.pop(key, None)
+    fpm._CHUNK_ASM_CACHE.pop(key, None)
