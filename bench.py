@@ -554,6 +554,24 @@ def main():
                 DTU_SCENE_TARGET_S
                 / res["extrapolated_full_dtu_cold_seconds"],
             )
+            # decompose the cold-over-warm gap so the artifact shows
+            # which share is device work (plan programs) and which is
+            # link-bound transfer (u8 image uploads + CNN dispatches —
+            # scale these by link_gb_per_s when judging a degraded-link
+            # capture; at 0.43 GB/s the 53 x ~6 MB uploads are ~1 s)
+            cold_plan = res.get("orchestration_plan_seconds")
+            if cold_plan is not None:
+                emit(
+                    "dtu_cold_plan_s",
+                    round(cold_plan / 2 * 49, 1), "s", 1.0,
+                )
+                emit(
+                    "dtu_cold_feature_s",
+                    round(
+                        res["extrapolated_full_dtu_cold_seconds"]
+                        - headline - cold_plan / 2 * 49, 1,
+                    ), "s", 1.0,
+                )
         except Exception as e:
             print("scene benchmark failed: %r" % (e,), file=sys.stderr)
 

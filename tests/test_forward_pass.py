@@ -670,12 +670,16 @@ def test_vmem_compile_failure_falls_back_to_xla(setup):
         list(fp.forward_pass(scene, (0, 1, 1)))
 
 
+@pytest.mark.slow
 def test_forward_pass_with_device_planner(setup, monkeypatch):
     """The orchestrated pass with the DEVICE planner march forced
     (RAYNET_DEVICE_PLANNER=1 — production default on an accelerator)
     must produce the same depth maps as the host-planner pass: the
     planners must derive identical configs end to end, including the
-    class reorder and segment plumbing."""
+    class reorder and segment plumbing. Slow (2x interpret-mode beam
+    sweeps); the always-on config-level parity lives in
+    test_bp_beam.py::test_device_planner_matches_native and
+    test_plan_prefetch_parity."""
     import raynet_tpu.inference.forward_pass as fpm
     from jax.experimental.pallas import tpu as pltpu
 
