@@ -561,131 +561,152 @@ def main():
     emit("voxel_depth_agreement", vagree, "fraction", vagree / AGREEMENT_BAR)
 
     # --------------- 4a'. MVCNN pretrain epoch (reference headline) ------
-    # The reference's getting-started transcript: 500 steps x batch 32
-    # (simple_cnn siamese, D=32 planes, 5 views, 11x11x3 patches) in
-    # 66-69 s on a 2018 TITAN X (BASELINE.md row 1). Same shapes here.
-    from raynet_tpu.train.pretrain import (
-        create_pretrain_state, make_pretrain_step,
-    )
+    if budget_left() > 180:
+        # The reference's getting-started transcript: 500 steps x batch 32
+        # (simple_cnn siamese, D=32 planes, 5 views, 11x11x3 patches) in
+        # 66-69 s on a 2018 TITAN X (BASELINE.md row 1). Same shapes here.
+        from raynet_tpu.train.pretrain import (
+            create_pretrain_state, make_pretrain_step,
+        )
 
-    b, d_tr, n_tr = 32, 32, 5
-    model_tr, state_tr, loss_fn_tr, wd_tr = create_pretrain_state(
-        jax.random.PRNGKey(0), (d_tr, n_tr, 11, 11, 3)
-    )
-    train_step, _ = make_pretrain_step(model_tr, loss_fn_tr, wd_tr)
-    x1 = jax.device_put(
-        np.asarray(rng.rand(b, d_tr, n_tr, 11, 11, 3), np.float32)
-    )
-    x2 = jax.device_put(
-        np.asarray(rng.rand(b, d_tr, n_tr, 11, 11, 3), np.float32)
-    )
-    y_tr = np.zeros((b, d_tr), np.float32)
-    y_tr[np.arange(b), rng.randint(0, d_tr, b)] = 1.0
-    y_tr = jax.device_put(y_tr)
+        b, d_tr, n_tr = 32, 32, 5
+        model_tr, state_tr, loss_fn_tr, wd_tr = create_pretrain_state(
+            jax.random.PRNGKey(0), (d_tr, n_tr, 11, 11, 3)
+        )
+        train_step, _ = make_pretrain_step(model_tr, loss_fn_tr, wd_tr)
+        x1 = jax.device_put(
+            np.asarray(rng.rand(b, d_tr, n_tr, 11, 11, 3), np.float32)
+        )
+        x2 = jax.device_put(
+            np.asarray(rng.rand(b, d_tr, n_tr, 11, 11, 3), np.float32)
+        )
+        y_tr = np.zeros((b, d_tr), np.float32)
+        y_tr[np.arange(b), rng.randint(0, d_tr, b)] = 1.0
+        y_tr = jax.device_put(y_tr)
 
-    def steps(n, st):
-        # chained states keep every dispatch's args device-committed;
-        # ONE sync on the summed losses
-        losses = []
-        for _ in range(n):
-            st, m = train_step(st, x1, x2, y_tr)
-            losses.append(m["loss"])
-        return st, float(jnp.stack(losses).sum())
+        def steps(n, st):
+            # chained states keep every dispatch's args device-committed;
+            # ONE sync on the summed losses
+            losses = []
+            for _ in range(n):
+                st, m = train_step(st, x1, x2, y_tr)
+                losses.append(m["loss"])
+            return st, float(jnp.stack(losses).sum())
 
-    state_tr, _ = steps(2, state_tr)  # warmup/compile
-    state_tr, _ = steps(5, state_tr)  # warm-in
-    step_s = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state_tr, _ = steps(20, state_tr)
-        step_s = min(step_s, (time.perf_counter() - t0) / 20)
-    emit(
-        "pretrain_epoch_s", 500 * step_s, "s",
-        66.0 / (500 * step_s),  # reference: 66-69 s/epoch
-    )
+        state_tr, _ = steps(2, state_tr)  # warmup/compile
+        state_tr, _ = steps(5, state_tr)  # warm-in
+        step_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state_tr, _ = steps(20, state_tr)
+            step_s = min(step_s, (time.perf_counter() - t0) / 20)
+        emit(
+            "pretrain_epoch_s", 500 * step_s, "s",
+            66.0 / (500 * step_s),  # reference: 66-69 s/epoch
+        )
+
+    else:
+        print("pretrain-epoch section skipped: %.0f s budget left"
+              % budget_left(), file=sys.stderr)
 
     # ------------------- 4b. beam planner acceptance over camera rigs ----
-    # VERDICT r3: fraction of synthetic rigs (ring/oblique/elevated/
-    # mirrored, DTU-like radii+focals) the per-block class planner covers
-    # with exact beam configs; rejected rigs fall back to the XLA path.
-    from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes_auto
+    # Acceptance is a planner-LOGIC metric (path-parity is unit-
+    # tested); force the NATIVE planner so 44 rigs don't ride a
+    # possibly-degraded tunnel, and gate on remaining budget.
+    if budget_left() > 120:
+        _prev_dp = os.environ.get("RAYNET_DEVICE_PLANNER")
+        os.environ["RAYNET_DEVICE_PLANNER"] = "0"
+        try:
+            # VERDICT r3: fraction of synthetic rigs (ring/oblique/elevated/
+            # mirrored, DTU-like radii+focals) the per-block class planner covers
+            # with exact beam configs; rejected rigs fall back to the XLA path.
+            from raynet_tpu.ops.pallas.bp_beam import plan_bp_classes_auto
 
-    def _rig(azim, elev, focal):
-        Kr = np.array(
-            [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]
-        )
-        c = 16.0 * np.array(
-            [
-                np.cos(elev) * np.sin(azim),
-                np.sin(elev),
-                -np.cos(elev) * np.cos(azim),
-            ]
-        )
-        z = -c / np.linalg.norm(c)
-        x = np.cross([0, 1, 0], z)
-        x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        R = np.stack([x, y, z])
-        return (
-            np.linalg.pinv(Kr @ np.hstack([R, -R @ c.reshape(3, 1)])), c
-        )
+            def _rig(azim, elev, focal):
+                Kr = np.array(
+                    [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]
+                )
+                c = 16.0 * np.array(
+                    [
+                        np.cos(elev) * np.sin(azim),
+                        np.sin(elev),
+                        -np.cos(elev) * np.cos(azim),
+                    ]
+                )
+                z = -c / np.linalg.norm(c)
+                x = np.cross([0, 1, 0], z)
+                x /= np.linalg.norm(x)
+                y = np.cross(z, x)
+                R = np.stack([x, y, z])
+                return (
+                    np.linalg.pinv(Kr @ np.hstack([R, -R @ c.reshape(3, 1)])), c
+                )
 
-    def _plans(pp, cc):
-        # production behavior: any rays-per-block candidate planning
-        # counts as accepted (the orchestrator picks among them)
-        return (
-            plan_bp_classes_auto(
-                pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
-                grid_shape, h, w, depth_planes, max_voxels, rays_batch,
-            )
-            is not None
-        )
+            def _plans(pp, cc):
+                # production behavior: any rays-per-block candidate planning
+                # counts as accepted (the orchestrator picks among them)
+                return (
+                    plan_bp_classes_auto(
+                        pp, cc, np.asarray([-3, -3, -3, 3, 3, 3], float),
+                        grid_shape, h, w, depth_planes, max_voxels, rays_batch,
+                    )
+                    is not None
+                )
 
-    acc = tot = 0
-    # diagonal azimuths included: dominant-axis-ambiguous viewing is the
-    # historical k-cap/ba-cap failure mode (round-3 dense sweep: 44/44)
-    for azim_d in (0, 45, 90, 135, 180, 225, 270, 315):
-        for elev_d in (0, 25):
-            pp, cc = _rig(
-                np.radians(azim_d), np.radians(elev_d), 2200.0
-            )
-            tot += 1
-            acc += _plans(pp, cc)
-    emit("planner_acceptance", acc / tot, "fraction", acc / tot)
+            acc = tot = 0
+            # diagonal azimuths included: dominant-axis-ambiguous viewing is the
+            # historical k-cap/ba-cap failure mode (round-3 dense sweep: 44/44)
+            for azim_d in (0, 45, 90, 135, 180, 225, 270, 315):
+                for elev_d in (0, 25):
+                    pp, cc = _rig(
+                        np.radians(azim_d), np.radians(elev_d), 2200.0
+                    )
+                    tot += 1
+                    acc += _plans(pp, cc)
+            emit("planner_acceptance", acc / tot, "fraction", acc / tot)
 
-    # The DOCUMENTED rejection class, counted explicitly (VERDICT r3 #7:
-    # the supported-rig sweep above is structurally un-failable for this
-    # hole). Wide-FOV cameras near/inside the bbox (radius < ~1.3x the
-    # bbox half-diagonal) reject by design and fall back to the XLA
-    # path; planner_fallback_share is the rejecting fraction of the
-    # COMBINED sweep — it regresses UP if the hole widens and moves
-    # toward 0 if the planner learns these rigs.
-    hole = hole_tot = 0
-    # focal 250 at w=640 is a ~104-deg FOV: rays from an inside-bbox
-    # camera exit the box along BOTH dominant-axis signs
-    # (mixed-dominant-sign) — the class the planner rejects by design
-    for radius, focal in ((1.0, 250.0), (1.5, 250.0), (2.0, 300.0)):
-        for azim_d in (0, 45, 90):
-            Kr = np.array(
-                [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]
+            # The DOCUMENTED rejection class, counted explicitly (VERDICT r3 #7:
+            # the supported-rig sweep above is structurally un-failable for this
+            # hole). Wide-FOV cameras near/inside the bbox (radius < ~1.3x the
+            # bbox half-diagonal) reject by design and fall back to the XLA
+            # path; planner_fallback_share is the rejecting fraction of the
+            # COMBINED sweep — it regresses UP if the hole widens and moves
+            # toward 0 if the planner learns these rigs.
+            hole = hole_tot = 0
+            # focal 250 at w=640 is a ~104-deg FOV: rays from an inside-bbox
+            # camera exit the box along BOTH dominant-axis signs
+            # (mixed-dominant-sign) — the class the planner rejects by design
+            for radius, focal in ((1.0, 250.0), (1.5, 250.0), (2.0, 300.0)):
+                for azim_d in (0, 45, 90):
+                    Kr = np.array(
+                        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]
+                    )
+                    az = np.radians(azim_d)
+                    cc = radius * np.array([np.sin(az), 0.2, -np.cos(az)])
+                    z = -cc / np.linalg.norm(cc)
+                    x_ = np.cross([0, 1, 0], z)
+                    x_ /= np.linalg.norm(x_)
+                    y_ = np.cross(z, x_)
+                    Rr = np.stack([x_, y_, z])
+                    pp = np.linalg.pinv(
+                        Kr @ np.hstack([Rr, -Rr @ cc.reshape(3, 1)])
+                    )
+                    hole_tot += 1
+                    hole += not _plans(pp, cc)
+            fallback_share = (hole + (tot - acc)) / (tot + hole_tot)
+            emit(
+                "planner_fallback_share", fallback_share, "fraction",
+                1.0 - fallback_share,
             )
-            az = np.radians(azim_d)
-            cc = radius * np.array([np.sin(az), 0.2, -np.cos(az)])
-            z = -cc / np.linalg.norm(cc)
-            x_ = np.cross([0, 1, 0], z)
-            x_ /= np.linalg.norm(x_)
-            y_ = np.cross(z, x_)
-            Rr = np.stack([x_, y_, z])
-            pp = np.linalg.pinv(
-                Kr @ np.hstack([Rr, -Rr @ cc.reshape(3, 1)])
-            )
-            hole_tot += 1
-            hole += not _plans(pp, cc)
-    fallback_share = (hole + (tot - acc)) / (tot + hole_tot)
-    emit(
-        "planner_fallback_share", fallback_share, "fraction",
-        1.0 - fallback_share,
-    )
+
+        finally:
+            if _prev_dp is None:
+                os.environ.pop("RAYNET_DEVICE_PLANNER", None)
+            else:
+                os.environ["RAYNET_DEVICE_PLANNER"] = _prev_dp
+    else:
+        print("planner-acceptance section skipped: %.0f s budget left"
+              % budget_left(), file=sys.stderr)
 
     # --------------- 4a''. training QUALITY (VERDICT r4 #6) --------------
     # The reference reaches val_acc 0.58-0.65 / val_mde 1.1-1.5 within
