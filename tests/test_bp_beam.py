@@ -1088,3 +1088,41 @@ def test_plan_prefetch_parity(monkeypatch):
     # one-shot: everything consumed
     assert not bpd._STATE_PREFETCH
     assert not ps._SPANS_PREFETCH
+
+
+def test_plan_prefetch_rejection_parity(monkeypatch):
+    """A rig the planner rejects (mixed dominant sign: camera inside
+    the bbox) must flow through the prefetcher with the same rejection
+    the direct path produces — stored once, popped once."""
+    from raynet_tpu.ops.pallas import bp_beam as bb
+    from raynet_tpu.ops import bp_plan_device as bpd
+    from raynet_tpu.ops.plan_prefetch import prefetch_view_plans
+
+    h, w = 64, 64
+    grid = (16, 16, 16)
+    dpl, mv, unit = 8, 48, 1024
+    bbox = np.array([-2, -2, -2, 2, 2, 2], float)
+    cc = np.array([0.1, 0.1, -0.5])
+    z = -cc / np.linalg.norm(cc)
+    x = np.cross([0, 1, 0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    K = np.array([[8.0, 0, w / 2], [0, 8.0, h / 2], [0, 0, 1]])
+    P = K @ np.hstack([R, -R @ cc.reshape(3, 1)])
+    pp = np.linalg.pinv(P).astype(np.float32)
+    cams = [(np.stack([P] * 5).astype(np.float32), pp,
+             cc.astype(np.float32))]
+
+    monkeypatch.setenv("RAYNET_DEVICE_PLANNER", "1")
+    direct = bb.plan_bp_classes_auto(
+        pp, cams[0][2], bbox, grid, h, w, dpl, mv, unit
+    )
+    n = prefetch_view_plans(cams, bbox, grid, h, w, 11, dpl, unit,
+                            spans=False)
+    assert n == 1
+    pre = bb.plan_bp_classes_auto(
+        pp, cams[0][2], bbox, grid, h, w, dpl, mv, unit
+    )
+    assert (direct is None) == (pre is None)
+    assert not bpd._STATE_PREFETCH  # consumed even on rejection
