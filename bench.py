@@ -229,15 +229,16 @@ def main():
             # capture; at 0.43 GB/s the 53 x ~6 MB uploads are ~1 s)
             cold_plan = res.get("orchestration_plan_seconds")
             if cold_plan is not None:
+                n_img = res.get("images", 2)
                 emit(
                     "dtu_cold_plan_s",
-                    round(cold_plan / 2 * 49, 1), "s", 1.0,
+                    round(cold_plan / n_img * 49, 1), "s", 1.0,
                 )
                 emit(
                     "dtu_cold_feature_s",
                     round(
                         res["extrapolated_full_dtu_cold_seconds"]
-                        - headline - cold_plan / 2 * 49, 1,
+                        - headline - cold_plan / n_img * 49, 1,
                     ), "s", 1.0,
                 )
         except Exception as e:

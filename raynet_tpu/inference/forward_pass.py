@@ -1133,13 +1133,28 @@ class RayNetForwardPass(ForwardPass):
                 try:
                     from ..ops.plan_prefetch import prefetch_view_plans
 
-                    prefetch_view_plans(
-                        [self._view_cameras(scene, i) for i in ref_indices],
-                        scene.bbox.reshape(-1), gp.grid_shape, H, W,
-                        gp.padding, gp.depth_planes,
-                        self.rays_batch // n_shards,
-                        spans=(feat_dim == 32 and self.rays_batch % 128 == 0),
-                    )
+                    # only views whose per-view plan caches are cold —
+                    # a warm _bp_classes/_band_specs early-returns and
+                    # would never pop its one-shot prefetch entry
+                    pending = [
+                        i for i in ref_indices
+                        if i not in getattr(self, "_bp_class_cache", {})
+                        or i not in self._band_cache
+                    ]
+                    if pending:
+                        prefetch_view_plans(
+                            [
+                                self._view_cameras(scene, i)
+                                for i in pending
+                            ],
+                            scene.bbox.reshape(-1), gp.grid_shape, H, W,
+                            gp.padding, gp.depth_planes,
+                            self.rays_batch // n_shards,
+                            spans=(
+                                feat_dim == 32
+                                and self.rays_batch % 128 == 0
+                            ),
+                        )
                 except Exception as e:  # optimization only — never fatal
                     print(
                         "plan prefetch skipped: %r" % (e,), file=sys.stderr

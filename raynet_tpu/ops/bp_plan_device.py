@@ -198,6 +198,25 @@ def _agg_device(s, e, fill, bmin, pb, ext, *, perm, flip, S, ngrp, fine,
 # view (~8 MB/view at DTU resolution through the tunnel)
 _IDX_CACHE = {}
 
+
+def unfiltered_tile_idxs(height, width, pad_to):
+    """THE padded tile-order ray list (host numpy) every unfiltered plan
+    path shares. Single construction point: _plan_prologue_multi, the
+    plan prefetcher, and the band planner's chunked variant all derive
+    from this — the device-side _IDX_CACHE slots keyed on it assume the
+    producers agree byte-for-byte, so don't re-implement it."""
+    from .pallas.planesweep import tile_ids
+
+    n = height * width
+    idxs = np.arange(n, dtype=np.int32)
+    perm_t = np.argsort(
+        tile_ids(idxs, height), kind="stable"
+    ).astype(np.int32)
+    pad = (-n) % pad_to
+    if pad:
+        perm_t = np.concatenate([perm_t, np.repeat(perm_t[-1:], pad)])
+    return perm_t
+
 # One-shot prefetched plan states (ops.plan_prefetch fills it before the
 # orchestrator's per-view plan loop; device_plan_state pops): the serial
 # per-view plan chain (program A -> scalar sync -> program B -> download)

@@ -616,7 +616,6 @@ def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
             return None
         if not is_available():
             return None
-    from .planesweep import tile_ids
 
     bbox = np.asarray(bbox, np.float64).reshape(6)
     grid_shape = tuple(int(g) for g in grid_shape)
@@ -634,14 +633,9 @@ def _plan_prologue_multi(P_pinv, camera_center, bbox, grid_shape, height,
         idxs = keep
         idx_cache_key = None
     else:
-        all_idxs = np.arange(n, dtype=np.int32)
-        perm_t = np.argsort(
-            tile_ids(all_idxs, height), kind="stable"
-        ).astype(np.int32)
-        pad = (-n) % coarse
-        if pad:
-            perm_t = np.concatenate([perm_t, np.repeat(perm_t[-1:], pad)])
-        idxs = perm_t
+        from ..bp_plan_device import unfiltered_tile_idxs
+
+        idxs = unfiltered_tile_idxs(height, width, coarse)
         idx_cache_key = ("tile", height, width, coarse)
 
     bins = (bbox[3:] - bbox[:3]) / np.asarray(grid_shape, np.float64)

@@ -458,16 +458,9 @@ def _band_idx_dev(height, width, chunk_tiles=512):
     n_chunks = -(-full_tiles // chunk_tiles)
     ck = ("band2d", height, width, n_chunks, chunk_rays)
     if ck not in _IDX_CACHE:
-        n = height * width
-        idxs = np.arange(n, dtype=np.int32)
-        # same stable tile sort as tile_order (int keys: np and jnp
-        # stable argsorts agree elementwise)
-        perm = np.argsort(tile_ids(idxs, height), kind="stable").astype(
-            np.int32
-        )
-        if perm.shape[0] % RAYS_PER_BLOCK:
-            tail = RAYS_PER_BLOCK - perm.shape[0] % RAYS_PER_BLOCK
-            perm = np.concatenate([perm, np.repeat(perm[-1:], tail)])
+        from ..bp_plan_device import unfiltered_tile_idxs
+
+        perm = unfiltered_tile_idxs(height, width, RAYS_PER_BLOCK)
         if len(perm) < n_chunks * chunk_rays:
             perm = np.concatenate(
                 [perm, np.repeat(perm[-1:], n_chunks * chunk_rays - len(perm))]

@@ -72,13 +72,7 @@ def prefetch_view_plans(cam_sets, bbox, grid_shape, height, width,
         idx_dev = bpd._IDX_CACHE[cache_key]
         n_padded = int(idx_dev.shape[0])
     else:
-        all_idxs = np.arange(n, dtype=np.int32)
-        perm_t = np.argsort(
-            _ps.tile_ids(all_idxs, height), kind="stable"
-        ).astype(np.int32)
-        pad = (-n) % coarse
-        if pad:
-            perm_t = np.concatenate([perm_t, np.repeat(perm_t[-1:], pad)])
+        perm_t = bpd.unfiltered_tile_idxs(height, width, coarse)
         idx_dev = jax.device_put(perm_t)
         bpd._IDX_CACHE[cache_key] = idx_dev
         n_padded = len(perm_t)
@@ -145,26 +139,31 @@ def prefetch_view_plans(cam_sets, bbox, grid_shape, height, width,
             others = [a for a in range(3) if a != dom]
             perm = (dom, others[0], others[1])
             S = grid_t[dom]
+            if S % 8:
+                # the consumer would reject this grid before touching
+                # the aggregates — store the decision, never a state
+                # whose s/e/fill are None and packed is absent
+                bpd._STATE_PREFETCH[key] = (None, "s-mod-8")
+                count += 1
+                continue
+            pb = np.asarray([bins[a] for a in perm], np.float64)
+            packed = bpd._agg_device(
+                s, e, fill,
+                jnp.asarray(bbox64[:3], jnp.float32),
+                jnp.asarray(pb, jnp.float32),
+                jnp.float32(S * pb[0]),
+                perm=perm, flip=bool(flip), S=int(S),
+                ngrp=int(S) // 8, fine=int(fine),
+            )
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
             state = dict(
                 s=None, e=None, fill=None, bins=bins, bbox=bbox64,
                 grid_shape=grid_t, dom=dom, flip=flip, n=n_padded,
+                packed=packed,
             )
-            if S % 8 == 0:
-                pb = np.asarray([bins[a] for a in perm], np.float64)
-                packed = bpd._agg_device(
-                    s, e, fill,
-                    jnp.asarray(bbox64[:3], jnp.float32),
-                    jnp.asarray(pb, jnp.float32),
-                    jnp.float32(S * pb[0]),
-                    perm=perm, flip=bool(flip), S=int(S),
-                    ngrp=int(S) // 8, fine=int(fine),
-                )
-                try:
-                    packed.copy_to_host_async()
-                except Exception:
-                    pass
-                state["packed"] = packed
-            # S % 8 != 0 is rejected downstream before any agg use
             bpd._STATE_PREFETCH[key] = (state, "ok")
             count += 1
         handles = None

@@ -720,35 +720,40 @@ def test_chunk_seg_device_assembly():
     base = rng.permutation(n).astype(np.int32)  # any order works
     fpm._UNFILTERED_RAY_ORDER[key] = base
     fpm._CHUNK_ASM_CACHE.pop(key, None)
+    try:
+        b = 1024
+        blocks = base.reshape(-1, 256)          # 16 blocks
+        perm = rng.permutation(len(blocks))
+        dead = np.full((4, 256), -7, np.int32)  # one dead chunk
+        chunks = np.concatenate([blocks[perm], dead]).reshape(-1, b)
 
-    b = 1024
-    blocks = base.reshape(-1, 256)          # 16 blocks
-    perm = rng.permutation(len(blocks))
-    dead = np.full((4, 256), -7, np.int32)  # one dead chunk
-    chunks = np.concatenate([blocks[perm], dead]).reshape(-1, b)
+        class Dummy:
+            _filter_out_rays = False
+        seg = fpm.RayNetForwardPass._chunk_seg_to_device(
+            Dummy(), chunks, H, W
+        )
+        assert seg is not None
+        got = np.asarray(seg(0, chunks.shape[0]))
+        np.testing.assert_array_equal(got, chunks)
+        got_tail = np.asarray(seg(1, chunks.shape[0]))
+        np.testing.assert_array_equal(got_tail, chunks[1:])
 
-    class Dummy:
-        _filter_out_rays = False
-    seg = fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), chunks, H, W)
-    assert seg is not None
-    got = np.asarray(seg(0, chunks.shape[0]))
-    np.testing.assert_array_equal(got, chunks)
-    got_tail = np.asarray(seg(1, chunks.shape[0]))
-    np.testing.assert_array_equal(got_tail, chunks[1:])
-
-    # a tensor that is NOT a block permutation must be refused
-    bad = chunks.copy()
-    bad[0, 3] = bad[0, 4]
-    assert (
-        fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), bad, H, W)
-        is None
-    )
-    # non-constant dead block refused too
-    bad2 = chunks.copy()
-    bad2[-1, -1] = -9
-    assert (
-        fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), bad2, H, W)
-        is None
-    )
-    fpm._UNFILTERED_RAY_ORDER.pop(key, None)
-    fpm._CHUNK_ASM_CACHE.pop(key, None)
+        # a tensor that is NOT a block permutation must be refused
+        bad = chunks.copy()
+        bad[0, 3] = bad[0, 4]
+        assert (
+            fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), bad, H, W)
+            is None
+        )
+        # non-constant dead block refused too
+        bad2 = chunks.copy()
+        bad2[-1, -1] = -9
+        assert (
+            fpm.RayNetForwardPass._chunk_seg_to_device(Dummy(), bad2, H, W)
+            is None
+        )
+    finally:
+        # a failed assert must not leave the random order installed for
+        # the rest of the session (get_valid_rays_per_image serves it)
+        fpm._UNFILTERED_RAY_ORDER.pop(key, None)
+        fpm._CHUNK_ASM_CACHE.pop(key, None)
