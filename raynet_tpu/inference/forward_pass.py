@@ -452,6 +452,33 @@ class ForwardPass:
                 np.ascontiguousarray(chunk)
             )
 
+    def _warm_images_async(self, scene, ref_indices):
+        """Decode every needed image on a daemon thread: PNG decode is
+        ~0.1-1 s/image on the single-core planning host and otherwise
+        serializes with the plan phase's device waits (zlib releases the
+        GIL, and the main thread spends the plan phase blocked on
+        device syncs/downloads). scene.get_image caches into a plain
+        list slot, so a racing duplicate decode is benign — both
+        threads produce equal Image objects and the last write wins."""
+        import threading
+
+        gp = self._generation_params
+
+        def work():
+            try:
+                seen = set()
+                for i in ref_indices:
+                    for j in scene.get_view_idxs(i, gp.neighbors):
+                        if j not in seen:
+                            seen.add(j)
+                            scene.get_image(j)
+            except Exception:
+                pass
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        return t
+
     def _chunk_seg_to_device(self, chunks_arr, height, width):
         """Device-side assembly of an unfiltered view's chunk tensor.
 
@@ -1062,6 +1089,8 @@ class RayNetForwardPass(ForwardPass):
                 t_sub = now
 
             ref_indices = list(range(start, end, skip))
+            # image decode overlaps the plan phase's device waits
+            self._warm_images_async(scene, ref_indices)
             ray_idxs_per_image = {
                 i: self.get_valid_rays_per_image(scene, i) for i in ref_indices
             }
