@@ -194,7 +194,9 @@ def main():
         try:
             res = run_scene_benchmark(
                 images=2, height=1200, width=1600, focal=2750.0,
-                repeats=3 if budget_left() > 900 else 2,
+                repeats=(
+                    3 if budget_left() > 900 and link_gbps > 0.1 else 2
+                ),
                 messages_device_budget=8 << 30,
             )
             headline = res["extrapolated_full_dtu_seconds"]
